@@ -1,0 +1,186 @@
+"""Searcher: an immutable snapshot over a list of segments.
+
+Equivalent of Lucene's IndexSearcher + the reference's MyIndexSearcher
+(server/search/MyIndexSearcher.java). Where the reference fans segment slices
+out to a thread pool, here each segment is scored by one device program and
+per-segment top-k results merge on the host (cheap: k entries per segment).
+Searcher snapshots are versioned; refresh publishes a new snapshot and readers
+never block writers (NRT semantics).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+from nrtsearch_tpu.core.segment import Segment
+from nrtsearch_tpu.ops.topk import masked_top_k, masked_top_k_by_key
+from nrtsearch_tpu.query import eval as qeval
+from nrtsearch_tpu.query import plan as qp
+from nrtsearch_tpu.schema.fields import DocValueKind, FieldDef
+
+
+@dataclass(frozen=True)
+class Hit:
+    segment_idx: int
+    local_id: int
+    global_ord: int
+    score: float
+    sort_key: Optional[float] = None
+
+
+@dataclass
+class TopDocs:
+    hits: list[Hit]
+    total_hits: int
+
+
+@dataclass(frozen=True)
+class SortSpec:
+    field: str
+    reverse: bool = False  # False = ascending
+
+
+class Searcher:
+    """Immutable multi-segment search snapshot."""
+
+    def __init__(
+        self,
+        segments: Sequence[Segment],
+        field_defs: dict[str, FieldDef],
+        version: int = 0,
+    ):
+        self.segments = list(segments)
+        self.field_defs = field_defs
+        self.version = version
+        self.bases = np.cumsum([0] + [s.num_docs for s in self.segments])[:-1]
+        self.stats = qeval.CollectionStats(self.segments)
+
+    # -- stats ---------------------------------------------------------------
+
+    @property
+    def num_docs(self) -> int:
+        return sum(s.live_doc_count for s in self.segments)
+
+    @property
+    def max_doc(self) -> int:
+        return sum(s.num_docs for s in self.segments)
+
+    # -- search --------------------------------------------------------------
+
+    def search(
+        self,
+        node: qp.QueryNode,
+        top_hits: int,
+        sort: Optional[SortSpec] = None,
+        extra_filter: Optional[qp.QueryNode] = None,
+    ) -> TopDocs:
+        """Recall + top-k over all segments.
+
+        ``extra_filter`` is AND-ed in without contributing score (used for
+        filtered kNN / drill-down).
+        """
+        if not self.segments:
+            return TopDocs([], 0)
+        per_segment: list[tuple[np.ndarray, np.ndarray, int, int]] = []
+        total = 0
+        for idx, seg in enumerate(self.segments):
+            ctx = qeval.EvalContext(seg, self.field_defs, self.stats)
+            scores, match = qeval.eval_node(node, ctx)
+            if extra_filter is not None:
+                _, fmask = qeval.eval_node(extra_filter, ctx)
+                match = match & fmask
+            match = match & seg.live
+            k = min(top_hits, seg.capacity)
+            if sort is None:
+                s, ids, th = masked_top_k(scores[None, :], match[None, :], k=k)
+            else:
+                keys = self._sort_keys(seg, sort)
+                if keys is None:
+                    # exact-int64/f64 column: host-side sort fallback
+                    s, ids, seg_total = self._host_sorted_topk(seg, match, sort, k)
+                    per_segment.append(
+                        (np.asarray(s[0]), np.asarray(ids[0]), idx, min(seg_total, k))
+                    )
+                    total += seg_total
+                    continue
+                s, ids, th = masked_top_k_by_key(
+                    keys[None, :], match[None, :], k=k, ascending=not sort.reverse
+                )
+            seg_total = int(np.asarray(th[0]))
+            per_segment.append((np.asarray(s[0]), np.asarray(ids[0]), idx, min(seg_total, k)))
+            total += seg_total
+
+        return self._merge_top(per_segment, top_hits, sort, total)
+
+    def count(self, node: qp.QueryNode) -> int:
+        total = 0
+        for seg in self.segments:
+            ctx = qeval.EvalContext(seg, self.field_defs, self.stats)
+            _, match = qeval.eval_node(node, ctx)
+            total += int(np.asarray((match & seg.live).sum()))
+        return total
+
+    def match_masks(self, node: qp.QueryNode) -> list[Any]:
+        """Per-segment live match masks (for facets/collectors over all hits)."""
+        out = []
+        for seg in self.segments:
+            ctx = qeval.EvalContext(seg, self.field_defs, self.stats)
+            _, match = qeval.eval_node(node, ctx)
+            out.append(match & seg.live)
+        return out
+
+    # -- internals -----------------------------------------------------------
+
+    def _sort_keys(self, seg: Segment, sort: SortSpec):
+        import jax.numpy as jnp
+
+        dv = seg.doc_values.get(sort.field)
+        if dv is None:
+            return jnp.zeros(seg.capacity, jnp.float32)
+        if dv.kind == DocValueKind.ORDINAL:
+            return dv.values.astype(jnp.float32)  # ordinals are sort-consistent
+        if dv.values.dtype == jnp.float64:
+            return None  # host fallback for exactness
+        return dv.values.astype(jnp.float32)
+
+    def _host_sorted_topk(self, seg: Segment, match, sort: SortSpec, k: int):
+        dv = seg.doc_values[sort.field]
+        m = np.asarray(match)[: seg.num_docs]
+        ids = np.nonzero(m)[0]
+        vals = dv.host_values[ids]
+        order = np.argsort(-vals if sort.reverse else vals, kind="stable")
+        top = ids[order[:k]]
+        keys = vals[order[:k]].astype(np.float64)
+        pad = k - len(top)
+        if pad > 0:
+            top = np.concatenate([top, np.zeros(pad, np.int64)])
+            keys = np.concatenate([keys, np.full(pad, -np.inf)])
+        return keys[None, :], top[None, :], int(m.sum())
+
+    def _merge_top(
+        self,
+        per_segment: list[tuple[np.ndarray, np.ndarray, int, int]],
+        top_hits: int,
+        sort: Optional[SortSpec],
+        total: int,
+    ) -> TopDocs:
+        hits: list[Hit] = []
+        for scores, ids, seg_idx, valid in per_segment:
+            base = int(self.bases[seg_idx])
+            for s, i in zip(scores[:valid], ids[:valid]):
+                if sort is None:
+                    hits.append(Hit(seg_idx, int(i), base + int(i), float(s)))
+                else:
+                    hits.append(
+                        Hit(seg_idx, int(i), base + int(i), 0.0, sort_key=float(s))
+                    )
+        if sort is None:
+            # score desc, then global ord asc (Lucene tie-break)
+            hits.sort(key=lambda h: (-h.score, h.global_ord))
+        else:
+            sign = -1.0 if sort.reverse else 1.0
+            hits.sort(key=lambda h: (sign * (h.sort_key or 0.0), h.global_ord))
+        return TopDocs(hits[:top_hits], total)

@@ -1,0 +1,454 @@
+"""Immutable TPU-resident index segments.
+
+Replaces Lucene's on-disk segment formats (postings, norms, doc values, HNSW —
+consumed by the reference as the Lucene library, SURVEY.md §2 native-code note)
+with device arrays laid out for batched XLA/Pallas execution:
+
+- **Postings** per searchable field: one flat ``doc_ids``/``freqs`` pair per
+  segment with a per-term ``[offset, length]`` table. Doc ids are absolute
+  within the segment (u32 deltas + block-max impact metadata come with the
+  Pallas WAND kernel). Arrays are padded to power-of-two buckets so jit caches
+  stay small as segments grow.
+- **Norms**: per-field document length, already round-tripped through the
+  Lucene-compatible byte quantization (utils/smallfloat.py) for BM25 parity.
+- **Doc values**: one columnar array per field (int32 / float32 / float64 /
+  ordinal-int32 with a host dictionary), plus a presence mask.
+- **Vectors**: ``[num_docs, dims]`` float32 matrices (MIPS kernels are
+  matmul-shaped; see ops/knn.py).
+- **Stored fields**: host-side row store (fetch stage is host work).
+- **Live docs**: boolean overlay mask; deletes replace the mask (immutability
+  as the concurrency strategy, like the reference's ImmutableIndexState).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Iterable, Optional
+
+import numpy as np
+
+from nrtsearch_tpu.schema.fields import DocValueKind, FieldDef, FieldType
+from nrtsearch_tpu.utils.smallfloat import quantize_length
+
+_SEG_COUNTER = itertools.count()
+
+
+def pad_to_bucket(n: int, minimum: int = 128) -> int:
+    """Next power-of-two bucket ≥ n (≥ minimum). Bounds jit recompilation."""
+    b = minimum
+    while b < n:
+        b <<= 1
+    return b
+
+
+def _device_put(x: np.ndarray):
+    import jax
+
+    return jax.device_put(x)
+
+
+# ---------------------------------------------------------------------------
+# Per-field structures
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TextFieldIndex:
+    """Inverted index for one field within one segment.
+
+    ``terms`` maps term -> term id; ``offsets[tid]``/``lengths[tid]`` locate the
+    term's postings run inside ``doc_ids``/``freqs`` (host int32 arrays — they
+    are tiny per-query lookups). ``doc_ids``/``freqs``/``positions_*`` live on
+    device. ``doc_lens`` is the quantized field length per doc (float32 on
+    device, feeds the BM25 length norm).
+    """
+
+    terms: dict[str, int]
+    offsets: np.ndarray      # host int64 [T]
+    lengths: np.ndarray      # host int32 [T]
+    doc_ids: Any             # device int32 [P_pad], padding = 0 (masked by caller)
+    freqs: Any               # device float32 [P_pad]
+    doc_lens: Any            # device float32 [D_pad], quantized lengths
+    sum_doc_lens: int        # sum of quantized lengths (for avgdl)
+    doc_count: int           # docs that have this field
+    postings_len: int        # valid prefix of doc_ids/freqs
+    # phrase positions: CSR over postings entries (built when field.search and
+    # positions enabled); None until the phrase-query milestone.
+    positions: Optional[Any] = None
+    position_offsets: Optional[np.ndarray] = None
+
+    def lookup(self, term: str) -> tuple[int, int]:
+        """(offset, length) of a term's postings, (0, 0) if absent."""
+        tid = self.terms.get(term)
+        if tid is None:
+            return 0, 0
+        return int(self.offsets[tid]), int(self.lengths[tid])
+
+    def doc_freq(self, term: str) -> int:
+        tid = self.terms.get(term)
+        return 0 if tid is None else int(self.lengths[tid])
+
+
+@dataclass(frozen=True)
+class DocValueColumn:
+    """Columnar doc values for one field within one segment.
+
+    Single-valued: ``values`` is [D_pad]; ``present`` is a bool mask.
+    Multi-valued: CSR layout — ``mv_offsets`` [D+1] into ``values``.
+    ORDINAL columns carry the host-side ordinal dictionary (``ord_terms``).
+    """
+
+    kind: DocValueKind
+    values: Any                       # device array
+    present: Any                      # device bool [D_pad]
+    host_values: np.ndarray           # host copy (fetch + host-side collectors)
+    host_present: np.ndarray
+    ord_terms: Optional[list[str]] = None      # ordinal -> term
+    ord_index: Optional[dict[str, int]] = None  # term -> ordinal
+    mv_offsets: Optional[np.ndarray] = None     # host int32 [D+1] (multi-valued)
+    mv_values: Optional[np.ndarray] = None      # host values (multi-valued)
+
+
+@dataclass(frozen=True)
+class VectorColumn:
+    values: Any            # device float32 [D_pad, dims]
+    present: Any           # device bool [D_pad]
+    host_norms: np.ndarray  # per-doc L2 norms (for cosine)
+
+
+# ---------------------------------------------------------------------------
+# Segment
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Segment:
+    """One immutable segment: device arrays + host dictionaries."""
+
+    seg_id: str
+    num_docs: int
+    capacity: int                     # padded doc dimension of device arrays
+    fields: dict[str, TextFieldIndex]
+    doc_values: dict[str, DocValueColumn]
+    vectors: dict[str, VectorColumn]
+    stored: list[dict]                # host row store, len == num_docs
+    live: Any                         # device bool [capacity]
+    host_live: np.ndarray             # host bool [num_docs]
+    del_count: int = 0
+
+    @property
+    def live_doc_count(self) -> int:
+        return self.num_docs - self.del_count
+
+    def with_deletes(self, deleted_local_ids: np.ndarray) -> "Segment":
+        """Return a new segment with additional docs marked deleted."""
+        host_live = self.host_live.copy()
+        host_live[deleted_local_ids] = False
+        live = np.zeros(self.capacity, dtype=bool)
+        live[: self.num_docs] = host_live
+        return Segment(
+            seg_id=self.seg_id,
+            num_docs=self.num_docs,
+            capacity=self.capacity,
+            fields=self.fields,
+            doc_values=self.doc_values,
+            vectors=self.vectors,
+            stored=self.stored,
+            live=_device_put(live),
+            host_live=host_live,
+            del_count=int(self.num_docs - host_live.sum()),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Builder (host side): accumulate parsed documents, flush to a Segment
+# ---------------------------------------------------------------------------
+
+
+class SegmentBuilder:
+    """Accumulates analyzed documents in host memory; ``flush()`` packs arrays.
+
+    The reference counterpart is Lucene's in-RAM segment building inside
+    IndexWriter.addDocuments (AddDocumentHandler.java:423 drives it). Here the
+    host does analysis + postings accumulation; packing produces numpy arrays
+    that are transferred once and stay immutable in HBM.
+    """
+
+    def __init__(self, field_defs: dict[str, FieldDef]):
+        self.field_defs = field_defs
+        self.num_docs = 0
+        # field -> term -> list[(doc, freq)] built as parallel arrays
+        self._postings: dict[str, dict[str, list]] = {}
+        self._doc_lens: dict[str, list[int]] = {}
+        self._dv: dict[str, list] = {}          # field -> list[(doc, value)]
+        self._vectors: dict[str, list] = {}     # field -> list[(doc, np.ndarray)]
+        self._stored: list[dict] = []
+        self._positions: dict[str, dict] = {}
+
+    def add_document(self, doc: dict[str, Any]) -> int:
+        """Add one parsed document: field name -> raw value or list of values.
+
+        Returns the local doc id. Values are raw strings (as in the proto
+        AddDocumentRequest MultiValuedField) or already-typed values.
+        """
+        doc_id = self.num_docs
+        self.num_docs += 1
+        stored_row: dict[str, Any] = {}
+        for name, value in doc.items():
+            fd = self.field_defs.get(name)
+            if fd is None:
+                raise KeyError(f"unregistered field: {name!r}")
+            values = value if isinstance(value, (list, tuple)) else [value]
+            if len(values) > 1 and not fd.multi_valued and fd.type != FieldType.LAT_LON:
+                raise ValueError(f"field {name!r} is not multiValued")
+            if fd.type == FieldType.VECTOR:
+                vec = fd.parse_vector(values[0])
+                self._vectors.setdefault(name, []).append((doc_id, vec))
+                if fd.store:
+                    stored_row[name] = vec.tolist()
+                continue
+            if fd.type == FieldType.LAT_LON:
+                lat, lon = float(values[0]), float(values[1])
+                self._dv.setdefault(name, []).append((doc_id, (lat, lon)))
+                if fd.store:
+                    stored_row[name] = [lat, lon]
+                continue
+            parsed = [fd.parse_doc_value(v) for v in values]
+            if fd.search and fd.is_text:
+                self._index_text(fd, doc_id, [str(v) for v in parsed])
+            if fd.store_doc_values:
+                for p in parsed:
+                    self._dv.setdefault(name, []).append((doc_id, p))
+            if fd.store:
+                stored_row[name] = parsed if fd.multi_valued else parsed[0]
+        self._stored.append(stored_row)
+        return doc_id
+
+    def _index_text(self, fd: FieldDef, doc_id: int, values: list[str]) -> None:
+        name = fd.name
+        post = self._postings.setdefault(name, {})
+        lens = self._doc_lens.setdefault(name, [])
+        while len(lens) < doc_id:
+            lens.append(0)
+        counts: dict[str, int] = {}
+        total = 0
+        for v in values:
+            for tok in fd.index_tokens(v):
+                counts[tok.text] = counts.get(tok.text, 0) + 1
+                total += 1
+        for term, freq in counts.items():
+            post.setdefault(term, []).append((doc_id, freq))
+        lens.append(total)
+
+    def flush(self, seg_id: Optional[str] = None) -> Optional[Segment]:
+        if self.num_docs == 0:
+            return None
+        seg_id = seg_id or f"seg_{next(_SEG_COUNTER)}"
+        capacity = pad_to_bucket(self.num_docs)
+        fields = {
+            name: self._pack_text_field(name, post, capacity)
+            for name, post in self._postings.items()
+        }
+        doc_values = {
+            name: self._pack_doc_values(self.field_defs[name], vals, capacity)
+            for name, vals in self._dv.items()
+        }
+        vectors = {
+            name: self._pack_vectors(self.field_defs[name], vals, capacity)
+            for name, vals in self._vectors.items()
+        }
+        host_live = np.ones(self.num_docs, dtype=bool)
+        live = np.zeros(capacity, dtype=bool)
+        live[: self.num_docs] = True
+        return Segment(
+            seg_id=seg_id,
+            num_docs=self.num_docs,
+            capacity=capacity,
+            fields=fields,
+            doc_values=doc_values,
+            vectors=vectors,
+            stored=self._stored,
+            live=_device_put(live),
+            host_live=host_live,
+        )
+
+    # -- packing --------------------------------------------------------------
+
+    def _pack_text_field(
+        self, field_name: str, post: dict[str, list], capacity: int
+    ) -> TextFieldIndex:
+        terms = {}
+        offsets = np.zeros(len(post), dtype=np.int64)
+        lengths = np.zeros(len(post), dtype=np.int32)
+        total = sum(len(p) for p in post.values())
+        p_pad = pad_to_bucket(total)
+        doc_ids = np.zeros(p_pad, dtype=np.int32)
+        freqs = np.zeros(p_pad, dtype=np.float32)
+        cursor = 0
+        # stable term order (insertion) — postings within a term are already
+        # in ascending doc id order because docs are added in order
+        for tid, (term, plist) in enumerate(post.items()):
+            terms[term] = tid
+            offsets[tid] = cursor
+            lengths[tid] = len(plist)
+            arr = np.asarray(plist, dtype=np.int64)
+            doc_ids[cursor : cursor + len(plist)] = arr[:, 0]
+            freqs[cursor : cursor + len(plist)] = arr[:, 1]
+            cursor += len(plist)
+        lens_list = self._doc_lens.get(field_name, [])
+        lens = np.zeros(capacity, dtype=np.int64)
+        lens[: len(lens_list)] = lens_list
+        qlens = quantize_length(lens).astype(np.float32)
+        doc_count = int(np.count_nonzero(lens[: self.num_docs]))
+        return TextFieldIndex(
+            terms=terms,
+            offsets=offsets,
+            lengths=lengths,
+            doc_ids=_device_put(doc_ids),
+            freqs=_device_put(freqs),
+            doc_lens=_device_put(qlens),
+            sum_doc_lens=int(quantize_length(lens[: self.num_docs]).sum()),
+            doc_count=doc_count,
+            postings_len=total,
+        )
+
+    def _pack_doc_values(self, fd: FieldDef, vals: list, capacity: int) -> DocValueColumn:
+        kind = fd.doc_value_kind
+        present = np.zeros(capacity, dtype=bool)
+        if kind == DocValueKind.LAT_LON:
+            arr = np.zeros((capacity, 2), dtype=np.float64)
+            for doc, (lat, lon) in vals:
+                arr[doc] = (lat, lon)
+                present[doc] = True
+            return DocValueColumn(
+                kind=kind,
+                values=_device_put(arr.astype(np.float32)),
+                present=_device_put(present),
+                host_values=arr,
+                host_present=present.copy(),
+            )
+        if kind == DocValueKind.ORDINAL:
+            ord_index: dict[str, int] = {}
+            # assign ordinals in sorted term order (Lucene SortedDocValues
+            # semantics: ordinals are sort-consistent) — needs two passes
+            uniq = sorted({str(v) for _, v in vals})
+            ord_index = {t: i for i, t in enumerate(uniq)}
+            if fd.multi_valued:
+                per_doc: dict[int, list[int]] = {}
+                for doc, v in vals:
+                    per_doc.setdefault(doc, []).append(ord_index[str(v)])
+                mv_offsets = np.zeros(self.num_docs + 1, dtype=np.int32)
+                mv_vals = []
+                for d in range(self.num_docs):
+                    ords = sorted(per_doc.get(d, []))
+                    mv_vals.extend(ords)
+                    mv_offsets[d + 1] = len(mv_vals)
+                    present[d] = bool(ords)
+                first = np.full(capacity, -1, dtype=np.int32)
+                for d in range(self.num_docs):
+                    if mv_offsets[d + 1] > mv_offsets[d]:
+                        first[d] = mv_vals[mv_offsets[d]]
+                host_vals = first.copy()
+                return DocValueColumn(
+                    kind=kind,
+                    values=_device_put(first),
+                    present=_device_put(present),
+                    host_values=host_vals,
+                    host_present=present.copy(),
+                    ord_terms=uniq,
+                    ord_index=ord_index,
+                    mv_offsets=mv_offsets,
+                    mv_values=np.asarray(mv_vals, dtype=np.int32),
+                )
+            arr = np.full(capacity, -1, dtype=np.int32)
+            for doc, v in vals:
+                arr[doc] = ord_index[str(v)]
+                present[doc] = True
+            return DocValueColumn(
+                kind=kind,
+                values=_device_put(arr),
+                present=_device_put(present),
+                host_values=arr.copy(),
+                host_present=present.copy(),
+                ord_terms=uniq,
+                ord_index=ord_index,
+            )
+        # numeric kinds
+        if kind == DocValueKind.LONG:
+            host = np.zeros(capacity, dtype=np.int64)
+        else:
+            host = np.zeros(capacity, dtype=np.float64)
+        if fd.multi_valued:
+            per_doc: dict[int, list] = {}
+            for doc, v in vals:
+                per_doc.setdefault(doc, []).append(v)
+            mv_offsets = np.zeros(self.num_docs + 1, dtype=np.int32)
+            mv_vals: list = []
+            for d in range(self.num_docs):
+                vs = sorted(per_doc.get(d, []))
+                mv_vals.extend(vs)
+                mv_offsets[d + 1] = len(mv_vals)
+                if vs:
+                    host[d] = vs[0]
+                    present[d] = True
+            dev = self._numeric_device_array(host)
+            return DocValueColumn(
+                kind=kind,
+                values=dev,
+                present=_device_put(present),
+                host_values=host,
+                host_present=present.copy(),
+                mv_offsets=mv_offsets,
+                mv_values=np.asarray(mv_vals, dtype=host.dtype),
+            )
+        for doc, v in vals:
+            host[doc] = v
+            present[doc] = True
+        return DocValueColumn(
+            kind=kind,
+            values=self._numeric_device_array(host),
+            present=_device_put(present),
+            host_values=host,
+            host_present=present.copy(),
+        )
+
+    @staticmethod
+    def _numeric_device_array(host: np.ndarray):
+        """Device representation of a numeric column.
+
+        int64/float64 columns whose values fit float32 exactly go down as
+        float32 (fast path); otherwise they are shipped as float64 under an
+        x64 scope (TPU executes f64 slowly but doc-value filter/sort ops are
+        tiny and memory-bound; the Pallas path will read i64 as 2×i32).
+        """
+        import jax
+
+        if host.dtype == np.int64:
+            f32 = host.astype(np.float32)
+            if np.array_equal(f32.astype(np.int64), host):
+                return jax.device_put(f32)
+        elif host.dtype == np.float64:
+            f32 = host.astype(np.float32)
+            if np.array_equal(f32.astype(np.float64), host):
+                return jax.device_put(f32)
+        import jax
+
+        with jax.enable_x64():
+            return jax.device_put(host.astype(np.float64))
+
+    def _pack_vectors(self, fd: FieldDef, vals: list, capacity: int) -> VectorColumn:
+        mat = np.zeros((capacity, fd.dims), dtype=np.float32)
+        present = np.zeros(capacity, dtype=bool)
+        for doc, vec in vals:
+            mat[doc] = vec
+            present[doc] = True
+        if fd.similarity in ("cosine", "normalized_cosine"):
+            norms = np.linalg.norm(mat, axis=1)
+        else:
+            norms = np.ones(capacity, dtype=np.float32)
+        return VectorColumn(
+            values=_device_put(mat),
+            present=_device_put(present),
+            host_norms=norms.astype(np.float32),
+        )

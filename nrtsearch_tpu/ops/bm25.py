@@ -1,0 +1,99 @@
+"""Batched BM25 scoring over packed postings.
+
+The reference scores one query at a time with per-segment thread slices
+(MyIndexSearcher.java:79, Lucene BulkScorer + WAND). The TPU win is batching:
+one XLA program scores a whole query *batch* against a segment.
+
+Algorithm ("gather-coalesced term-at-a-time"): for each query, its terms'
+postings runs are virtually concatenated; a static-size window of ``cap``
+postings positions is mapped back to (term, within-term offset) via a
+searchsorted over the cumulative term lengths, gathered, scored, and
+scatter-added into a dense per-doc score accumulator. Cost is proportional to
+the postings actually touched (skew-friendly), all shapes static, and the
+whole thing vmaps over the batch.
+
+BM25 matches Lucene's formulation (BM25Similarity):
+    idf(t)  = ln(1 + (docCount - df + 0.5) / (df + 0.5))      [host, plan time]
+    score   = idf * tf / (tf + k1 * (1 - b + b * dl / avgdl))
+with dl the byte-quantized field length (utils/smallfloat.py).
+
+Outputs both scores and per-doc matched-term counts so boolean AND/OR and
+minimumShouldMatch semantics are mask algebra downstream.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def lucene_idf(doc_count: int, doc_freq: int) -> float:
+    """Lucene BM25Similarity idf."""
+    return float(np.log(1.0 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5)))
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "num_docs"))
+def score_text_clause(
+    doc_ids: jax.Array,       # int32 [P_pad]
+    freqs: jax.Array,         # float32 [P_pad]
+    doc_lens: jax.Array,      # float32 [D_pad] quantized lengths
+    term_offsets: jax.Array,  # int32 [B, Q] postings run start per query term
+    term_lengths: jax.Array,  # int32 [B, Q] postings run length (0 = absent)
+    term_weights: jax.Array,  # float32 [B, Q] idf * boost
+    k1: jax.Array,            # float32 scalar
+    b: jax.Array,             # float32 scalar
+    avgdl: jax.Array,         # float32 scalar
+    *,
+    cap: int,                 # static: padded max postings touched per query
+    num_docs: int,            # static: D_pad
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (scores [B, D] f32, matched_term_counts [B, D] i32)."""
+
+    def one_query(offs, lens, weights):
+        cum = jnp.cumsum(lens)                          # [Q]
+        total = cum[-1]
+        p = jnp.arange(cap, dtype=jnp.int32)
+        j = jnp.searchsorted(cum, p, side="right").astype(jnp.int32)
+        j = jnp.minimum(j, lens.shape[0] - 1)
+        prev = jnp.where(j > 0, cum[jnp.maximum(j - 1, 0)], 0)
+        within = p - prev
+        valid = p < total
+        gidx = jnp.where(valid, offs[j] + within, 0)
+        doc = doc_ids[gidx]                             # [cap]
+        tf = freqs[gidx]
+        w = weights[j]
+        dl = doc_lens[doc]
+        denom = tf + k1 * (1.0 - b + b * dl / avgdl)
+        contrib = jnp.where(valid, w * tf / denom, 0.0)
+        ones = jnp.where(valid, 1, 0).astype(jnp.int32)
+        scores = jnp.zeros(num_docs, jnp.float32).at[doc].add(contrib)
+        counts = jnp.zeros(num_docs, jnp.int32).at[doc].add(ones)
+        return scores, counts
+
+    return jax.vmap(one_query)(term_offsets, term_lengths, term_weights)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "num_docs"))
+def term_match_mask(
+    doc_ids: jax.Array,
+    term_offsets: jax.Array,  # int32 [B] single term per query
+    term_lengths: jax.Array,  # int32 [B]
+    *,
+    cap: int,
+    num_docs: int,
+) -> jax.Array:
+    """Boolean [B, D] mask of docs containing the term (filter context)."""
+
+    def one(off, length):
+        p = jnp.arange(cap, dtype=jnp.int32)
+        valid = p < length
+        gidx = jnp.where(valid, off + p, 0)
+        doc = doc_ids[gidx]
+        ones = jnp.where(valid, 1, 0).astype(jnp.int32)
+        counts = jnp.zeros(num_docs, jnp.int32).at[doc].add(ones)
+        return counts > 0
+
+    return jax.vmap(one)(term_offsets, term_lengths)

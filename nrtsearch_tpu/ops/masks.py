@@ -1,0 +1,84 @@
+"""Filter-mask algebra over columnar doc values.
+
+The reference's filter queries (range, term-on-numeric, exists, match-all —
+QueryNodeMapper.java:171-204 dispatch) become elementwise compares over the
+segment's columnar arrays, producing boolean [D] masks that AND/OR/NOT
+together. All ops are trivially fused by XLA.
+
+Numeric columns may be float32 (fast path) or float64 (exact int64/double
+values; see SegmentBuilder._numeric_device_array). f64 compares on TPU are
+slow but these are tiny memory-bound ops.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def range_mask(
+    values: jax.Array,   # [D] numeric column
+    present: jax.Array,  # bool [D]
+    lower: jax.Array,    # scalar, same dtype family
+    upper: jax.Array,
+    lower_inclusive: jax.Array,  # bool scalar
+    upper_inclusive: jax.Array,
+) -> jax.Array:
+    lo_ok = jnp.where(lower_inclusive, values >= lower, values > lower)
+    hi_ok = jnp.where(upper_inclusive, values <= upper, values < upper)
+    return lo_ok & hi_ok & present
+
+
+@jax.jit
+def eq_mask(values: jax.Array, present: jax.Array, target: jax.Array) -> jax.Array:
+    return (values == target) & present
+
+
+@jax.jit
+def in_set_mask(values: jax.Array, present: jax.Array, targets: jax.Array) -> jax.Array:
+    """targets: [T] — mask of docs whose value is any of targets."""
+    hit = jnp.any(values[:, None] == targets[None, :], axis=1)
+    return hit & present
+
+
+@jax.jit
+def exists_mask(present: jax.Array) -> jax.Array:
+    return present
+
+
+def geo_bounding_box_mask(
+    latlon: jax.Array,   # f32 [D, 2]
+    present: jax.Array,
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+) -> jax.Array:
+    lat, lon = latlon[:, 0], latlon[:, 1]
+    ok = (lat >= min_lat) & (lat <= max_lat)
+    if min_lon <= max_lon:
+        ok &= (lon >= min_lon) & (lon <= max_lon)
+    else:  # crosses the dateline
+        ok &= (lon >= min_lon) | (lon <= max_lon)
+    return ok & present
+
+
+def geo_radius_mask(
+    latlon: jax.Array,
+    present: jax.Array,
+    center_lat: float,
+    center_lon: float,
+    radius_meters: float,
+) -> jax.Array:
+    """Haversine distance filter (GeoRadiusQuery equivalent)."""
+    r_earth = 6371008.7714  # mean earth radius, meters
+    lat = jnp.deg2rad(latlon[:, 0])
+    lon = jnp.deg2rad(latlon[:, 1])
+    clat = jnp.deg2rad(center_lat)
+    clon = jnp.deg2rad(center_lon)
+    dlat = lat - clat
+    dlon = lon - clon
+    a = jnp.sin(dlat / 2) ** 2 + jnp.cos(lat) * jnp.cos(clat) * jnp.sin(dlon / 2) ** 2
+    dist = 2 * r_earth * jnp.arcsin(jnp.sqrt(a))
+    return (dist <= radius_meters) & present

@@ -1,0 +1,455 @@
+"""Per-segment query evaluation: plan node -> (scores, match) device arrays.
+
+This is the Weight/Scorer layer. Where Lucene walks postings doc-at-a-time
+per query (the reference's hot loop, SURVEY.md §3.3), evaluation here is
+term-at-a-time over the whole segment: every leaf produces a dense
+``scores [D] float32`` and ``match [D] bool`` pair, and boolean composition is
+mask algebra that XLA fuses. Scores are already zeroed where a clause does not
+match, so boolean summation is a plain masked add.
+
+Leaves dispatch to ops/bm25.py (text scoring) and ops/masks.py (doc-value
+filters). BM25 statistics (idf, avgdl) are index-wide, like Lucene's
+collection statistics, and are computed on the host at plan time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from nrtsearch_tpu.analysis import get_analyzer
+from nrtsearch_tpu.core.segment import Segment, pad_to_bucket
+from nrtsearch_tpu.ops import bm25 as bm25_ops
+from nrtsearch_tpu.ops import masks as mask_ops
+from nrtsearch_tpu.query import plan as qp
+from nrtsearch_tpu.schema.fields import DocValueKind, FieldDef, FieldType
+
+# Lucene BM25Similarity defaults
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+class CollectionStats:
+    """Index-wide term/field statistics (Lucene CollectionStatistics).
+
+    Computed across all segments of a searcher snapshot; deletions are NOT
+    subtracted, matching Lucene's behavior.
+    """
+
+    def __init__(self, segments: Sequence[Segment]):
+        self.segments = list(segments)
+        self._field_doc_count: dict[str, int] = {}
+        self._field_sum_len: dict[str, int] = {}
+        for seg in segments:
+            for name, tfi in seg.fields.items():
+                self._field_doc_count[name] = self._field_doc_count.get(name, 0) + tfi.doc_count
+                self._field_sum_len[name] = self._field_sum_len.get(name, 0) + tfi.sum_doc_lens
+
+    def doc_count(self, field: str) -> int:
+        return self._field_doc_count.get(field, 0)
+
+    def avgdl(self, field: str) -> float:
+        dc = self.doc_count(field)
+        return (self._field_sum_len.get(field, 0) / dc) if dc else 1.0
+
+    def doc_freq(self, field: str, term: str) -> int:
+        return sum(
+            seg.fields[field].doc_freq(term) for seg in self.segments if field in seg.fields
+        )
+
+
+@dataclass
+class EvalContext:
+    segment: Segment
+    field_defs: dict[str, FieldDef]
+    stats: CollectionStats
+    k1: float = BM25_K1
+    b: float = BM25_B
+
+
+def eval_node(node: qp.QueryNode, ctx: EvalContext):
+    """Evaluate a plan node against one segment -> (scores [D], match [D])."""
+    D = ctx.segment.capacity
+    if isinstance(node, qp.MatchAllNode):
+        return (
+            jnp.full(D, np.float32(node.boost)),
+            _doc_range_mask(ctx),
+        )
+    if isinstance(node, qp.TermQueryNode):
+        return _eval_term(node, ctx)
+    if isinstance(node, qp.TermInSetNode):
+        return _eval_term_in_set(node, ctx)
+    if isinstance(node, qp.MatchQueryNode):
+        fd = _field(ctx, node.field)
+        analyzer = get_analyzer(node.analyzer) if node.analyzer else None
+        terms = analyzer.terms(node.query) if analyzer else fd.query_terms(node.query)
+        return _text_clause(
+            ctx, node.field, terms, [1.0] * len(terms), node.operator,
+            node.minimum_number_should_match, node.boost,
+        )
+    if isinstance(node, qp.MultiMatchQueryNode):
+        return _eval_multi_match(node, ctx)
+    if isinstance(node, qp.BooleanQueryNode):
+        return _eval_boolean(node, ctx)
+    if isinstance(node, qp.RangeQueryNode):
+        return _eval_range(node, ctx)
+    if isinstance(node, qp.ExistsQueryNode):
+        return _eval_exists(node, ctx)
+    if isinstance(node, qp.PrefixQueryNode):
+        return _eval_prefix(node, ctx)
+    if isinstance(node, qp.GeoBoundingBoxNode):
+        return _eval_geo_bbox(node, ctx)
+    if isinstance(node, qp.GeoRadiusNode):
+        return _eval_geo_radius(node, ctx)
+    if isinstance(node, (qp.PhraseQueryNode, qp.MatchPhraseQueryNode)):
+        return _eval_phrase(node, ctx)
+    if isinstance(node, qp.FunctionScoreNode):
+        return _eval_function_score(node, ctx)
+    raise NotImplementedError(f"query node not yet supported: {type(node).__name__}")
+
+
+# ---------------------------------------------------------------------------
+# Leaves
+# ---------------------------------------------------------------------------
+
+
+def _field(ctx: EvalContext, name: str) -> FieldDef:
+    fd = ctx.field_defs.get(name)
+    if fd is None:
+        raise KeyError(f"unknown field: {name!r}")
+    return fd
+
+
+def _doc_range_mask(ctx: EvalContext):
+    """True for real (non-padding) docs; deletions are applied by the caller."""
+    D = ctx.segment.capacity
+    return jnp.arange(D) < ctx.segment.num_docs
+
+
+def _none(ctx: EvalContext):
+    D = ctx.segment.capacity
+    return jnp.zeros(D, jnp.float32), jnp.zeros(D, bool)
+
+
+def _text_clause(
+    ctx: EvalContext,
+    field: str,
+    terms: list[str],
+    term_boosts: list[float],
+    operator: str,
+    msm: int,
+    boost: float,
+):
+    """Scored multi-term clause over one field (match/term queries)."""
+    seg = ctx.segment
+    tfi = seg.fields.get(field)
+    if not terms:
+        return _none(ctx)
+    if tfi is None:
+        return _none(ctx)
+    offs = np.zeros(len(terms), np.int32)
+    lens = np.zeros(len(terms), np.int32)
+    weights = np.zeros(len(terms), np.float32)
+    dc = ctx.stats.doc_count(field)
+    for i, (term, tb) in enumerate(zip(terms, term_boosts)):
+        off, ln = tfi.lookup(term)
+        df = ctx.stats.doc_freq(field, term)
+        offs[i], lens[i] = off, ln
+        weights[i] = bm25_ops.lucene_idf(dc, df) * tb * boost if df else 0.0
+    cap = pad_to_bucket(max(int(lens.sum()), 1))
+    scores, counts = bm25_ops.score_text_clause(
+        tfi.doc_ids,
+        tfi.freqs,
+        tfi.doc_lens,
+        jnp.asarray(offs)[None, :],
+        jnp.asarray(lens)[None, :],
+        jnp.asarray(weights)[None, :],
+        jnp.float32(ctx.k1),
+        jnp.float32(ctx.b),
+        jnp.float32(ctx.stats.avgdl(field)),
+        cap=cap,
+        num_docs=seg.capacity,
+    )
+    scores, counts = scores[0], counts[0]
+    if operator == "MUST":
+        match = counts == len(terms)
+    else:
+        match = counts >= max(1, msm)
+    return jnp.where(match, scores, 0.0), match
+
+
+def _eval_term(node: qp.TermQueryNode, ctx: EvalContext):
+    fd = _field(ctx, node.field)
+    if node.text is not None and fd.is_text:
+        return _text_clause(ctx, node.field, [node.text], [1.0], "MUST", 0, node.boost)
+    dv = ctx.segment.doc_values.get(node.field)
+    if dv is None:
+        return _none(ctx)
+    if node.bool_value is not None:
+        target = 1 if node.bool_value else 0
+    elif node.long_value is not None:
+        target = node.long_value
+    elif node.double_value is not None:
+        target = node.double_value
+    elif node.text is not None and dv.kind == DocValueKind.ORDINAL:
+        ordv = (dv.ord_index or {}).get(node.text, -2)
+        match = _ordinal_match(dv, np.asarray([ordv], np.int32))
+        return _const_score(match, node.boost), match
+    else:
+        return _none(ctx)
+    match = mask_ops.eq_mask(dv.values, dv.present, _dv_scalar(dv, target))
+    match = _mv_any(dv, match, lambda arr: arr == target)
+    return _const_score(match, node.boost), match
+
+
+def _eval_term_in_set(node: qp.TermInSetNode, ctx: EvalContext):
+    fd = _field(ctx, node.field)
+    if node.texts and fd.is_text and fd.search:
+        # OR over postings of each term, constant score (Lucene TermInSetQuery)
+        _, match = _text_clause(
+            ctx, node.field, list(node.texts), [0.0] * len(node.texts), "SHOULD", 0, 0.0
+        )
+        return _const_score(match, node.boost), match
+    dv = ctx.segment.doc_values.get(node.field)
+    if dv is None:
+        return _none(ctx)
+    if node.texts and dv.kind == DocValueKind.ORDINAL:
+        ords = np.asarray(
+            [(dv.ord_index or {}).get(t, -2) for t in node.texts], np.int32
+        )
+        match = _ordinal_match(dv, ords)
+        return _const_score(match, node.boost), match
+    targets = np.asarray(
+        node.long_values or node.double_values, dtype=_np_dtype_of(dv)
+    )
+    if targets.size == 0:
+        return _none(ctx)
+    match = mask_ops.in_set_mask(dv.values, dv.present, _dv_array(dv, targets))
+    match = _mv_any(dv, match, lambda arr: np.isin(arr, targets))
+    return _const_score(match, node.boost), match
+
+
+def _eval_multi_match(node: qp.MultiMatchQueryNode, ctx: EvalContext):
+    """Sum-of-field-scores multi-match (reference MatchQuery per field, SHOULD)."""
+    per_field = []
+    for f, fb in zip(node.fields, node.field_boosts or (1.0,) * len(node.fields)):
+        fd = _field(ctx, f)
+        terms = fd.query_terms(node.query)
+        per_field.append(
+            _text_clause(
+                ctx, f, terms, [fb] * len(terms), node.operator,
+                node.minimum_number_should_match, node.boost,
+            )
+        )
+    scores = sum(s for s, _ in per_field)
+    match = per_field[0][1]
+    for _, m in per_field[1:]:
+        match = match | m
+    return jnp.where(match, scores, 0.0), match
+
+
+def _eval_boolean(node: qp.BooleanQueryNode, ctx: EvalContext):
+    D = ctx.segment.capacity
+    musts, filters, shoulds, must_nots = [], [], [], []
+    for clause in node.clauses:
+        pair = eval_node(clause.node, ctx)
+        {
+            qp.Occur.MUST: musts,
+            qp.Occur.FILTER: filters,
+            qp.Occur.SHOULD: shoulds,
+            qp.Occur.MUST_NOT: must_nots,
+        }[clause.occur].append(pair)
+
+    match = _doc_range_mask(ctx)
+    for _, m in musts:
+        match = match & m
+    for _, m in filters:
+        match = match & m
+    if shoulds:
+        should_count = shoulds[0][1].astype(jnp.int32)
+        for _, m in shoulds[1:]:
+            should_count = should_count + m.astype(jnp.int32)
+        msm = node.minimum_number_should_match
+        if not musts and not filters:
+            match = match & (should_count >= max(1, msm))
+        elif msm > 0:
+            match = match & (should_count >= msm)
+    for _, m in must_nots:
+        match = match & ~m
+
+    scores = jnp.zeros(D, jnp.float32)
+    for s, m in musts + shoulds:
+        scores = scores + jnp.where(m, s, 0.0)
+    scores = scores * np.float32(node.boost)
+    return jnp.where(match, scores, 0.0), match
+
+
+def _eval_range(node: qp.RangeQueryNode, ctx: EvalContext):
+    dv = ctx.segment.doc_values.get(node.field)
+    if dv is None:
+        return _none(ctx)
+    lower = node.lower if node.lower is not None else -np.inf
+    upper = node.upper if node.upper is not None else np.inf
+    match = mask_ops.range_mask(
+        dv.values,
+        dv.present,
+        _dv_scalar(dv, lower),
+        _dv_scalar(dv, upper),
+        jnp.asarray(not node.lower_exclusive),
+        jnp.asarray(not node.upper_exclusive),
+    )
+
+    def host_pred(arr):
+        lo = arr > lower if node.lower_exclusive else arr >= lower
+        hi = arr < upper if node.upper_exclusive else arr <= upper
+        return lo & hi
+
+    match = _mv_any(dv, match, host_pred)
+    return _const_score(match, node.boost), match
+
+
+def _eval_exists(node: qp.ExistsQueryNode, ctx: EvalContext):
+    seg = ctx.segment
+    if node.field in seg.doc_values:
+        match = seg.doc_values[node.field].present
+    elif node.field in seg.fields:
+        match = seg.fields[node.field].doc_lens > 0
+    elif node.field in seg.vectors:
+        match = seg.vectors[node.field].present
+    else:
+        return _none(ctx)
+    match = match & _doc_range_mask(ctx)
+    return _const_score(match, node.boost), match
+
+
+def _eval_prefix(node: qp.PrefixQueryNode, ctx: EvalContext):
+    tfi = ctx.segment.fields.get(node.field)
+    if tfi is None:
+        return _none(ctx)
+    expanded = [t for t in tfi.terms if t.startswith(node.prefix)]
+    expanded = expanded[: node.max_expansions]
+    if not expanded:
+        return _none(ctx)
+    _, match = _text_clause(
+        ctx, node.field, expanded, [0.0] * len(expanded), "SHOULD", 0, 0.0
+    )
+    return _const_score(match, node.boost), match
+
+
+def _eval_geo_bbox(node: qp.GeoBoundingBoxNode, ctx: EvalContext):
+    dv = ctx.segment.doc_values.get(node.field)
+    if dv is None or dv.kind != DocValueKind.LAT_LON:
+        return _none(ctx)
+    match = mask_ops.geo_bounding_box_mask(
+        dv.values, dv.present, node.min_lat, node.max_lat, node.min_lon, node.max_lon
+    )
+    return _const_score(match, node.boost), match
+
+
+def _eval_geo_radius(node: qp.GeoRadiusNode, ctx: EvalContext):
+    dv = ctx.segment.doc_values.get(node.field)
+    if dv is None or dv.kind != DocValueKind.LAT_LON:
+        return _none(ctx)
+    match = mask_ops.geo_radius_mask(
+        dv.values, dv.present, node.lat, node.lon, node.radius_meters
+    )
+    return _const_score(match, node.boost), match
+
+
+def _eval_phrase(node, ctx: EvalContext):
+    raise NotImplementedError(
+        "phrase queries require the positions index (next milestone)"
+    )
+
+
+def _eval_function_score(node: qp.FunctionScoreNode, ctx: EvalContext):
+    from nrtsearch_tpu.script.expr import compile_expression
+
+    scores, match = eval_node(node.query or qp.MatchAllNode(), ctx)
+    fn = compile_expression(node.expression)
+    new_scores = fn(_ScriptDocValues(ctx.segment), scores)
+    new_scores = new_scores * np.float32(node.boost)
+    return jnp.where(match, new_scores, 0.0), match
+
+
+class _ScriptDocValues:
+    """Field-name -> dense device column accessor for script expressions."""
+
+    def __init__(self, segment: Segment):
+        self._segment = segment
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._segment.doc_values
+
+    def __getitem__(self, name: str):
+        dv = self._segment.doc_values[name]
+        return jnp.where(dv.present, dv.values.astype(jnp.float32), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _const_score(match, boost: float):
+    return jnp.where(match, np.float32(boost), 0.0)
+
+
+def _np_dtype_of(dv) -> np.dtype:
+    return np.asarray(dv.host_values).dtype
+
+
+def _dv_scalar(dv, value):
+    """Query constant as a device scalar matching the column dtype."""
+    dtype = dv.values.dtype
+    if dtype == jnp.float64:
+        import jax
+
+        with jax.enable_x64():
+            return jnp.asarray(np.float64(value))
+    return jnp.asarray(np.asarray(value).astype(np.float32))
+
+
+def _dv_array(dv, values: np.ndarray):
+    dtype = dv.values.dtype
+    if dtype == jnp.float64:
+        import jax
+
+        with jax.enable_x64():
+            return jnp.asarray(values.astype(np.float64))
+    return jnp.asarray(values.astype(np.float32))
+
+
+def _ordinal_match(dv, ords: np.ndarray):
+    if dv.mv_offsets is not None:
+        return _mv_any(dv, None, lambda arr: np.isin(arr, ords))
+    return mask_ops.in_set_mask(dv.values, dv.present, jnp.asarray(ords))
+
+
+def _mv_any(dv, single_match, host_pred):
+    """Extend a single-valued match to multi-valued columns.
+
+    Multi-valued matching runs on the host CSR arrays (they are host-resident;
+    device CSR segment-reduce is a later optimization) and the resulting doc
+    mask is shipped to device.
+    """
+    if dv.mv_offsets is None:
+        return single_match
+    hits = host_pred(dv.mv_values)
+    num_docs = len(dv.mv_offsets) - 1
+    doc_hit = np.zeros(num_docs, dtype=bool)
+    # segment-any over CSR
+    if hits.any():
+        doc_of_entry = np.repeat(
+            np.arange(num_docs), np.diff(dv.mv_offsets)
+        )
+        np.logical_or.at(doc_hit, doc_of_entry[hits], True)
+    capacity = dv.host_values.shape[0]
+    full = np.zeros(capacity, dtype=bool)
+    full[:num_docs] = doc_hit
+    import jax
+
+    return jax.device_put(full)

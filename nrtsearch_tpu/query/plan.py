@@ -1,0 +1,337 @@
+"""Query plan nodes and the proto-dict -> plan parser.
+
+The node set mirrors the reference's proto Query oneof (search.proto:722-760
+in the reference; our proto/nrtsearch_tpu.proto). ``parse_query`` accepts the
+proto-JSON dict shape so JSON test resources and pb-to-dict both feed it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from enum import Enum
+from typing import Any, Optional, Sequence
+
+
+class Occur(str, Enum):
+    MUST = "MUST"
+    FILTER = "FILTER"
+    SHOULD = "SHOULD"
+    MUST_NOT = "MUST_NOT"
+
+
+@dataclass(frozen=True)
+class QueryNode:
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchAllNode(QueryNode):
+    pass
+
+
+@dataclass(frozen=True)
+class TermQueryNode(QueryNode):
+    field: str = ""
+    text: Optional[str] = None        # text/atom/_id term
+    long_value: Optional[int] = None  # numeric exact match
+    double_value: Optional[float] = None
+    bool_value: Optional[bool] = None
+
+
+@dataclass(frozen=True)
+class TermInSetNode(QueryNode):
+    field: str = ""
+    texts: tuple[str, ...] = ()
+    long_values: tuple[int, ...] = ()
+    double_values: tuple[float, ...] = ()
+
+
+@dataclass(frozen=True)
+class MatchQueryNode(QueryNode):
+    field: str = ""
+    query: str = ""
+    operator: str = "SHOULD"          # SHOULD (or) | MUST (and)
+    minimum_number_should_match: int = 0
+    analyzer: Optional[str] = None
+    fuzzy: bool = False               # fuzzy expansion: later milestone
+
+
+@dataclass(frozen=True)
+class MultiMatchQueryNode(QueryNode):
+    fields: tuple[str, ...] = ()
+    query: str = ""
+    field_boosts: tuple[float, ...] = ()
+    operator: str = "SHOULD"
+    minimum_number_should_match: int = 0
+
+
+@dataclass(frozen=True)
+class PhraseQueryNode(QueryNode):
+    field: str = ""
+    terms: tuple[str, ...] = ()
+    slop: int = 0
+
+
+@dataclass(frozen=True)
+class MatchPhraseQueryNode(QueryNode):
+    field: str = ""
+    query: str = ""
+    slop: int = 0
+
+
+@dataclass(frozen=True)
+class RangeQueryNode(QueryNode):
+    field: str = ""
+    lower: Optional[float] = None
+    upper: Optional[float] = None
+    lower_exclusive: bool = False
+    upper_exclusive: bool = False
+
+
+@dataclass(frozen=True)
+class ExistsQueryNode(QueryNode):
+    field: str = ""
+
+
+@dataclass(frozen=True)
+class PrefixQueryNode(QueryNode):
+    field: str = ""
+    prefix: str = ""
+    max_expansions: int = 128
+
+
+@dataclass(frozen=True)
+class GeoBoundingBoxNode(QueryNode):
+    field: str = ""
+    min_lat: float = -90.0
+    max_lat: float = 90.0
+    min_lon: float = -180.0
+    max_lon: float = 180.0
+
+
+@dataclass(frozen=True)
+class GeoRadiusNode(QueryNode):
+    field: str = ""
+    lat: float = 0.0
+    lon: float = 0.0
+    radius_meters: float = 0.0
+
+
+@dataclass(frozen=True)
+class BooleanClause:
+    occur: Occur
+    node: QueryNode
+
+
+@dataclass(frozen=True)
+class BooleanQueryNode(QueryNode):
+    clauses: tuple[BooleanClause, ...] = ()
+    minimum_number_should_match: int = 0
+
+
+@dataclass(frozen=True)
+class FunctionScoreNode(QueryNode):
+    """Function-scored wrapper (reference: MultiFunctionScoreQuery subset).
+
+    ``expression`` is a js-expression-subset string over doc values and
+    ``_score`` (reference: server/script/js/JsScriptEngine.java compiles the
+    same language to bytecode; we compile it to a jax expression)."""
+
+    query: Optional[QueryNode] = None
+    expression: str = "_score"
+
+
+@dataclass(frozen=True)
+class KnnQueryNode(QueryNode):
+    field: str = ""
+    query_vector: tuple[float, ...] = ()
+    k: int = 10
+    num_candidates: int = 0
+    filter: Optional[QueryNode] = None
+
+
+# ---------------------------------------------------------------------------
+# Parser: proto-JSON dict -> plan
+# ---------------------------------------------------------------------------
+
+
+def _parse_distance(s: Any) -> float:
+    """'10km' / '500m' / '3mi' / number -> meters."""
+    if isinstance(s, (int, float)):
+        return float(s)
+    s = str(s).strip().lower()
+    for suffix, mult in (("km", 1000.0), ("mi", 1609.344), ("m", 1.0)):
+        if s.endswith(suffix):
+            return float(s[: -len(suffix)]) * mult
+    return float(s)
+
+
+def parse_query(q: dict) -> QueryNode:
+    """Parse a proto-JSON-shaped Query dict into plan nodes.
+
+    Mirrors QueryNodeMapper.getQueryNode's oneof switch
+    (reference server/query/QueryNodeMapper.java:171-204).
+    """
+    if not q:
+        return MatchAllNode()
+    boost = float(q.get("boost", 0) or 0) or 1.0
+
+    if "matchAllQuery" in q:
+        return MatchAllNode(boost=boost)
+    if "termQuery" in q:
+        t = q["termQuery"]
+        return TermQueryNode(
+            boost=boost,
+            field=t["field"],
+            text=t.get("textValue"),
+            long_value=_first_int(t, "longValue", "intValue"),
+            double_value=_first_float(t, "doubleValue", "floatValue"),
+            bool_value=t.get("booleanValue"),
+        )
+    if "termInSetQuery" in q:
+        t = q["termInSetQuery"]
+        texts = tuple((t.get("textTerms") or {}).get("terms", []))
+        longs = tuple(
+            int(v)
+            for v in (t.get("longTerms") or {}).get("terms", [])
+            + (t.get("intTerms") or {}).get("terms", [])
+        )
+        doubles = tuple(
+            float(v)
+            for v in (t.get("doubleTerms") or {}).get("terms", [])
+            + (t.get("floatTerms") or {}).get("terms", [])
+        )
+        return TermInSetNode(
+            boost=boost, field=t["field"], texts=texts, long_values=longs,
+            double_values=doubles,
+        )
+    if "matchQuery" in q:
+        m = q["matchQuery"]
+        return MatchQueryNode(
+            boost=boost,
+            field=m["field"],
+            query=m.get("query", ""),
+            operator="MUST" if m.get("operator") == "MUST" else "SHOULD",
+            minimum_number_should_match=int(m.get("minimumNumberShouldMatch", 0)),
+            analyzer=_analyzer_name(m.get("analyzer")),
+        )
+    if "multiMatchQuery" in q:
+        m = q["multiMatchQuery"]
+        fields = tuple(m.get("fields", []))
+        boosts_map = m.get("fieldBoosts", {})
+        boosts = tuple(float(boosts_map.get(f, 1.0)) for f in fields)
+        return MultiMatchQueryNode(
+            boost=boost,
+            fields=fields,
+            query=m.get("query", ""),
+            field_boosts=boosts,
+            operator="MUST" if m.get("operator") == "MUST" else "SHOULD",
+            minimum_number_should_match=int(m.get("minimumNumberShouldMatch", 0)),
+        )
+    if "phraseQuery" in q:
+        p = q["phraseQuery"]
+        return PhraseQueryNode(
+            boost=boost, field=p["field"], terms=tuple(p.get("terms", [])),
+            slop=int(p.get("slop", 0)),
+        )
+    if "matchPhraseQuery" in q:
+        p = q["matchPhraseQuery"]
+        return MatchPhraseQueryNode(
+            boost=boost, field=p["field"], query=p.get("query", ""),
+            slop=int(p.get("slop", 0)),
+        )
+    if "rangeQuery" in q:
+        r = q["rangeQuery"]
+        lower = r.get("lower")
+        upper = r.get("upper")
+        return RangeQueryNode(
+            boost=boost,
+            field=r["field"],
+            lower=float(lower) if lower not in (None, "") else None,
+            upper=float(upper) if upper not in (None, "") else None,
+            lower_exclusive=bool(r.get("lowerExclusive", False)),
+            upper_exclusive=bool(r.get("upperExclusive", False)),
+        )
+    if "existsQuery" in q:
+        return ExistsQueryNode(boost=boost, field=q["existsQuery"]["field"])
+    if "prefixQuery" in q:
+        p = q["prefixQuery"]
+        return PrefixQueryNode(
+            boost=boost, field=p["field"], prefix=p.get("prefix", ""),
+            max_expansions=int(p.get("maxExpansions", 128)),
+        )
+    if "geoBoundingBoxQuery" in q:
+        g = q["geoBoundingBoxQuery"]
+        tl, br = g.get("topLeft", {}), g.get("bottomRight", {})
+        return GeoBoundingBoxNode(
+            boost=boost,
+            field=g["field"],
+            min_lat=float(br.get("latitude", -90)),
+            max_lat=float(tl.get("latitude", 90)),
+            min_lon=float(tl.get("longitude", -180)),
+            max_lon=float(br.get("longitude", 180)),
+        )
+    if "geoRadiusQuery" in q:
+        g = q["geoRadiusQuery"]
+        c = g.get("center", {})
+        return GeoRadiusNode(
+            boost=boost,
+            field=g["field"],
+            lat=float(c.get("latitude", 0)),
+            lon=float(c.get("longitude", 0)),
+            radius_meters=_parse_distance(g.get("radius", "0m")),
+        )
+    if "booleanQuery" in q:
+        b = q["booleanQuery"]
+        clauses = tuple(
+            BooleanClause(
+                occur=Occur(c.get("occur", "SHOULD")),
+                node=parse_query(c.get("query", {})),
+            )
+            for c in b.get("clauses", [])
+        )
+        return BooleanQueryNode(
+            boost=boost,
+            clauses=clauses,
+            minimum_number_should_match=int(b.get("minimumNumberShouldMatch", 0)),
+        )
+    if "functionScoreQuery" in q:
+        f = q["functionScoreQuery"]
+        return FunctionScoreNode(
+            boost=boost,
+            query=parse_query(f.get("query", {})),
+            expression=(f.get("script") or {}).get("source", "_score"),
+        )
+    if "knnQuery" in q or "knn" in q:
+        kq = q.get("knnQuery") or q.get("knn")
+        return KnnQueryNode(
+            boost=boost,
+            field=kq["field"],
+            query_vector=tuple(float(v) for v in kq.get("queryVector", [])),
+            k=int(kq.get("k", 10)),
+            num_candidates=int(kq.get("numCandidates", 0)),
+            filter=parse_query(kq["filter"]) if kq.get("filter") else None,
+        )
+    raise ValueError(f"unsupported query: {sorted(q.keys())}")
+
+
+def _analyzer_name(a: Any) -> Optional[str]:
+    if isinstance(a, str):
+        return a
+    if isinstance(a, dict):
+        return a.get("predefined")
+    return None
+
+
+def _first_int(d: dict, *keys: str) -> Optional[int]:
+    for k in keys:
+        if k in d and d[k] is not None:
+            return int(d[k])
+    return None
+
+
+def _first_float(d: dict, *keys: str) -> Optional[float]:
+    for k in keys:
+        if k in d and d[k] is not None:
+            return float(d[k])
+    return None

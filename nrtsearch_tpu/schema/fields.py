@@ -1,0 +1,255 @@
+"""Field type definitions.
+
+Each field type declares its capabilities (the reference expresses these as
+interfaces in server/field/properties/: Sortable, TermQueryable, RangeQueryable,
+VectorQueryable, ...) and how raw request values are parsed into:
+
+- index tokens (inverted-index terms, for searchable text/atom fields),
+- a doc value (columnar device array cell, for filter/sort/facet/collector),
+- a stored value (host-side row storage for field fetch).
+
+Built-in types mirror FieldDefCreator.java:48-75: ATOM, TEXT, BOOLEAN, LONG,
+INT, DOUBLE, FLOAT, LAT_LON, DATE_TIME, _ID, VECTOR, CONTEXT_SUGGEST, OBJECT,
+VIRTUAL, RUNTIME. This module implements the scalar/text/id/vector core;
+OBJECT (nested), VIRTUAL and RUNTIME land with the query-algebra layer.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field as dc_field
+from enum import Enum
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+from nrtsearch_tpu.analysis import Analyzer, Token, get_analyzer
+
+
+class FieldType(str, Enum):
+    ATOM = "ATOM"
+    TEXT = "TEXT"
+    BOOLEAN = "BOOLEAN"
+    LONG = "LONG"
+    INT = "INT"
+    DOUBLE = "DOUBLE"
+    FLOAT = "FLOAT"
+    LAT_LON = "LAT_LON"
+    DATE_TIME = "DATE_TIME"
+    ID = "_ID"
+    VECTOR = "VECTOR"
+    CONTEXT_SUGGEST = "CONTEXT_SUGGEST"
+    OBJECT = "OBJECT"
+    VIRTUAL = "VIRTUAL"
+    RUNTIME = "RUNTIME"
+
+
+# Doc-value storage classes understood by the columnar segment format.
+class DocValueKind(str, Enum):
+    NONE = "NONE"
+    LONG = "LONG"          # int64 column (also bool/date millis)
+    DOUBLE = "DOUBLE"      # float64 column
+    ORDINAL = "ORDINAL"    # int32 ordinal column + host term dictionary
+    VECTOR = "VECTOR"      # float32 [num_docs, dims] matrix
+    LAT_LON = "LAT_LON"    # float64 [num_docs, 2]
+
+
+@dataclass
+class FieldDef:
+    """One registered field. Immutable once the index holds documents."""
+
+    name: str
+    type: FieldType
+    search: bool = False          # build inverted postings
+    store: bool = False           # keep original value for fetch
+    store_doc_values: bool = False
+    multi_valued: bool = False
+    sort: bool = False
+    facet: Optional[str] = None   # None | "FLAT" | "NUMERIC_RANGE" | "SORTED_SET_DOC_VALUES"
+    index_analyzer: Optional[Analyzer] = None
+    search_analyzer: Optional[Analyzer] = None
+    # VECTOR options
+    dims: int = 0
+    similarity: str = "cosine"    # l2_norm | dot_product | cosine | normalized_cosine | max_inner_product
+    # DATE_TIME options
+    date_time_format: Optional[str] = None
+    # VIRTUAL / RUNTIME
+    script_source: Optional[str] = None
+    # raw proto options kept for introspection / stats
+    raw: dict = dc_field(default_factory=dict)
+
+    # -- capability traits (server/field/properties/) ------------------------
+
+    @property
+    def is_text(self) -> bool:
+        return self.type in (FieldType.TEXT, FieldType.ATOM, FieldType.ID)
+
+    @property
+    def term_queryable(self) -> bool:
+        return self.search and self.is_text or self.type in (
+            FieldType.BOOLEAN, FieldType.INT, FieldType.LONG,
+        )
+
+    @property
+    def range_queryable(self) -> bool:
+        return self.doc_value_kind in (DocValueKind.LONG, DocValueKind.DOUBLE)
+
+    @property
+    def sortable(self) -> bool:
+        return self.store_doc_values and self.doc_value_kind in (
+            DocValueKind.LONG, DocValueKind.DOUBLE, DocValueKind.ORDINAL,
+        )
+
+    @property
+    def vector_queryable(self) -> bool:
+        return self.type == FieldType.VECTOR
+
+    @property
+    def doc_value_kind(self) -> DocValueKind:
+        if not self.store_doc_values and self.type != FieldType.VECTOR:
+            return DocValueKind.NONE
+        return {
+            FieldType.ATOM: DocValueKind.ORDINAL,
+            FieldType.TEXT: DocValueKind.ORDINAL,
+            FieldType.ID: DocValueKind.ORDINAL,
+            FieldType.BOOLEAN: DocValueKind.LONG,
+            FieldType.LONG: DocValueKind.LONG,
+            FieldType.INT: DocValueKind.LONG,
+            FieldType.DATE_TIME: DocValueKind.LONG,
+            FieldType.DOUBLE: DocValueKind.DOUBLE,
+            FieldType.FLOAT: DocValueKind.DOUBLE,
+            FieldType.VECTOR: DocValueKind.VECTOR,
+            FieldType.LAT_LON: DocValueKind.LAT_LON,
+            FieldType.CONTEXT_SUGGEST: DocValueKind.NONE,
+            FieldType.OBJECT: DocValueKind.NONE,
+            FieldType.VIRTUAL: DocValueKind.NONE,
+            FieldType.RUNTIME: DocValueKind.NONE,
+        }[self.type]
+
+    # -- value parsing --------------------------------------------------------
+
+    def index_tokens(self, value: str) -> list[Token]:
+        """Analyze a raw value into index terms (searchable fields only)."""
+        if self.type == FieldType.TEXT:
+            analyzer = self.index_analyzer or get_analyzer("standard")
+            return analyzer.analyze(value)
+        # ATOM / _ID: single untokenized term (keyword semantics)
+        return [Token(value, 0, 0, len(value))]
+
+    def query_terms(self, text: str) -> list[str]:
+        if self.type == FieldType.TEXT:
+            analyzer = self.search_analyzer or self.index_analyzer or get_analyzer("standard")
+            return analyzer.terms(text)
+        return [text]
+
+    def parse_doc_value(self, value: str) -> Any:
+        """Parse one raw request value into its typed doc value."""
+        t = self.type
+        if t in (FieldType.INT, FieldType.LONG):
+            return int(value)
+        if t in (FieldType.FLOAT, FieldType.DOUBLE):
+            return float(value)
+        if t == FieldType.BOOLEAN:
+            return 1 if str(value).lower() in ("true", "1", "yes") else 0
+        if t == FieldType.DATE_TIME:
+            return self._parse_datetime_millis(value)
+        if t == FieldType.LAT_LON:
+            return value  # parsed at the document level (pairs)
+        return str(value)
+
+    def parse_vector(self, value: Any) -> np.ndarray:
+        if isinstance(value, str):
+            import json
+
+            value = json.loads(value)
+        vec = np.asarray(value, dtype=np.float32)
+        if vec.shape != (self.dims,):
+            raise ValueError(
+                f"field {self.name!r}: vector has shape {vec.shape}, expected ({self.dims},)"
+            )
+        return vec
+
+    def _parse_datetime_millis(self, value: str) -> int:
+        fmt = self.date_time_format
+        if fmt == "epoch_millis" or fmt is None:
+            try:
+                return int(value)
+            except ValueError:
+                pass
+        if fmt and fmt not in ("epoch_millis", "strict_date_optional_time"):
+            # Java SimpleDateFormat-ish pattern -> strptime best-effort
+            py_fmt = (
+                fmt.replace("yyyy", "%Y").replace("MM", "%m").replace("dd", "%d")
+                .replace("HH", "%H").replace("mm", "%M").replace("ss", "%S")
+            )
+            dt = _dt.datetime.strptime(value, py_fmt).replace(tzinfo=_dt.timezone.utc)
+            return int(dt.timestamp() * 1000)
+        dt = _dt.datetime.fromisoformat(value)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=_dt.timezone.utc)
+        return int(dt.timestamp() * 1000)
+
+
+# ---------------------------------------------------------------------------
+# Registry (FieldDefCreator equivalent; plugin-extensible)
+# ---------------------------------------------------------------------------
+
+_FIELD_FACTORIES: dict[str, Callable[[str, dict], FieldDef]] = {}
+
+
+def register_field_type(type_name: str, factory: Callable[[str, dict], FieldDef]) -> None:
+    _FIELD_FACTORIES[type_name] = factory
+
+
+def create_field_def(name: str, spec: dict) -> FieldDef:
+    """Build a FieldDef from a proto-shaped Field dict (luceneserver.proto Field).
+
+    Recognized keys mirror the reference's Field message: type, search, store,
+    storeDocValues, multiValued, sort, facet, analyzer/indexAnalyzer/
+    searchAnalyzer, vectorDimensions, vectorSimilarity, dateTimeFormat.
+    """
+    type_name = spec.get("type", "TEXT")
+    if type_name in _FIELD_FACTORIES:
+        return _FIELD_FACTORIES[type_name](name, spec)
+    ftype = FieldType(type_name)
+
+    def _analyzer(key: str) -> Optional[Analyzer]:
+        a = spec.get(key) or spec.get("analyzer")
+        if a is None:
+            return None
+        if isinstance(a, str):
+            return get_analyzer(a)
+        if isinstance(a, dict):
+            if "predefined" in a:
+                return get_analyzer(a["predefined"])
+            if "custom" in a:
+                from nrtsearch_tpu.analysis.analyzers import _DEFAULT_REGISTRY
+
+                return _DEFAULT_REGISTRY.from_custom(a["custom"])
+        raise ValueError(f"bad analyzer spec for field {name!r}: {a!r}")
+
+    fd = FieldDef(
+        name=name,
+        type=ftype,
+        search=bool(spec.get("search", ftype == FieldType.ID)),
+        store=bool(spec.get("store", False)),
+        store_doc_values=bool(spec.get("storeDocValues", ftype == FieldType.ID)),
+        multi_valued=bool(spec.get("multiValued", False)),
+        sort=bool(spec.get("sort", False)),
+        facet=spec.get("facet"),
+        index_analyzer=_analyzer("indexAnalyzer"),
+        search_analyzer=_analyzer("searchAnalyzer"),
+        dims=int(spec.get("vectorDimensions", 0)),
+        similarity=spec.get("vectorSimilarity", "cosine"),
+        date_time_format=spec.get("dateTimeFormat"),
+        script_source=(spec.get("script") or {}).get("source")
+        if isinstance(spec.get("script"), dict)
+        else spec.get("script"),
+        raw=dict(spec),
+    )
+    if fd.type == FieldType.VECTOR and fd.dims <= 0:
+        raise ValueError(f"VECTOR field {name!r} requires vectorDimensions > 0")
+    if fd.sort and not fd.store_doc_values:
+        # sorting requires a doc-values column, as in the reference
+        fd.store_doc_values = True
+    return fd
