@@ -1,0 +1,214 @@
+"""Flagship serving program: fully-fused batched BM25 retrieval.
+
+One jit-compiled step = score a batch of queries against a segment and return
+the top-k, using the scatter-free bitonic-merge kernel (ops/merge_scoring.py):
+contiguous postings-run gathers -> merge -> segmented sum -> top-k, no host
+round-trips. This is the program benchmarked in bench.py against the
+BASELINE.md target (≥5× QPS/chip vs a CPU replica at p99 < 20 ms) and
+compile-checked by __graft_entry__.entry().
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nrtsearch_tpu.ops.bm25 import lucene_idf, precompute_impacts
+from nrtsearch_tpu.ops.merge_scoring import merge_score_topk
+
+bm25_search_step = merge_score_topk  # the flagship fused step
+
+
+@dataclass
+class QueryBatch:
+    """Host-compiled query term tables for one batch."""
+
+    term_offsets: np.ndarray  # int32 [B, R] (R = power-of-two padded terms)
+    term_lengths: np.ndarray  # int32 [B, R]
+    term_weights: np.ndarray  # float32 [B, R]
+    n_terms: np.ndarray       # int32 [B]
+    run_len: int              # padded per-term run length (power of two)
+
+
+class BatchedBM25:
+    """Batched match-query retrieval against one searchable field.
+
+    Host side holds the term dictionary; queries compile to [B, Q] term
+    tables. Wraps either a core Segment or raw packed arrays.
+    """
+
+    def __init__(
+        self,
+        *,
+        terms: dict[str, int],
+        offsets: np.ndarray,
+        lengths: np.ndarray,
+        doc_ids: jax.Array,
+        freqs: jax.Array,
+        doc_lens: jax.Array,
+        live: jax.Array,
+        num_docs_real: int,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ):
+        self.terms = terms
+        self.offsets = offsets
+        self.lengths = lengths
+        self.doc_ids = doc_ids
+        self.freqs = freqs
+        self.doc_lens = doc_lens
+        self.live = live
+        self.capacity = int(doc_lens.shape[0])
+        self.num_docs_real = num_docs_real
+        self.k1 = k1
+        self.b = b
+        lens_sum = float(np.asarray(doc_lens).sum())
+        self.avgdl = lens_sum / max(num_docs_real, 1)
+        # refresh-time precompute: per-posting impacts with deletions folded in
+        self.impacts = precompute_impacts(
+            doc_ids, freqs, doc_lens, live,
+            jnp.float32(k1), jnp.float32(b), jnp.float32(self.avgdl),
+        )
+
+    @classmethod
+    def from_segment(cls, segment, field: str) -> "BatchedBM25":
+        tfi = segment.fields[field]
+        return cls(
+            terms=tfi.terms,
+            offsets=tfi.offsets,
+            lengths=tfi.lengths,
+            doc_ids=tfi.doc_ids,
+            freqs=tfi.freqs,
+            doc_lens=tfi.doc_lens,
+            live=segment.live,
+            num_docs_real=segment.num_docs,
+        )
+
+    def compile_queries(
+        self, queries: Sequence[Sequence[str]], max_terms: int = 8
+    ) -> QueryBatch:
+        """Analyzed query terms -> padded [B, R] tables (R power of two)."""
+        B = len(queries)
+        R = _pad_pow2(max_terms, 2)
+        offs = np.zeros((B, R), np.int32)
+        lens = np.zeros((B, R), np.int32)
+        weights = np.zeros((B, R), np.float32)
+        n_terms = np.zeros(B, np.int32)
+        for qi, qterms in enumerate(queries):
+            n_terms[qi] = min(len(qterms), max_terms)
+            for ti, term in enumerate(qterms[:max_terms]):
+                tid = self.terms.get(term)
+                if tid is None:
+                    continue
+                offs[qi, ti] = self.offsets[tid]
+                lens[qi, ti] = self.lengths[tid]
+                weights[qi, ti] = lucene_idf(self.num_docs_real, int(self.lengths[tid]))
+        run_len = _pad_pow2(int(lens.max()), 128)
+        return QueryBatch(offs, lens, weights, n_terms, run_len)
+
+    def search(self, batch: QueryBatch, k: int = 10, require_all_terms: bool = False):
+        return bm25_search_step(
+            self.doc_ids,
+            self.impacts,
+            jnp.asarray(batch.term_offsets),
+            jnp.asarray(batch.term_lengths),
+            jnp.asarray(batch.term_weights),
+            jnp.asarray(batch.n_terms),
+            run_len=batch.run_len,
+            k=k,
+            require_all_terms=require_all_terms,
+        )
+
+
+def _pad_pow2(n: int, minimum: int = 128) -> int:
+    b = minimum
+    while b < n:
+        b <<= 1
+    return b
+
+
+class SyntheticCorpus:
+    """Zipf-distributed synthetic corpus for benchmarks and dryruns.
+
+    Generates packed postings directly (no host analysis loop) so large
+    corpora build fast: term frequencies follow a Zipf law like natural
+    text, doc lengths are lognormal.
+    """
+
+    def __init__(
+        self,
+        num_docs: int,
+        vocab_size: int = 50_000,
+        avg_doc_len: int = 64,
+        seed: int = 0,
+    ):
+        rng = np.random.default_rng(seed)
+        self.num_docs = num_docs
+        self.vocab_size = vocab_size
+        # doc lengths (unique terms per doc)
+        doc_lens = np.maximum(
+            rng.lognormal(np.log(avg_doc_len), 0.4, num_docs).astype(np.int64), 4
+        )
+        total = int(doc_lens.sum())
+        # Zipf term draw
+        ranks = np.arange(1, vocab_size + 1)
+        probs = 1.0 / ranks
+        probs /= probs.sum()
+        terms = rng.choice(vocab_size, size=total, p=probs).astype(np.int32)
+        docs = np.repeat(np.arange(num_docs, dtype=np.int32), doc_lens)
+        # collapse duplicates within a doc -> (doc, term) with freq
+        key = docs.astype(np.int64) * vocab_size + terms
+        uniq, counts = np.unique(key, return_counts=True)
+        u_docs = (uniq // vocab_size).astype(np.int32)
+        u_terms = (uniq % vocab_size).astype(np.int32)
+        # sort by term, then doc (postings layout)
+        order = np.lexsort((u_docs, u_terms))
+        self.post_docs = u_docs[order]
+        self.post_freqs = counts[order].astype(np.float32)
+        post_terms = u_terms[order]
+        # per-term offset table
+        self.term_offsets = np.zeros(vocab_size, np.int64)
+        self.term_lengths = np.zeros(vocab_size, np.int32)
+        t_uniq, t_start, t_count = np.unique(
+            post_terms, return_index=True, return_counts=True
+        )
+        self.term_offsets[t_uniq] = t_start
+        self.term_lengths[t_uniq] = t_count
+        self.doc_lens = np.zeros(num_docs, np.float32)
+        np.add.at(self.doc_lens, u_docs, counts)
+        self.rng = rng
+
+    def to_model(self) -> BatchedBM25:
+        d_pad = _pad_pow2(self.num_docs)
+        p_pad = _pad_pow2(len(self.post_docs))
+        doc_ids = np.zeros(p_pad, np.int32)
+        doc_ids[: len(self.post_docs)] = self.post_docs
+        freqs = np.zeros(p_pad, np.float32)
+        freqs[: len(self.post_freqs)] = self.post_freqs
+        lens = np.zeros(d_pad, np.float32)
+        lens[: self.num_docs] = self.doc_lens
+        live = np.zeros(d_pad, bool)
+        live[: self.num_docs] = True
+        terms = {str(t): t for t in range(self.vocab_size)}
+        return BatchedBM25(
+            terms=terms,
+            offsets=self.term_offsets,
+            lengths=self.term_lengths,
+            doc_ids=jax.device_put(doc_ids),
+            freqs=jax.device_put(freqs),
+            doc_lens=jax.device_put(lens),
+            live=jax.device_put(live),
+            num_docs_real=self.num_docs,
+        )
+
+    def sample_queries(self, batch: int, terms_per_query: int = 4) -> list[list[str]]:
+        """Queries drawn from the same Zipf distribution (like real workloads)."""
+        ranks = np.arange(1, self.vocab_size + 1)
+        probs = 1.0 / ranks
+        probs /= probs.sum()
+        qs = self.rng.choice(self.vocab_size, size=(batch, terms_per_query), p=probs)
+        return [[str(t) for t in row] for row in qs]

@@ -35,22 +35,23 @@ def lucene_idf(doc_count: int, doc_freq: int) -> float:
     return float(np.log(1.0 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5)))
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "num_docs"))
-def score_text_clause(
+def score_text_clause_impl(
     doc_ids: jax.Array,       # int32 [P_pad]
     freqs: jax.Array,         # float32 [P_pad]
     doc_lens: jax.Array,      # float32 [D_pad] quantized lengths
     term_offsets: jax.Array,  # int32 [B, Q] postings run start per query term
     term_lengths: jax.Array,  # int32 [B, Q] postings run length (0 = absent)
     term_weights: jax.Array,  # float32 [B, Q] idf * boost
-    k1: jax.Array,            # float32 scalar
-    b: jax.Array,             # float32 scalar
-    avgdl: jax.Array,         # float32 scalar
+    k1,                       # float32 scalar
+    b,                        # float32 scalar
+    avgdl,                    # float32 scalar
     *,
     cap: int,                 # static: padded max postings touched per query
     num_docs: int,            # static: D_pad
 ) -> tuple[jax.Array, jax.Array]:
-    """Returns (scores [B, D] f32, matched_term_counts [B, D] i32)."""
+    """Un-jitted core (composable into larger fused programs).
+
+    Returns (scores [B, D] f32, matched_term_counts [B, D] i32)."""
 
     def one_query(offs, lens, weights):
         cum = jnp.cumsum(lens)                          # [Q]
@@ -74,6 +75,32 @@ def score_text_clause(
         return scores, counts
 
     return jax.vmap(one_query)(term_offsets, term_lengths, term_weights)
+
+
+score_text_clause = jax.jit(
+    score_text_clause_impl, static_argnames=("cap", "num_docs")
+)
+
+
+@jax.jit
+def precompute_impacts(
+    post_docs: jax.Array,   # int32 [P]
+    post_freqs: jax.Array,  # float32 [P]
+    doc_lens: jax.Array,    # float32 [D] quantized lengths
+    live: jax.Array,        # bool [D]
+    k1: jax.Array,
+    b: jax.Array,
+    avgdl: jax.Array,
+) -> jax.Array:
+    """Per-posting BM25 tf-norm impact, zeroed for deleted docs.
+
+    Computed once per searcher refresh (avgdl is index-wide, like Lucene's
+    live collection stats), so query time is one multiply per posting:
+    score contribution = idf * impact.
+    """
+    dl = doc_lens[post_docs]
+    impact = post_freqs / (post_freqs + k1 * (1.0 - b + b * dl / avgdl))
+    return jnp.where(live[post_docs], impact, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "num_docs"))

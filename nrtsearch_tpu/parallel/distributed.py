@@ -1,0 +1,209 @@
+"""Distributed batched BM25 over a 2D device mesh.
+
+Mesh axes:
+
+- ``shard``: the corpus is partitioned into document shards, one per mesh row
+  (the TPU re-expression of the reference's virtual shards,
+  MyIndexSearcher.slicesForShards, SURVEY.md §2.7 item 3). Each device scores
+  its shard locally with the scatter-free merge kernel, then candidates are
+  merged with an ``all_gather`` over ICI followed by a final top-k — the
+  structural role Lucene's per-slice collector reduce plays on the host.
+- ``data``: the query batch is sharded (data-parallel serving; the reference's
+  read-replica analogue inside one pod).
+
+All arrays carry a leading shard dimension sharded over ``shard``; query term
+tables are [S, B, R] because postings offsets are shard-local while idf
+weights are global collection statistics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nrtsearch_tpu.ops.bm25 import lucene_idf
+from nrtsearch_tpu.ops.merge_scoring import merge_score_topk
+
+
+def make_search_mesh(
+    n_devices: int | None = None, data_parallel: int | None = None
+) -> Mesh:
+    """Build a (shard, data) mesh over the available devices."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = np.array(devices[:n])
+    if data_parallel is None:
+        data_parallel = 2 if n % 2 == 0 and n > 1 else 1
+    return Mesh(devices.reshape(n // data_parallel, data_parallel), ("shard", "data"))
+
+
+def _local_search(
+    post_docs, post_impacts,
+    term_offsets, term_lengths, term_weights, n_terms,
+    *, run_len, shard_capacity, k,
+):
+    """Per-device body: local merge-scoring + cross-shard top-k merge."""
+    # leading shard dim is 1 inside shard_map
+    local_scores, local_docs, local_hits = merge_score_topk(
+        post_docs[0], post_impacts[0],
+        term_offsets[0], term_lengths[0], term_weights[0], n_terms[0],
+        run_len=run_len, k=k,
+    )
+    shard_idx = jax.lax.axis_index("shard")
+    global_ids = local_docs + shard_idx * shard_capacity
+
+    # merge candidates across shards (rides ICI)
+    cand_scores = jax.lax.all_gather(local_scores, "shard", axis=0)  # [S, B, k]
+    cand_ids = jax.lax.all_gather(global_ids, "shard", axis=0)
+    S, B, k_ = cand_scores.shape
+    cand_scores = jnp.transpose(cand_scores, (1, 0, 2)).reshape(B, S * k_)
+    cand_ids = jnp.transpose(cand_ids, (1, 0, 2)).reshape(B, S * k_)
+    top_scores, pos = jax.lax.top_k(cand_scores, k)
+    top_ids = jnp.take_along_axis(cand_ids, pos, axis=1)
+    total_hits = jax.lax.psum(local_hits, "shard")
+    return top_scores, top_ids, total_hits
+
+
+@dataclass
+class DistributedBM25:
+    """Doc-sharded, query-batch-sharded BM25 retrieval over a mesh."""
+
+    mesh: Mesh
+    post_docs: jax.Array       # [S, P] int32, sharded over "shard"
+    post_impacts: jax.Array    # [S, P] float32 (deletions folded in)
+    term_offsets_host: np.ndarray  # [S, V] int64 per-shard term table
+    term_lengths_host: np.ndarray  # [S, V] int32
+    doc_freq_global: np.ndarray    # [V] int64
+    num_docs_total: int
+    shard_capacity: int
+    k1: float = 1.2
+    b: float = 0.75
+    avgdl: float = 1.0
+
+    @classmethod
+    def build(cls, corpus, mesh: Mesh) -> "DistributedBM25":
+        """Partition a SyntheticCorpus (or compatible) round-robin into shards."""
+        S = mesh.shape["shard"]
+        V = corpus.vocab_size
+        avgdl = float(corpus.doc_lens.sum() / max(corpus.num_docs, 1))
+        k1, b = 1.2, 0.75
+        shard_of_doc = np.arange(corpus.num_docs) % S
+        local_id = np.arange(corpus.num_docs) // S
+        d_local = int(np.ceil(corpus.num_docs / S))
+        d_pad = _pad_pow2(d_local)
+
+        # partition postings by the shard of their doc
+        post_shard = shard_of_doc[corpus.post_docs]
+        post_local_doc = local_id[corpus.post_docs].astype(np.int32)
+        # reconstruct per-entry term id from the per-term offset table
+        entry_term = np.zeros(len(corpus.post_docs), np.int32)
+        for t in range(V):
+            off, ln = corpus.term_offsets[t], corpus.term_lengths[t]
+            entry_term[off : off + ln] = t
+        # precomputed impacts (global avgdl, Lucene collection stats)
+        dl = corpus.doc_lens[corpus.post_docs]
+        f = corpus.post_freqs
+        entry_impact = (f / (f + k1 * (1.0 - b + b * dl / avgdl))).astype(np.float32)
+
+        p_local_max = int(np.bincount(post_shard, minlength=S).max()) if len(
+            post_shard
+        ) else 1
+        p_pad = _pad_pow2(p_local_max)
+        post_docs = np.zeros((S, p_pad), np.int32)
+        post_impacts = np.zeros((S, p_pad), np.float32)
+        term_offsets = np.zeros((S, V), np.int64)
+        term_lengths = np.zeros((S, V), np.int32)
+        for s in range(S):
+            sel = post_shard == s
+            t_s = entry_term[sel]
+            d_s = post_local_doc[sel]
+            i_s = entry_impact[sel]
+            order = np.lexsort((d_s, t_s))
+            t_s, d_s, i_s = t_s[order], d_s[order], i_s[order]
+            post_docs[s, : len(d_s)] = d_s
+            post_impacts[s, : len(i_s)] = i_s
+            u, start, count = np.unique(t_s, return_index=True, return_counts=True)
+            term_offsets[s, u] = start
+            term_lengths[s, u] = count
+
+        shard_sharding = NamedSharding(mesh, P("shard", None))
+        df = np.zeros(V, np.int64)
+        df[: len(corpus.term_lengths)] = corpus.term_lengths
+        return cls(
+            mesh=mesh,
+            post_docs=jax.device_put(post_docs, shard_sharding),
+            post_impacts=jax.device_put(post_impacts, shard_sharding),
+            term_offsets_host=term_offsets,
+            term_lengths_host=term_lengths,
+            doc_freq_global=df,
+            num_docs_total=corpus.num_docs,
+            shard_capacity=d_pad,
+            avgdl=avgdl,
+        )
+
+    def compile_queries(self, queries: Sequence[Sequence[int]], max_terms: int = 8):
+        """Queries (term-id lists) -> per-shard [S, B, R] tables + static run_len."""
+        S = self.term_offsets_host.shape[0]
+        B = len(queries)
+        R = _pad_pow2(max_terms, 2)
+        offs = np.zeros((S, B, R), np.int32)
+        lens = np.zeros((S, B, R), np.int32)
+        weights = np.zeros((S, B, R), np.float32)
+        n_terms = np.zeros((S, B), np.int32)
+        for qi, qterms in enumerate(queries):
+            n_terms[:, qi] = min(len(qterms), max_terms)
+            for ti, term in enumerate(list(qterms)[:max_terms]):
+                t = int(term)
+                df = int(self.doc_freq_global[t])
+                if df == 0:
+                    continue
+                w = lucene_idf(self.num_docs_total, df)
+                offs[:, qi, ti] = self.term_offsets_host[:, t]
+                lens[:, qi, ti] = self.term_lengths_host[:, t]
+                weights[:, qi, ti] = w
+        run_len = _pad_pow2(int(lens.max()), 128)
+        return offs, lens, weights, n_terms, run_len
+
+    def search(self, offs, lens, weights, n_terms, *, run_len: int, k: int = 10):
+        """One distributed search step. Returns (scores [B,k], ids [B,k], hits [B])."""
+        mesh = self.mesh
+        qspec = P("shard", "data", None)
+        fn = jax.jit(
+            jax.shard_map(
+                partial(
+                    _local_search,
+                    run_len=run_len,
+                    shard_capacity=self.shard_capacity,
+                    k=k,
+                ),
+                mesh=mesh,
+                in_specs=(
+                    P("shard", None), P("shard", None),
+                    qspec, qspec, qspec, P("shard", "data"),
+                ),
+                out_specs=(P("data", None), P("data", None), P("data")),
+                check_vma=False,
+            )
+        )
+        qsharding = NamedSharding(mesh, P("shard", "data", None))
+        nsharding = NamedSharding(mesh, P("shard", "data"))
+        return fn(
+            self.post_docs, self.post_impacts,
+            jax.device_put(jnp.asarray(offs), qsharding),
+            jax.device_put(jnp.asarray(lens), qsharding),
+            jax.device_put(jnp.asarray(weights), qsharding),
+            jax.device_put(jnp.asarray(n_terms), nsharding),
+        )
+
+
+def _pad_pow2(n: int, minimum: int = 128) -> int:
+    b = minimum
+    while b < max(n, 1):
+        b <<= 1
+    return b

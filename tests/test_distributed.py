@@ -1,0 +1,77 @@
+"""Distributed search over the virtual 8-device CPU mesh: correctness vs the
+single-device flagship model."""
+
+import numpy as np
+import pytest
+
+from nrtsearch_tpu.models.flagship import SyntheticCorpus
+from nrtsearch_tpu.parallel.distributed import DistributedBM25, make_search_mesh
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return SyntheticCorpus(num_docs=2000, vocab_size=800, avg_doc_len=24, seed=7)
+
+
+def _reference_topk(corpus, queries, k):
+    """Dense numpy BM25 over the full corpus."""
+    n = corpus.num_docs
+    avgdl = corpus.doc_lens.sum() / n
+    k1, b = 1.2, 0.75
+    out_scores, out_hits = [], []
+    # rebuild per-entry term ids
+    entry_term = np.zeros(len(corpus.post_docs), np.int32)
+    for t in range(corpus.vocab_size):
+        off, ln = corpus.term_offsets[t], corpus.term_lengths[t]
+        entry_term[off : off + ln] = t
+    for q in queries:
+        scores = np.zeros(n, np.float64)
+        matched = np.zeros(n, bool)
+        for t in q:
+            t = int(t)
+            off, ln = corpus.term_offsets[t], corpus.term_lengths[t]
+            if ln == 0:
+                continue
+            docs = corpus.post_docs[off : off + ln]
+            tf = corpus.post_freqs[off : off + ln]
+            df = ln
+            idf = np.log(1 + (n - df + 0.5) / (df + 0.5))
+            dl = corpus.doc_lens[docs]
+            scores[docs] += idf * tf / (tf + k1 * (1 - b + b * dl / avgdl))
+            matched[docs] = True
+        scores = np.where(matched, scores, -np.inf)
+        top = np.argsort(-scores, kind="stable")[:k]
+        out_scores.append(scores[top])
+        out_hits.append(int(matched.sum()))
+    return out_scores, out_hits
+
+
+def test_distributed_matches_reference(corpus, eight_device_mesh):
+    dist = DistributedBM25.build(corpus, eight_device_mesh)
+    queries = [[int(t) for t in q] for q in corpus.sample_queries(8, 3)]
+    offs, lens, weights, n_terms, run_len = dist.compile_queries(queries, max_terms=4)
+    scores, ids, hits = dist.search(offs, lens, weights, n_terms, run_len=run_len, k=10)
+    scores, ids, hits = np.asarray(scores), np.asarray(ids), np.asarray(hits)
+
+    ref_scores, ref_hits = _reference_topk(corpus, queries, 10)
+    assert hits.tolist() == ref_hits
+    for qi in range(len(queries)):
+        valid = scores[qi] > -np.inf
+        np.testing.assert_allclose(
+            scores[qi][valid], np.asarray(ref_scores[qi])[valid], rtol=2e-5
+        )
+        # global ids decode back to real docs
+        S = eight_device_mesh.shape["shard"]
+        shard = ids[qi][valid] // dist.shard_capacity
+        local = ids[qi][valid] % dist.shard_capacity
+        orig = local * S + shard  # inverse of round-robin partition
+        assert (orig < corpus.num_docs).all()
+
+
+def test_dryrun_entrypoints():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    scores, ids, hits = fn(*args)
+    assert scores.shape[1] == 10
+    ge.dryrun_multichip(8)
