@@ -76,15 +76,19 @@ class Searcher:
         top_hits: int,
         sort: Optional[SortSpec] = None,
         extra_filter: Optional[qp.QueryNode] = None,
-    ) -> TopDocs:
+        return_arrays: bool = False,
+    ):
         """Recall + top-k over all segments.
 
         ``extra_filter`` is AND-ed in without contributing score (used for
-        filtered kNN / drill-down).
+        filtered kNN / drill-down). With ``return_arrays`` also returns the
+        per-segment (scores, match) device arrays so aggregation collectors
+        and facets run over the full match set without re-evaluating.
         """
         if not self.segments:
-            return TopDocs([], 0)
+            return (TopDocs([], 0), []) if return_arrays else TopDocs([], 0)
         per_segment: list[tuple[np.ndarray, np.ndarray, int, int]] = []
+        arrays = []
         total = 0
         for idx, seg in enumerate(self.segments):
             ctx = qeval.EvalContext(seg, self.field_defs, self.stats)
@@ -93,6 +97,8 @@ class Searcher:
                 _, fmask = qeval.eval_node(extra_filter, ctx)
                 match = match & fmask
             match = match & seg.live
+            if return_arrays:
+                arrays.append((scores, match))
             k = min(top_hits, seg.capacity)
             if sort is None:
                 s, ids, th = masked_top_k(scores[None, :], match[None, :], k=k)
@@ -113,7 +119,8 @@ class Searcher:
             per_segment.append((np.asarray(s[0]), np.asarray(ids[0]), idx, min(seg_total, k)))
             total += seg_total
 
-        return self._merge_top(per_segment, top_hits, sort, total)
+        td = self._merge_top(per_segment, top_hits, sort, total)
+        return (td, arrays) if return_arrays else td
 
     def count(self, node: qp.QueryNode) -> int:
         total = 0

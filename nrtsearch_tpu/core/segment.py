@@ -136,6 +136,7 @@ class Segment:
     live: Any                         # device bool [capacity]
     host_live: np.ndarray             # host bool [num_docs]
     del_count: int = 0
+    del_gen: int = 0                  # bumped per delete batch (Lucene del-gen)
 
     @property
     def live_doc_count(self) -> int:
@@ -158,6 +159,7 @@ class Segment:
             live=_device_put(live),
             host_live=host_live,
             del_count=int(self.num_docs - host_live.sum()),
+            del_gen=self.del_gen + 1,
         )
 
 

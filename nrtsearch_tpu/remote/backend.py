@@ -1,0 +1,122 @@
+"""RemoteBackend: versioned blobs with a _current pointer + index file store.
+
+Key layout mirrors the reference's S3 layout concepts (S3Backend.java:94):
+
+    <service>/<resource>/_version/<n>        versioned blob data
+    <service>/<resource>/_current            pointer file: latest version n
+    <service>/<index_id>/data/<file>         immutable index files
+    <service>/<index_id>/point_state/...     NRT point states (versioned)
+"""
+
+from __future__ import annotations
+
+import abc
+import shutil
+import threading
+from pathlib import Path
+from typing import Optional
+
+
+class RemoteBackend(abc.ABC):
+    """Abstract blob store (reference: RemoteBackend.java:27)."""
+
+    # -- versioned small blobs (state, point state, warming queries) ----------
+
+    @abc.abstractmethod
+    def upload_versioned(self, service: str, resource: str, data: bytes) -> int: ...
+
+    @abc.abstractmethod
+    def download_current(self, service: str, resource: str) -> Optional[bytes]: ...
+
+    @abc.abstractmethod
+    def current_version(self, service: str, resource: str) -> Optional[int]: ...
+
+    # -- immutable index data files -------------------------------------------
+
+    @abc.abstractmethod
+    def upload_index_files(
+        self, service: str, index_id: str, src_dir: str | Path, file_names: list[str]
+    ) -> None: ...
+
+    @abc.abstractmethod
+    def download_index_files(
+        self, service: str, index_id: str, dst_dir: str | Path, file_names: list[str]
+    ) -> None: ...
+
+    @abc.abstractmethod
+    def index_file_exists(self, service: str, index_id: str, file_name: str) -> bool: ...
+
+    @abc.abstractmethod
+    def delete_index_files(
+        self, service: str, index_id: str, file_names: list[str]
+    ) -> None: ...
+
+
+class LocalFileBackend(RemoteBackend):
+    """Filesystem-backed object store double (reference tests: S3Mock with a
+    file backend, AmazonS3Provider.java:92)."""
+
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self._lock = threading.Lock()
+
+    def _res_dir(self, service: str, resource: str) -> Path:
+        return self.root / service / resource
+
+    def upload_versioned(self, service: str, resource: str, data: bytes) -> int:
+        with self._lock:
+            d = self._res_dir(service, resource) / "_version"
+            d.mkdir(parents=True, exist_ok=True)
+            cur = self.current_version(service, resource)
+            version = 0 if cur is None else cur + 1
+            (d / str(version)).write_bytes(data)
+            pointer = self._res_dir(service, resource) / "_current"
+            tmp = pointer.with_suffix(".tmp")
+            tmp.write_text(str(version))
+            tmp.replace(pointer)
+            return version
+
+    def download_current(self, service: str, resource: str) -> Optional[bytes]:
+        v = self.current_version(service, resource)
+        if v is None:
+            return None
+        return (self._res_dir(service, resource) / "_version" / str(v)).read_bytes()
+
+    def current_version(self, service: str, resource: str) -> Optional[int]:
+        pointer = self._res_dir(service, resource) / "_current"
+        if not pointer.exists():
+            return None
+        return int(pointer.read_text().strip())
+
+    def _data_dir(self, service: str, index_id: str) -> Path:
+        return self.root / service / index_id / "data"
+
+    def upload_index_files(
+        self, service: str, index_id: str, src_dir: str | Path, file_names: list[str]
+    ) -> None:
+        dst = self._data_dir(service, index_id)
+        dst.mkdir(parents=True, exist_ok=True)
+        for name in file_names:
+            # segment files are immutable except live-mask rewrites on delete,
+            # so overwriting is always safe
+            shutil.copy2(Path(src_dir) / name, dst / name)
+
+    def download_index_files(
+        self, service: str, index_id: str, dst_dir: str | Path, file_names: list[str]
+    ) -> None:
+        src = self._data_dir(service, index_id)
+        Path(dst_dir).mkdir(parents=True, exist_ok=True)
+        for name in file_names:
+            shutil.copy2(src / name, Path(dst_dir) / name)
+
+    def index_file_exists(self, service: str, index_id: str, file_name: str) -> bool:
+        return (self._data_dir(service, index_id) / file_name).exists()
+
+    def delete_index_files(
+        self, service: str, index_id: str, file_names: list[str]
+    ) -> None:
+        for name in file_names:
+            p = self._data_dir(service, index_id) / name
+            if p.exists():
+                p.unlink()

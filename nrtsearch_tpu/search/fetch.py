@@ -1,0 +1,126 @@
+"""Field fetch: fill hits with stored fields / doc values / virtual fields.
+
+Reference: SearchHandler.FillDocsTask (SearchHandler.java:1114) +
+LoadedDocValues converters (server/doc/LoadedDocValues.java). Fetch is host
+work over the segment's host-resident stored rows and doc-value columns.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+from nrtsearch_tpu.core.searcher import Hit, Searcher
+from nrtsearch_tpu.schema.fields import DocValueKind, FieldDef, FieldType
+
+
+def fetch_field_values(
+    searcher: Searcher,
+    hit: Hit,
+    field_name: str,
+    field_defs: dict[str, FieldDef],
+    virtual_values: Optional[dict[str, np.ndarray]] = None,
+) -> Optional[list[Any]]:
+    """All values of one field for one hit, or None if absent."""
+    seg = searcher.segments[hit.segment_idx]
+    local = hit.local_id
+    if virtual_values and field_name in virtual_values:
+        return [float(virtual_values[field_name][hit.global_ord])]
+    fd = field_defs.get(field_name)
+    # stored first (like the reference's stored-field preference for source)
+    if fd is not None and fd.store:
+        row = seg.stored[local]
+        if field_name in row:
+            v = row[field_name]
+            return list(v) if isinstance(v, list) and fd.multi_valued else (
+                v if isinstance(v, list) and fd.type == FieldType.VECTOR else
+                v if isinstance(v, list) and fd.type == FieldType.LAT_LON else
+                [v] if not isinstance(v, list) else v
+            )
+    dv = seg.doc_values.get(field_name)
+    if dv is not None:
+        if not dv.host_present[local] and dv.mv_offsets is None:
+            return None
+        if dv.mv_offsets is not None:
+            lo, hi = dv.mv_offsets[local], dv.mv_offsets[local + 1]
+            vals = dv.mv_values[lo:hi]
+            if dv.kind == DocValueKind.ORDINAL:
+                return [dv.ord_terms[int(o)] for o in vals]
+            return [v.item() for v in vals]
+        if dv.kind == DocValueKind.ORDINAL:
+            return [dv.ord_terms[int(dv.host_values[local])]]
+        if dv.kind == DocValueKind.LAT_LON:
+            return [tuple(dv.host_values[local])]
+        return [dv.host_values[local].item()]
+    vc = seg.vectors.get(field_name)
+    if vc is not None:
+        if not np.asarray(vc.present)[local]:
+            return None
+        return [np.asarray(vc.values)[local].tolist()]
+    if fd is None:
+        raise KeyError(f"unknown field: {field_name!r}")
+    row = seg.stored[local]
+    if field_name in row:
+        v = row[field_name]
+        return v if isinstance(v, list) else [v]
+    return None
+
+
+def fill_hit_fields_pb(
+    pb_hit,
+    searcher: Searcher,
+    hit: Hit,
+    retrieve_fields: Sequence[str],
+    field_defs: dict[str, FieldDef],
+    pb,
+    virtual_values: Optional[dict[str, np.ndarray]] = None,
+) -> None:
+    """Populate a SearchResponse.Hit proto's fields map."""
+    for name in retrieve_fields:
+        values = fetch_field_values(searcher, hit, name, field_defs, virtual_values)
+        comp = pb_hit.fields[name]  # creates entry (even when absent, like ref)
+        if values is None:
+            continue
+        fd = field_defs.get(name)
+        for v in values:
+            fv = comp.fieldValue.add()
+            _set_field_value(fv, v, fd, pb)
+
+
+def _set_field_value(fv, v: Any, fd: Optional[FieldDef], pb) -> None:
+    if fd is not None:
+        t = fd.type
+        if t == FieldType.VECTOR and isinstance(v, (list, tuple)):
+            fv.vectorValue.value.extend(float(x) for x in v)
+            return
+        if t == FieldType.LAT_LON and isinstance(v, (list, tuple)):
+            fv.latLngValue.latitude = float(v[0])
+            fv.latLngValue.longitude = float(v[1])
+            return
+        if t == FieldType.BOOLEAN:
+            fv.booleanValue = str(v).lower() in ("true", "1")
+            return
+        if t == FieldType.INT:
+            fv.intValue = int(v)
+            return
+        if t == FieldType.LONG:
+            fv.longValue = int(v)
+            return
+        if t == FieldType.FLOAT:
+            fv.floatValue = float(v)
+            return
+        if t == FieldType.DOUBLE:
+            fv.doubleValue = float(v)
+            return
+        if t == FieldType.DATE_TIME:
+            fv.dateTimeValue = int(v) if not isinstance(v, str) else fd.parse_doc_value(v)
+            return
+    if isinstance(v, bool):
+        fv.booleanValue = v
+    elif isinstance(v, int):
+        fv.longValue = v
+    elif isinstance(v, float):
+        fv.doubleValue = v
+    else:
+        fv.textValue = str(v)

@@ -1,0 +1,171 @@
+"""gRPC front-end: exposes the Handlers over the LuceneServer service.
+
+Reference: server/grpc/NrtsearchServer.java:160 (server bootstrap) and the
+LuceneServerImpl per-RPC delegates (:490-731). Implemented with grpc generic
+method handlers (no protoc grpc plugin in this environment); method routing,
+error -> status mapping, and the streaming ingest live here.
+"""
+
+from __future__ import annotations
+
+import logging
+from concurrent import futures
+from typing import Callable, Optional
+
+import grpc
+
+from nrtsearch_tpu.config import NrtsearchConfig
+from nrtsearch_tpu.gen import pb
+from nrtsearch_tpu.server.handlers import Handlers
+from nrtsearch_tpu.state.backend import LocalStateBackend
+from nrtsearch_tpu.state.global_state import GlobalState
+
+log = logging.getLogger("nrtsearch_tpu.server")
+
+_STATUS_MAP = {
+    KeyError: grpc.StatusCode.NOT_FOUND,
+    FileExistsError: grpc.StatusCode.ALREADY_EXISTS,
+    FileNotFoundError: grpc.StatusCode.NOT_FOUND,
+    ValueError: grpc.StatusCode.INVALID_ARGUMENT,
+    PermissionError: grpc.StatusCode.FAILED_PRECONDITION,
+    RuntimeError: grpc.StatusCode.FAILED_PRECONDITION,
+    NotImplementedError: grpc.StatusCode.UNIMPLEMENTED,
+}
+
+
+def _wrap_unary(fn: Callable):
+    def call(request, context):
+        try:
+            return fn(request)
+        except Exception as e:  # map to gRPC status like Handler.java:83
+            code = _STATUS_MAP.get(type(e), grpc.StatusCode.INTERNAL)
+            log.warning("rpc %s failed: %s", fn.__name__, e)
+            context.abort(code, f"{type(e).__name__}: {e}")
+
+    return call
+
+
+def _wrap_stream_unary(fn: Callable):
+    def call(request_iterator, context):
+        try:
+            return fn(request_iterator)
+        except Exception as e:
+            code = _STATUS_MAP.get(type(e), grpc.StatusCode.INTERNAL)
+            log.warning("rpc %s failed: %s", fn.__name__, e)
+            context.abort(code, f"{type(e).__name__}: {e}")
+
+    return call
+
+
+# RPC name -> (request type, response type, kind)
+_LUCENE_RPCS = {
+    "createIndex": (pb.CreateIndexRequest, pb.CreateIndexResponse, "unary"),
+    "deleteIndex": (pb.DeleteIndexRequest, pb.DeleteIndexResponse, "unary"),
+    "liveSettingsV2": (pb.LiveSettingsV2Request, pb.LiveSettingsV2Response, "unary"),
+    "settingsV2": (pb.SettingsV2Request, pb.SettingsV2Response, "unary"),
+    "registerFields": (pb.FieldDefRequest, pb.FieldDefResponse, "unary"),
+    "startIndex": (pb.StartIndexRequest, pb.StartIndexResponse, "unary"),
+    "stopIndex": (pb.StopIndexRequest, pb.DummyResponse, "unary"),
+    "addDocuments": (pb.AddDocumentRequest, pb.AddDocumentResponse, "stream_unary"),
+    "refresh": (pb.RefreshRequest, pb.RefreshResponse, "unary"),
+    "commit": (pb.CommitRequest, pb.CommitResponse, "unary"),
+    "delete": (pb.AddDocumentRequest, pb.AddDocumentResponse, "unary"),
+    "deleteByQuery": (pb.DeleteByQueryRequest, pb.AddDocumentResponse, "unary"),
+    "deleteAll": (pb.DeleteAllDocumentsRequest, pb.DeleteAllDocumentsResponse, "unary"),
+    "search": (pb.SearchRequest, pb.SearchResponse, "unary"),
+    "stats": (pb.StatsRequest, pb.StatsResponse, "unary"),
+    "indices": (pb.IndicesRequest, pb.IndicesResponse, "unary"),
+    "status": (pb.HealthCheckRequest, pb.HealthCheckResponse, "unary"),
+    "ready": (pb.ReadyCheckRequest, pb.HealthCheckResponse, "unary"),
+    "forceMerge": (pb.ForceMergeRequest, pb.ForceMergeResponse, "unary"),
+    "metrics": (pb.MetricsRequest, pb.MetricsResponse, "unary"),
+}
+
+
+def make_lucene_service(handlers: Handlers) -> grpc.GenericRpcHandler:
+    method_handlers = {}
+    for name, (req_t, resp_t, kind) in _LUCENE_RPCS.items():
+        fn = getattr(handlers, name, None)
+        if fn is None:
+            continue
+        if kind == "unary":
+            method_handlers[name] = grpc.unary_unary_rpc_method_handler(
+                _wrap_unary(fn),
+                request_deserializer=req_t.FromString,
+                response_serializer=resp_t.SerializeToString,
+            )
+        elif kind == "stream_unary":
+            method_handlers[name] = grpc.stream_unary_rpc_method_handler(
+                _wrap_stream_unary(fn),
+                request_deserializer=req_t.FromString,
+                response_serializer=resp_t.SerializeToString,
+            )
+    # `delete` takes a single AddDocumentRequest in the reference; expose both
+    method_handlers["delete"] = grpc.unary_unary_rpc_method_handler(
+        _wrap_unary(lambda req: handlers.delete([req])),
+        request_deserializer=pb.AddDocumentRequest.FromString,
+        response_serializer=pb.AddDocumentResponse.SerializeToString,
+    )
+    return grpc.method_handlers_generic_handler(
+        "nrtsearch_tpu.LuceneServer", method_handlers
+    )
+
+
+class NrtsearchServer:
+    """Server bootstrap (NrtsearchServer.java:160 equivalent)."""
+
+    def __init__(self, config: Optional[NrtsearchConfig] = None,
+                 global_state: Optional[GlobalState] = None):
+        self.config = config or NrtsearchConfig()
+        if global_state is None:
+            backend = LocalStateBackend(self.config.state_dir)
+            global_state = GlobalState(self.config, backend)
+        self.global_state = global_state
+        self.handlers = Handlers(global_state)
+        self.server: Optional[grpc.Server] = None
+        self.port: Optional[int] = None
+
+    def start(self, port: Optional[int] = None) -> int:
+        self.server = grpc.server(
+            futures.ThreadPoolExecutor(
+                max_workers=self.config.thread_pools.grpc_threads
+            ),
+            options=[
+                ("grpc.max_send_message_length", 1024 * 1024 * 1024),
+                ("grpc.max_receive_message_length", 1024 * 1024 * 1024),
+            ],
+        )
+        self.server.add_generic_rpc_handlers([make_lucene_service(self.handlers)])
+        bind_port = port if port is not None else self.config.port
+        self.port = self.server.add_insecure_port(f"[::]:{bind_port}")
+        self.global_state.warm_boot()
+        self.server.start()
+        log.info("LuceneServer listening on %s", self.port)
+        return self.port
+
+    def stop(self, grace: float = 2.0) -> None:
+        if self.server is not None:
+            self.server.stop(grace)
+        self.global_state.close()
+
+    def wait(self) -> None:
+        if self.server is not None:
+            self.server.wait_for_termination()
+
+
+def main(argv: Optional[list[str]] = None) -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser(description="nrtsearch_tpu server")
+    parser.add_argument("config", nargs="?", help="YAML config file")
+    parser.add_argument("--port", type=int, default=None)
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    config = NrtsearchConfig.load(args.config)
+    server = NrtsearchServer(config)
+    server.start(args.port)
+    server.wait()
+
+
+if __name__ == "__main__":
+    main()

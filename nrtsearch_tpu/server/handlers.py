@@ -1,0 +1,400 @@
+"""Request handlers: one method per RPC over protobuf messages.
+
+Reference: server/handler/ (47 Handler subclasses; template at
+Handler.java:83). Handlers validate, call into state/engine, and map errors
+to gRPC status (done by the transport layer, server/grpc_server.py).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, Optional
+
+import numpy as np
+from google.protobuf.json_format import MessageToDict
+
+from nrtsearch_tpu.core.searcher import SortSpec
+from nrtsearch_tpu.gen import pb
+from nrtsearch_tpu.query.plan import parse_query
+from nrtsearch_tpu.search import collectors as coll
+from nrtsearch_tpu.search.fetch import fill_hit_fields_pb
+from nrtsearch_tpu.state.global_state import GlobalState
+
+
+class Handlers:
+    def __init__(self, global_state: GlobalState):
+        self.gs = global_state
+
+    # -- admin -----------------------------------------------------------------
+
+    def createIndex(self, req: pb.CreateIndexRequest) -> pb.CreateIndexResponse:
+        info = self.gs.create_index(req.indexName, req.existsWithId)
+        return pb.CreateIndexResponse(
+            response=f"Created Index name: {req.indexName}, id: {info.index_id}"
+        )
+
+    def deleteIndex(self, req: pb.DeleteIndexRequest) -> pb.DeleteIndexResponse:
+        self.gs.delete_index(req.indexName)
+        return pb.DeleteIndexResponse(ok="ok")
+
+    def registerFields(self, req: pb.FieldDefRequest) -> pb.FieldDefResponse:
+        fields = {}
+        for f in req.field:
+            spec = MessageToDict(f, preserving_proto_field_name=False)
+            spec.pop("name", None)
+            fields[f.name] = spec
+        info = self.gs.register_fields(req.indexName, fields)
+        return pb.FieldDefResponse(response=info.to_json())
+
+    def liveSettingsV2(self, req: pb.LiveSettingsV2Request) -> pb.LiveSettingsV2Response:
+        info = self.gs.get_state(req.indexName)
+        if req.HasField("liveSettings"):
+            updates = MessageToDict(req.liveSettings)
+            info = info.with_live_settings(updates)
+            if not req.local:
+                self.gs.update_state(req.indexName, info)
+        resp = pb.LiveSettingsV2Response()
+        _dict_to_pb(info.live_settings, resp.liveSettings)
+        return resp
+
+    def settingsV2(self, req: pb.SettingsV2Request) -> pb.SettingsV2Response:
+        info = self.gs.get_state(req.indexName)
+        if req.HasField("settings"):
+            if req.indexName in self.gs.runtimes:
+                raise RuntimeError("settings can only be changed on a stopped index")
+            info = info.with_settings(MessageToDict(req.settings))
+            self.gs.update_state(req.indexName, info)
+        resp = pb.SettingsV2Response()
+        _dict_to_pb(info.settings, resp.settings)
+        return resp
+
+    def startIndex(self, req: pb.StartIndexRequest) -> pb.StartIndexResponse:
+        mode = pb.Mode.Name(req.mode)
+        t0 = time.time()
+        rt = self.gs.start_index(
+            req.indexName,
+            mode=mode,
+            restore=req.HasField("restore"),
+            primary_gen=req.primaryGen,
+        )
+        s = rt.searcher
+        return pb.StartIndexResponse(
+            maxDoc=s.max_doc,
+            numDocs=s.num_docs,
+            segments=str(len(s.segments)),
+            startTimeMS=(time.time() - t0) * 1000,
+        )
+
+    def stopIndex(self, req: pb.StopIndexRequest) -> pb.DummyResponse:
+        self.gs.stop_index(req.indexName)
+        return pb.DummyResponse(ok="ok")
+
+    def indices(self, req: pb.IndicesRequest) -> pb.IndicesResponse:
+        resp = pb.IndicesResponse()
+        for name in self.gs.index_ids:
+            entry = resp.indicesResponse.add()
+            entry.indexName = name
+            if name in self.gs.runtimes:
+                entry.statsResponse.CopyFrom(self.stats(pb.StatsRequest(indexName=name)))
+        return resp
+
+    def stats(self, req: pb.StatsRequest) -> pb.StatsResponse:
+        rt = self.gs.get_runtime(req.indexName)
+        st = rt.stats()
+        resp = pb.StatsResponse(
+            maxDoc=st["maxDoc"],
+            numDocs=st["numDocs"],
+            state=st["mode"],
+        )
+        resp.currentSearcher.version = st["version"]
+        resp.currentSearcher.numDocs = st["numDocs"]
+        resp.currentSearcher.numSegments = st["numSegments"]
+        return resp
+
+    def status(self, req: pb.HealthCheckRequest) -> pb.HealthCheckResponse:
+        return pb.HealthCheckResponse(health=pb.TransferStatusCode.DONE)
+
+    def ready(self, req: pb.ReadyCheckRequest) -> pb.HealthCheckResponse:
+        names = [n for n in req.indexNames.split(",") if n] or list(self.gs.runtimes)
+        ok = all(n in self.gs.runtimes for n in names)
+        return pb.HealthCheckResponse(
+            health=pb.TransferStatusCode.DONE if ok else pb.TransferStatusCode.FAILED
+        )
+
+    # -- indexing ----------------------------------------------------------------
+
+    def addDocuments(
+        self, requests: Iterable[pb.AddDocumentRequest]
+    ) -> pb.AddDocumentResponse:
+        """Client-streamed ingest (AddDocumentHandler.java:67)."""
+        index_name: Optional[str] = None
+        rt = None
+        buffer: list[dict] = []
+        gen = 0
+        max_buffer = 100
+        for req in requests:
+            if index_name is None:
+                index_name = req.indexName
+                rt = self.gs.get_runtime(index_name)
+                max_buffer = int(
+                    rt.state_info.live_settings.get("addDocumentsMaxBufferLen", 100)
+                )
+            doc = {}
+            for fname, mv in req.fields.items():
+                doc[fname] = list(mv.value)
+            buffer.append(doc)
+            if len(buffer) >= max_buffer:
+                gen = rt.add_documents(buffer)
+                buffer = []
+        if rt is None:
+            raise ValueError("no documents in stream")
+        if buffer:
+            gen = rt.add_documents(buffer)
+        return pb.AddDocumentResponse(genId=str(gen), primaryId=rt.primary_id)
+
+    def delete(self, requests: Iterable[pb.AddDocumentRequest]) -> pb.AddDocumentResponse:
+        """Delete-by-id-field (DeleteDocumentsHandler)."""
+        rt = None
+        gen = 0
+        for req in requests:
+            if rt is None:
+                rt = self.gs.get_runtime(req.indexName)
+                if rt.writer.id_field is None:
+                    raise ValueError("index has no _ID field; use deleteByQuery")
+            ids = list(req.fields[rt.writer.id_field].value)
+            gen = rt.delete_by_id(ids)
+        if rt is None:
+            raise ValueError("no delete requests in stream")
+        return pb.AddDocumentResponse(genId=str(gen), primaryId=rt.primary_id)
+
+    def deleteByQuery(self, req: pb.DeleteByQueryRequest) -> pb.AddDocumentResponse:
+        rt = self.gs.get_runtime(req.indexName)
+        gen = 0
+        for q in req.query:
+            node = parse_query(MessageToDict(q))
+            gen = rt.delete_by_query(node)
+        return pb.AddDocumentResponse(genId=str(gen), primaryId=rt.primary_id)
+
+    def deleteAll(self, req: pb.DeleteAllDocumentsRequest) -> pb.DeleteAllDocumentsResponse:
+        rt = self.gs.get_runtime(req.indexName)
+        gen = rt.delete_all()
+        return pb.DeleteAllDocumentsResponse(genId=str(gen))
+
+    def refresh(self, req: pb.RefreshRequest) -> pb.RefreshResponse:
+        rt = self.gs.get_runtime(req.indexName)
+        return pb.RefreshResponse(refreshTimeMS=rt.refresh())
+
+    def commit(self, req: pb.CommitRequest) -> pb.CommitResponse:
+        rt = self.gs.get_runtime(req.indexName)
+        gen = rt.commit()
+        info = rt.state_info
+        if not info.committed:
+            self.gs.update_state(req.indexName, info._bump(committed=True))
+            rt.state_info = self.gs.get_state(req.indexName)
+        return pb.CommitResponse(gen=gen, primaryId=rt.primary_id)
+
+    def forceMerge(self, req: pb.ForceMergeRequest) -> pb.ForceMergeResponse:
+        rt = self.gs.get_runtime(req.indexName)
+        with rt._lock:
+            rt.writer.refresh()
+            if len(rt.writer.segments) > max(req.maxNumSegments, 1):
+                from nrtsearch_tpu.core.merge import merge_segments
+
+                merged, _ = merge_segments(rt.writer.segments, rt.field_defs)
+                rt.writer.install_segments([merged])
+            rt._version += 1
+            rt._publish_searcher(rt.writer.segments)
+        return pb.ForceMergeResponse(
+            status=pb.ForceMergeResponse.Status.FORCE_MERGE_COMPLETED
+        )
+
+    # -- search -------------------------------------------------------------------
+
+    def search(self, req: pb.SearchRequest) -> pb.SearchResponse:
+        t_start = time.time()
+        rt = self.gs.get_runtime(req.indexName)
+        searcher = rt.acquire(req.searcherVersion or None)
+        field_defs = rt.field_defs
+
+        qdict = MessageToDict(req.query) if req.HasField("query") else {}
+        node = parse_query(qdict)
+
+        sort = None
+        if req.HasField("querySort") and req.querySort.fields.sortedFields:
+            sf = req.querySort.fields.sortedFields[0]
+            sort = SortSpec(sf.fieldName, reverse=sf.reverse)
+
+        # reference semantics (SearchHandler.getHitsFromOffset:696): topHits is
+        # the end of the collected window; the page is [startHit, topHits)
+        top_hits = req.topHits or 10
+        fetch_n = max(top_hits, req.startHit)
+
+        need_arrays = bool(req.facets) or bool(req.collectors)
+        result = searcher.search(
+            node, fetch_n, sort=sort, return_arrays=need_arrays
+        )
+        td, arrays = result if need_arrays else (result, None)
+        recall_ms = (time.time() - t_start) * 1000
+
+        resp = pb.SearchResponse()
+        resp.totalHits.value = td.total_hits
+        resp.totalHits.relation = pb.TotalHits.Relation.EQUAL_TO
+
+        hits = td.hits[req.startHit : top_hits]
+        t_fetch = time.time()
+        retrieve = list(req.retrieveFields)
+        virtual_values = None
+        for h in hits:
+            pb_hit = resp.hits.add()
+            pb_hit.luceneDocId = h.global_ord
+            if sort is None:
+                pb_hit.score = h.score
+            else:
+                sf_val = pb_hit.sortedFields[sort.field].fieldValue.add()
+                sf_val.doubleValue = h.sort_key or 0.0
+            if retrieve:
+                fill_hit_fields_pb(pb_hit, searcher, h, retrieve, field_defs, pb)
+        fetch_ms = (time.time() - t_fetch) * 1000
+
+        if need_arrays:
+            matches = coll.SegmentMatches(
+                searcher, [m for _, m in arrays], [s for s, _ in arrays]
+            )
+            self._run_facets(req, resp, matches)
+            self._run_collectors(req.collectors, resp.collectorResults, matches)
+
+        # searchAfter state
+        resp.searchState.timestamp = int(t_start * 1000)
+        resp.searchState.searcherVersion = searcher.version
+        if hits:
+            resp.searchState.lastDocId = hits[-1].global_ord
+            resp.searchState.lastScore = hits[-1].score
+            resp.searchState.lastHitIndex = req.startHit + len(hits) - 1
+
+        resp.diagnostics.firstPassSearchTimeMs = recall_ms
+        resp.diagnostics.getFieldsTimeMs = fetch_ms
+        resp.diagnostics.parsedQuery = repr(node)
+        return resp
+
+    def _run_facets(self, req, resp, matches) -> None:
+        for facet in req.facets:
+            fr = resp.facetResult.add()
+            fr.name = facet.name or facet.dim
+            fr.dim = facet.dim
+            if facet.numericRange:
+                ranges = [MessageToDict(r) for r in facet.numericRange]
+                for label, count in coll.numeric_range_counts(
+                    matches, facet.dim, ranges
+                ):
+                    lv = fr.labelValues.add()
+                    lv.label = label
+                    lv.value = count
+                fr.childCount = len(fr.labelValues)
+                continue
+            counts = coll.terms_counts(matches, facet.dim)
+            top_n = facet.topN or 10
+            fr.childCount = len(counts)
+            fr.value = sum(counts.values())
+            for label, count in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :top_n
+            ]:
+                lv = fr.labelValues.add()
+                lv.label = label
+                lv.value = count
+
+    def _run_collectors(self, specs, results_map, matches) -> None:
+        for name, spec in specs.items():
+            result = results_map[name]
+            which = spec.WhichOneof("collectors")
+            if which == "terms":
+                field = spec.terms.field or None
+                script = (
+                    spec.terms.script.source if spec.terms.HasField("script") else None
+                )
+                if script is not None:
+                    counts = self._script_terms_counts(matches, script)
+                else:
+                    counts = coll.terms_counts(matches, field)
+                size = spec.terms.size or 10
+                ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+                for key, count in ordered[:size]:
+                    b = result.bucketResult.buckets.add()
+                    b.key = key
+                    b.count = count
+                    if spec.nestedCollectors:
+                        sub = self._bucket_matches(matches, spec.terms.field, key)
+                        self._run_collectors(
+                            spec.nestedCollectors, b.nestedCollectorResults, sub
+                        )
+                result.bucketResult.totalBuckets = len(counts)
+                result.bucketResult.totalOtherCounts = sum(
+                    c for _, c in ordered[size:]
+                )
+            elif which in ("max", "min", "sum"):
+                sub = getattr(spec, which)
+                script = sub.script.source if sub.HasField("script") else None
+                result.doubleResult.value = coll.numeric_stat(
+                    matches, sub.field or "", which, script
+                )
+            elif which == "hitCount":
+                result.hitCountResult.value = coll.hit_count(matches)
+            elif which == "filter":
+                fq = spec.filter.query if spec.filter.HasField("query") else spec.filter.setQuery
+                fnode = parse_query(MessageToDict(fq))
+                fmasks = matches.searcher.match_masks(fnode)
+                sub = matches.and_mask(fmasks)
+                result.hitCountResult.value = coll.hit_count(sub)
+                if spec.nestedCollectors:
+                    self._run_collectors(
+                        spec.nestedCollectors, result.nestedResults, sub
+                    )
+            else:
+                raise NotImplementedError(f"collector type {which!r}")
+
+    def _script_terms_counts(self, matches, script: str) -> dict[str, int]:
+        from collections import defaultdict
+
+        from nrtsearch_tpu.query.eval import _ScriptDocValues
+        from nrtsearch_tpu.script.expr import compile_expression
+
+        out = defaultdict(int)
+        fn = compile_expression(script)
+        for seg, mask in zip(matches.searcher.segments, matches.masks):
+            vals = np.asarray(fn(_ScriptDocValues(seg), np.zeros(seg.capacity, np.float32)))
+            m = mask[: seg.num_docs]
+            uniq, counts = np.unique(vals[: seg.num_docs][m], return_counts=True)
+            for v, c in zip(uniq, counts):
+                out[coll._fmt_num(v)] += int(c)
+        return dict(out)
+
+    def _bucket_matches(self, matches, field: str, key: str):
+        """Narrow matches to docs whose `field` == key (for nested collectors)."""
+        new_masks = []
+        for seg, mask in zip(matches.searcher.segments, matches.masks):
+            dv = seg.doc_values.get(field)
+            m = np.zeros_like(mask)
+            if dv is not None:
+                if dv.ord_terms is not None and dv.ord_index is not None:
+                    o = dv.ord_index.get(key, -2)
+                    if dv.mv_offsets is not None:
+                        docs = np.repeat(
+                            np.arange(seg.num_docs), np.diff(dv.mv_offsets)
+                        )
+                        hit_docs = np.unique(docs[dv.mv_values == o])
+                        m[hit_docs] = True
+                    else:
+                        m[: seg.num_docs] = dv.host_values[: seg.num_docs] == o
+                else:
+                    m[: seg.num_docs] = dv.host_values[: seg.num_docs] == float(key)
+            new_masks.append(mask & m)
+        return coll.SegmentMatches(matches.searcher, new_masks, matches.scores)
+
+
+def _dict_to_pb(d: dict, msg) -> None:
+    """Copy known scalar keys from a dict into a pb message (best-effort)."""
+    for field in msg.DESCRIPTOR.fields:
+        if field.name in d and d[field.name] is not None:
+            try:
+                setattr(msg, field.name, type(getattr(msg, field.name))(d[field.name]))
+            except (TypeError, ValueError):
+                pass

@@ -1,0 +1,325 @@
+"""Per-index runtime: writer + searcher lifecycle + NRT roles.
+
+Reference: server/index/ShardState.java — start modes (standalone :559,
+primary :690, replica :915), commit (:354), searcher acquire/release
+(:406,:418), reopen thread. Differences by design:
+
+- a searcher snapshot is an immutable Python object over immutable device
+  arrays, so acquire/release ref-counting is unnecessary (GC handles it);
+  SearcherLifetimeManager becomes a version -> snapshot dict;
+- the reopen thread is replaced by refresh-on-demand plus an optional
+  background ticker (maxRefreshSec), since segment flush is cheap;
+- primary durability: on refresh/commit, segment files + NrtPointState go to
+  the RemoteBackend (NrtDataManager.java:445 upload pipeline equivalent);
+- replica: installs point states either by polling the remote backend
+  (isolated replica, RemoteCopyJobManager.java:141) or via pushed
+  newNRTPoint RPCs + file copy from the primary.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import uuid
+from pathlib import Path
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+from nrtsearch_tpu.core.directory import (
+    CommitManifest,
+    commit_segments,
+    load_segment,
+    open_commit,
+)
+from nrtsearch_tpu.core.searcher import Searcher
+from nrtsearch_tpu.core.writer import IndexWriter
+from nrtsearch_tpu.nrt.point_state import NrtPointState
+from nrtsearch_tpu.remote.backend import RemoteBackend
+from nrtsearch_tpu.state.index_state import IndexStateInfo
+
+
+class IndexRuntime:
+    """One started index on this node."""
+
+    def __init__(
+        self,
+        state_info: IndexStateInfo,
+        index_dir: str | Path,
+        mode: str = "STANDALONE",
+        remote: Optional[RemoteBackend] = None,
+        service_name: str = "",
+        primary_gen: int = 0,
+        on_nrt_point: Optional[Callable[[NrtPointState], None]] = None,
+    ):
+        self.state_info = state_info
+        self.index_dir = Path(index_dir)
+        self.index_dir.mkdir(parents=True, exist_ok=True)
+        self.mode = mode
+        self.remote = remote
+        self.service_name = service_name
+        self.primary_gen = primary_gen
+        self.primary_id = uuid.uuid4().hex[:16]
+        self.on_nrt_point = on_nrt_point  # primary: notify replicas hook
+        self._lock = threading.RLock()
+        self.field_defs = state_info.field_defs()
+        merge_factor = int(state_info.settings.get("mergeFactor", 10))
+        self.writer = IndexWriter(self.field_defs, merge_factor=merge_factor)
+        self._version = 0
+        self._gen = 0
+        self.searcher = Searcher([], self.field_defs, version=0)
+        self._searchers_by_version: dict[int, Searcher] = {}
+        self.start_time = time.time()
+        self._refresh_thread: Optional[threading.Thread] = None
+        self._poll_thread: Optional[threading.Thread] = None
+        self._stopped = threading.Event()
+
+    # -- lifecycle --------------------------------------------------------------
+
+    def start(self, restore: bool = False) -> None:
+        with self._lock:
+            if restore and self.remote is not None:
+                self._restore_from_remote()
+            else:
+                manifest, segments = open_commit(self.index_dir)
+                if manifest is not None:
+                    self.writer.install_segments(segments)
+                    self._gen = manifest.gen
+                    self._version = manifest.version
+                    self._publish_searcher(segments)
+            if self.mode == "REPLICA" and self.remote is not None:
+                self._start_replica_poll()
+            if self.mode in ("STANDALONE", "PRIMARY"):
+                self._start_refresh_ticker()
+
+    def stop(self) -> None:
+        self._stopped.set()
+        for t in (self._refresh_thread, self._poll_thread):
+            if t is not None:
+                t.join(timeout=5)
+
+    # -- indexing ----------------------------------------------------------------
+
+    def add_documents(self, docs: list[dict[str, Any]]) -> int:
+        self._check_writable()
+        return self.writer.add_documents(docs)
+
+    def delete_by_id(self, ids: list[str]) -> int:
+        self._check_writable()
+        return self.writer.delete_by_id(ids)
+
+    def delete_by_query(self, node) -> int:
+        self._check_writable()
+        self.refresh()  # deletes run against a current view, like the reference
+        seg_matches: dict[str, np.ndarray] = {}
+        searcher = self.searcher
+        masks = searcher.match_masks(node)
+        for seg, mask in zip(searcher.segments, masks):
+            ids = np.nonzero(np.asarray(mask)[: seg.num_docs])[0]
+            if len(ids):
+                seg_matches[seg.seg_id] = ids
+        return self.writer.delete_matches(seg_matches)
+
+    def delete_all(self) -> int:
+        self._check_writable()
+        with self._lock:
+            gen = self.writer.delete_all()
+            self._version += 1
+            self._publish_searcher([])
+            if self.mode == "PRIMARY":
+                self._publish_nrt_point()
+            return gen
+
+    def _check_writable(self) -> None:
+        if self.mode == "REPLICA":
+            raise PermissionError("replica indexes are read-only (NRT replication)")
+
+    # -- refresh / commit ----------------------------------------------------------
+
+    def refresh(self) -> float:
+        """Flush + publish a new searcher; primary also publishes an NRT point."""
+        t0 = time.time()
+        with self._lock:
+            if self.mode == "REPLICA":
+                return 0.0
+            before = [s.seg_id for s in self.writer.segments]
+            dirty = (
+                self.writer.buffered_docs > 0
+                or bool(self.writer._pending_deletes)
+                or bool(self.writer._buffer_deleted)
+            )
+            segments = self.writer.refresh()
+            if not dirty and [s.seg_id for s in segments] == before:
+                return (time.time() - t0) * 1000
+            self._version += 1
+            self._publish_searcher(segments)
+            if self.mode == "PRIMARY":
+                self._publish_nrt_point()
+        return (time.time() - t0) * 1000
+
+    def commit(self) -> int:
+        with self._lock:
+            if self.mode == "REPLICA":
+                return self._gen
+            self.refresh()
+            self._gen += 1
+            commit_segments(
+                self.writer.segments, self.index_dir, self._gen, self._version,
+                self.primary_gen,
+            )
+            if self.mode == "PRIMARY":
+                self._publish_nrt_point()
+            return self._gen
+
+    def _publish_searcher(self, segments) -> None:
+        self.searcher = Searcher(segments, self.field_defs, version=self._version)
+        self._searchers_by_version[self._version] = self.searcher
+        # prune old searcher versions (SearcherLifetimeManager pruning analogue)
+        if len(self._searchers_by_version) > 8:
+            for v in sorted(self._searchers_by_version)[:-8]:
+                del self._searchers_by_version[v]
+
+    def acquire(self, version: Optional[int] = None) -> Searcher:
+        if version is None:
+            return self.searcher
+        s = self._searchers_by_version.get(version)
+        if s is None:
+            # pinned version already pruned or ahead of us: wait briefly for
+            # replication to catch up (getSearcherAndTaxonomy:765 semantics)
+            deadline = time.time() + 2.0
+            while time.time() < deadline:
+                if self.searcher.version >= version:
+                    return self.searcher
+                time.sleep(0.01)
+            return self.searcher
+        return s
+
+    # -- NRT primary ---------------------------------------------------------------
+
+    def _publish_nrt_point(self) -> None:
+        if self.remote is None:
+            return
+        segments = self.writer.segments
+        # persist segment files locally then upload new ones
+        files: list[str] = []
+        for seg in segments:
+            files.extend(
+                commit_file_names_for(seg, self.index_dir, self.remote,
+                                      self.service_name, self.state_info.index_id)
+            )
+        point = NrtPointState(
+            version=self._version,
+            gen=self._gen,
+            primary_gen=self.primary_gen,
+            primary_id=self.primary_id,
+            segments=[(s.seg_id, s.del_gen) for s in segments],
+        )
+        self.remote.upload_versioned(
+            self.service_name, NrtPointState.resource(self.state_info.index_id),
+            point.to_json().encode(),
+        )
+        if self.on_nrt_point is not None:
+            self.on_nrt_point(point)
+
+    # -- NRT replica ----------------------------------------------------------------
+
+    def install_point(self, point: NrtPointState) -> bool:
+        """Download a point's files and swap the searcher (replica side)."""
+        with self._lock:
+            if point.version <= self._version and self._version > 0:
+                return False
+            missing = [
+                f for f in point.files if not (self.index_dir / f).exists()
+            ]
+            if missing and self.remote is not None:
+                self.remote.download_index_files(
+                    self.service_name, self.state_info.index_id, self.index_dir, missing
+                )
+            segments = [
+                load_segment(sid, self.index_dir, del_gen)
+                for sid, del_gen in point.segments
+            ]
+            self.writer.install_segments(segments)
+            self._version = point.version
+            self._gen = point.gen
+            self._publish_searcher(segments)
+            return True
+
+    def sync_from_remote(self) -> bool:
+        if self.remote is None:
+            return False
+        data = self.remote.download_current(
+            self.service_name, NrtPointState.resource(self.state_info.index_id)
+        )
+        if data is None:
+            return False
+        return self.install_point(NrtPointState.from_json(data))
+
+    def _restore_from_remote(self) -> None:
+        synced = self.sync_from_remote()
+        if not synced:
+            manifest, segments = open_commit(self.index_dir)
+            if manifest is not None:
+                self.writer.install_segments(segments)
+                self._gen = manifest.gen
+                self._version = manifest.version
+                self._publish_searcher(segments)
+
+    def _start_replica_poll(self, interval: float = 1.0) -> None:
+        def poll():
+            while not self._stopped.is_set():
+                try:
+                    self.sync_from_remote()
+                except Exception:
+                    pass
+                self._stopped.wait(interval)
+
+        self._poll_thread = threading.Thread(target=poll, daemon=True)
+        self._poll_thread.start()
+
+    def _start_refresh_ticker(self) -> None:
+        max_refresh = float(self.state_info.live_settings.get("maxRefreshSec", 1.0))
+        if max_refresh <= 0:
+            return
+
+        def tick():
+            while not self._stopped.is_set():
+                self._stopped.wait(max_refresh)
+                if self._stopped.is_set():
+                    break
+                try:
+                    if self.writer.buffered_docs > 0 or self.writer._pending_deletes:
+                        self.refresh()
+                except Exception:
+                    pass
+
+        self._refresh_thread = threading.Thread(target=tick, daemon=True)
+        self._refresh_thread.start()
+
+    # -- stats ------------------------------------------------------------------------
+
+    def stats(self) -> dict:
+        s = self.searcher
+        return {
+            "maxDoc": s.max_doc,
+            "numDocs": s.num_docs,
+            "numSegments": len(s.segments),
+            "version": s.version,
+            "gen": self._gen,
+            "mode": self.mode,
+            "bufferedDocs": self.writer.buffered_docs,
+        }
+
+
+def commit_file_names_for(seg, index_dir: Path, remote, service: str, index_id: str):
+    """Persist one segment locally (if needed) and upload to the remote store."""
+    from nrtsearch_tpu.core.directory import save_segment
+
+    names = save_segment(seg, index_dir)  # no-op for already-persisted files
+    if remote is not None:
+        missing = [
+            n for n in names if not remote.index_file_exists(service, index_id, n)
+        ]
+        if missing:
+            remote.upload_index_files(service, index_id, index_dir, missing)
+    return names
