@@ -122,6 +122,56 @@ class Searcher:
         td = self._merge_top(per_segment, top_hits, sort, total)
         return (td, arrays) if return_arrays else td
 
+    def knn_search(
+        self,
+        field: str,
+        query_vector: np.ndarray,
+        k: int,
+        filter_node: Optional[qp.QueryNode] = None,
+        boost: float = 1.0,
+    ) -> TopDocs:
+        """Exact kNN over all segments (ops/knn.py brute-force MIPS).
+
+        Reference: KnnUtils / NrtKnnFloatVectorQuery; filter applies before
+        top-k (the FANOUT pre-filter strategy, search.proto:1720-1729).
+        """
+        import jax.numpy as jnp
+
+        from nrtsearch_tpu.ops.knn import knn_search as knn_op
+
+        fd = self.field_defs.get(field)
+        if fd is None or not fd.vector_queryable:
+            raise KeyError(f"field {field!r} is not a vector field")
+        q = np.asarray(query_vector, np.float32).reshape(1, -1)
+        if q.shape[1] != fd.dims:
+            raise ValueError(
+                f"query vector has {q.shape[1]} dims; field {field!r} has {fd.dims}"
+            )
+        hits: list[Hit] = []
+        for idx, seg in enumerate(self.segments):
+            vc = seg.vectors.get(field)
+            if vc is None:
+                continue
+            mask = vc.present & seg.live
+            if filter_node is not None:
+                ctx = qeval.EvalContext(seg, self.field_defs, self.stats)
+                _, fmask = qeval.eval_node(filter_node, ctx)
+                mask = mask & fmask
+            kk = min(k, seg.capacity)
+            sq = jnp.asarray((vc.host_norms**2).astype(np.float32))
+            scores, ids = knn_op(
+                vc.values, sq, mask, jnp.asarray(q),
+                similarity=fd.similarity, k=kk,
+            )
+            scores, ids = np.asarray(scores[0]), np.asarray(ids[0])
+            base = int(self.bases[idx])
+            for s, i in zip(scores, ids):
+                if s == -np.inf:
+                    continue
+                hits.append(Hit(idx, int(i), base + int(i), float(s) * boost))
+        hits.sort(key=lambda h: (-h.score, h.global_ord))
+        return TopDocs(hits[:k], len(hits))
+
     def count(self, node: qp.QueryNode) -> int:
         total = 0
         for seg in self.segments:

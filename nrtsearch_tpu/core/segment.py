@@ -202,10 +202,18 @@ class SegmentBuilder:
             if fd is None:
                 raise KeyError(f"unregistered field: {name!r}")
             values = value if isinstance(value, (list, tuple)) else [value]
-            if len(values) > 1 and not fd.multi_valued and fd.type != FieldType.LAT_LON:
+            if (
+                len(values) > 1
+                and not fd.multi_valued
+                and fd.type not in (FieldType.LAT_LON, FieldType.VECTOR)
+            ):
                 raise ValueError(f"field {name!r} is not multiValued")
             if fd.type == FieldType.VECTOR:
-                vec = fd.parse_vector(values[0])
+                # accept a raw number list (one vector) or a single json string
+                vec = fd.parse_vector(
+                    values if len(values) > 1 and not isinstance(values[0], str)
+                    else values[0]
+                )
                 self._vectors.setdefault(name, []).append((doc_id, vec))
                 if fd.store:
                     stored_row[name] = vec.tolist()
@@ -445,10 +453,7 @@ class SegmentBuilder:
         for doc, vec in vals:
             mat[doc] = vec
             present[doc] = True
-        if fd.similarity in ("cosine", "normalized_cosine"):
-            norms = np.linalg.norm(mat, axis=1)
-        else:
-            norms = np.ones(capacity, dtype=np.float32)
+        norms = np.linalg.norm(mat, axis=1)
         return VectorColumn(
             values=_device_put(mat),
             present=_device_put(present),

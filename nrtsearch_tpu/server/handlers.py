@@ -216,7 +216,8 @@ class Handlers:
         searcher = rt.acquire(req.searcherVersion or None)
         field_defs = rt.field_defs
 
-        qdict = MessageToDict(req.query) if req.HasField("query") else {}
+        has_query = req.HasField("query")
+        qdict = MessageToDict(req.query) if has_query else {}
         node = parse_query(qdict)
 
         sort = None
@@ -229,11 +230,21 @@ class Handlers:
         top_hits = req.topHits or 10
         fetch_n = max(top_hits, req.startHit)
 
-        need_arrays = bool(req.facets) or bool(req.collectors)
-        result = searcher.search(
-            node, fetch_n, sort=sort, return_arrays=need_arrays
-        )
-        td, arrays = result if need_arrays else (result, None)
+        need_arrays = bool(req.facets) or bool(req.collectors) or bool(req.knn)
+        if req.knn and not has_query:
+            # knn-only request: results come from the vector queries alone
+            td = self._knn_only(searcher, req.knn, fetch_n)
+            arrays = [] if need_arrays else None
+            if req.facets or req.collectors:
+                # facets still need match arrays: matches = knn result docs
+                arrays = self._hits_as_arrays(searcher, td)
+        else:
+            result = searcher.search(
+                node, fetch_n, sort=sort, return_arrays=need_arrays
+            )
+            td, arrays = result if need_arrays else (result, None)
+            if req.knn:
+                td = self._merge_knn(searcher, td, arrays, req.knn, fetch_n)
         recall_ms = (time.time() - t_start) * 1000
 
         resp = pb.SearchResponse()
@@ -275,6 +286,83 @@ class Handlers:
         resp.diagnostics.getFieldsTimeMs = fetch_ms
         resp.diagnostics.parsedQuery = repr(node)
         return resp
+
+    # -- kNN integration (reference: KnnUtils SHOULD-merge into main query) -----
+
+    def _exec_knn(self, searcher, knn_req, fetch_n: int):
+        filter_node = (
+            parse_query(MessageToDict(knn_req.filter))
+            if knn_req.HasField("filter")
+            else None
+        )
+        return searcher.knn_search(
+            knn_req.field,
+            np.asarray(list(knn_req.queryVector), np.float32),
+            max(knn_req.k or 10, fetch_n),
+            filter_node=filter_node,
+            boost=knn_req.boost or 1.0,
+        )
+
+    def _knn_only(self, searcher, knn_reqs, fetch_n: int):
+        from nrtsearch_tpu.core.searcher import Hit, TopDocs
+
+        scores: dict[int, float] = {}
+        hit_by_ord: dict[int, Hit] = {}
+        for knn_req in knn_reqs:
+            td = self._exec_knn(searcher, knn_req, fetch_n)
+            for h in td.hits:
+                scores[h.global_ord] = scores.get(h.global_ord, 0.0) + h.score
+                hit_by_ord[h.global_ord] = h
+        merged = [
+            Hit(hit_by_ord[o].segment_idx, hit_by_ord[o].local_id, o, s)
+            for o, s in scores.items()
+        ]
+        merged.sort(key=lambda h: (-h.score, h.global_ord))
+        return TopDocs(merged[:fetch_n], len(merged))
+
+    def _merge_knn(self, searcher, td, arrays, knn_reqs, fetch_n: int):
+        """Union the query's top window with knn top-k docs, summing scores
+        (boolean SHOULD semantics: each knn clause matches exactly its top-k)."""
+        from nrtsearch_tpu.core.searcher import Hit, TopDocs
+
+        scores: dict[int, float] = {h.global_ord: h.score for h in td.hits}
+        hit_by_ord: dict[int, Hit] = {h.global_ord: h for h in td.hits}
+        total = td.total_hits
+        for knn_req in knn_reqs:
+            ktd = self._exec_knn(searcher, knn_req, fetch_n)
+            for h in ktd.hits:
+                if h.global_ord in scores:
+                    scores[h.global_ord] += h.score
+                else:
+                    # doc matched knn but not the query top window: its query
+                    # score comes from the per-segment arrays (0 if no match)
+                    qs = 0.0
+                    if arrays:
+                        s_arr, m_arr = arrays[h.segment_idx]
+                        if bool(np.asarray(m_arr[h.local_id])):
+                            qs = float(np.asarray(s_arr[h.local_id]))
+                        else:
+                            total += 1
+                    scores[h.global_ord] = qs + h.score
+                    hit_by_ord[h.global_ord] = h
+        merged = [
+            Hit(hit_by_ord[o].segment_idx, hit_by_ord[o].local_id, o, s)
+            for o, s in scores.items()
+        ]
+        merged.sort(key=lambda h: (-h.score, h.global_ord))
+        return TopDocs(merged[:fetch_n], total)
+
+    def _hits_as_arrays(self, searcher, td):
+        arrays = []
+        for idx, seg in enumerate(searcher.segments):
+            m = np.zeros(seg.capacity, bool)
+            s = np.zeros(seg.capacity, np.float32)
+            for h in td.hits:
+                if h.segment_idx == idx:
+                    m[h.local_id] = True
+                    s[h.local_id] = h.score
+            arrays.append((s, m))
+        return arrays
 
     def _run_facets(self, req, resp, matches) -> None:
         for facet in req.facets:
