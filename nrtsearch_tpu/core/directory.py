@@ -85,7 +85,7 @@ def save_segment(seg: Segment, directory: str | Path) -> list[str]:
         arrays[f"{key}.offsets"] = tfi.offsets
         arrays[f"{key}.lengths"] = tfi.lengths
         if tfi.positions is not None:
-            arrays[f"{key}.positions"] = np.asarray(tfi.positions)
+            arrays[f"{key}.positions"] = tfi.positions
             arrays[f"{key}.position_offsets"] = tfi.position_offsets
         inv = [None] * len(tfi.terms)
         for t, tid in tfi.terms.items():
@@ -133,6 +133,9 @@ def load_segment(seg_id: str, directory: str | Path, del_gen: int = 0) -> Segmen
     for name, fm in meta["fields"].items():
         key = f"f.{name}"
         terms = {t: i for i, t in enumerate(fm["terms"])}
+        pl = fm["postings_len"]
+        host_doc_ids = arrays[f"{key}.doc_ids"][:pl].copy()
+        host_freqs = arrays[f"{key}.freqs"][:pl].copy()
         fields[name] = TextFieldIndex(
             terms=terms,
             offsets=arrays[f"{key}.offsets"],
@@ -142,8 +145,10 @@ def load_segment(seg_id: str, directory: str | Path, del_gen: int = 0) -> Segmen
             doc_lens=_device_put(arrays[f"{key}.doc_lens"]),
             sum_doc_lens=fm["sum_doc_lens"],
             doc_count=fm["doc_count"],
-            postings_len=fm["postings_len"],
-            positions=_device_put(arrays[f"{key}.positions"])
+            postings_len=pl,
+            host_doc_ids=host_doc_ids,
+            host_freqs=host_freqs,
+            positions=arrays[f"{key}.positions"]
             if fm.get("has_positions")
             else None,
             position_offsets=arrays[f"{key}.position_offsets"]

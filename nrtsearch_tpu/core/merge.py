@@ -50,17 +50,32 @@ def merge_segments(
         for fname, tfi in seg.fields.items():
             post = builder._postings.setdefault(fname, {})
             lens = builder._doc_lens.setdefault(fname, [])
-            doc_ids = np.asarray(tfi.doc_ids)[: tfi.postings_len]
-            freqs = np.asarray(tfi.freqs)[: tfi.postings_len]
+            doc_ids = (
+                tfi.host_doc_ids
+                if tfi.host_doc_ids is not None
+                else np.asarray(tfi.doc_ids)[: tfi.postings_len]
+            )
+            freqs = (
+                tfi.host_freqs
+                if tfi.host_freqs is not None
+                else np.asarray(tfi.freqs)[: tfi.postings_len]
+            )
             inv_terms = [None] * len(tfi.terms)
             for term, tid in tfi.terms.items():
                 inv_terms[tid] = term
             for tid, term in enumerate(inv_terms):
                 off, ln = int(tfi.offsets[tid]), int(tfi.lengths[tid])
-                for d, f in zip(doc_ids[off : off + ln], freqs[off : off + ln]):
-                    nd = m[int(d)]
-                    if nd >= 0:
-                        post.setdefault(term, []).append((int(nd), float(f)))
+                for e in range(off, off + ln):
+                    nd = m[int(doc_ids[e])]
+                    if nd < 0:
+                        continue
+                    if tfi.positions is not None and tfi.position_offsets is not None:
+                        pos = tfi.positions[
+                            tfi.position_offsets[e] : tfi.position_offsets[e + 1]
+                        ].tolist()
+                    else:
+                        pos = []
+                    post.setdefault(term, []).append((int(nd), float(freqs[e]), pos))
             seg_lens = np.asarray(tfi.doc_lens)[: seg.num_docs]
             while len(lens) < new_local:
                 lens.append(0)

@@ -73,10 +73,32 @@ class TextFieldIndex:
     sum_doc_lens: int        # sum of quantized lengths (for avgdl)
     doc_count: int           # docs that have this field
     postings_len: int        # valid prefix of doc_ids/freqs
-    # phrase positions: CSR over postings entries (built when field.search and
-    # positions enabled); None until the phrase-query milestone.
-    positions: Optional[Any] = None
-    position_offsets: Optional[np.ndarray] = None
+    # host-side copies for phrase verification / merging (device arrays stay
+    # the scoring source of truth)
+    host_doc_ids: Optional[np.ndarray] = None   # int32 [postings_len]
+    host_freqs: Optional[np.ndarray] = None     # float32 [postings_len]
+    # phrase positions: CSR over postings entries (host-resident; the phrase
+    # verify stage runs on candidate docs, not the full corpus)
+    positions: Optional[np.ndarray] = None           # int32 flat
+    position_offsets: Optional[np.ndarray] = None    # int64 [postings_len + 1]
+
+    def entry_index(self, term: str, doc: int) -> int:
+        """Postings entry index of (term, doc), -1 if absent (host lookup)."""
+        tid = self.terms.get(term)
+        if tid is None or self.host_doc_ids is None:
+            return -1
+        off, ln = int(self.offsets[tid]), int(self.lengths[tid])
+        run = self.host_doc_ids[off : off + ln]
+        i = int(np.searchsorted(run, doc))
+        if i < ln and run[i] == doc:
+            return off + i
+        return -1
+
+    def positions_of(self, term: str, doc: int) -> np.ndarray:
+        e = self.entry_index(term, doc)
+        if e < 0 or self.positions is None:
+            return np.empty(0, np.int32)
+        return self.positions[self.position_offsets[e] : self.position_offsets[e + 1]]
 
     def lookup(self, term: str) -> tuple[int, int]:
         """(offset, length) of a term's postings, (0, 0) if absent."""
@@ -235,20 +257,28 @@ class SegmentBuilder:
         self._stored.append(stored_row)
         return doc_id
 
+    # position gap between values of a multi-valued field (reference:
+    # PosIncGapAnalyzerWrapper; Lucene default gap semantics)
+    POSITION_GAP = 100
+
     def _index_text(self, fd: FieldDef, doc_id: int, values: list[str]) -> None:
         name = fd.name
         post = self._postings.setdefault(name, {})
         lens = self._doc_lens.setdefault(name, [])
         while len(lens) < doc_id:
             lens.append(0)
-        counts: dict[str, int] = {}
+        positions: dict[str, list[int]] = {}
         total = 0
+        base = 0
         for v in values:
+            max_pos = 0
             for tok in fd.index_tokens(v):
-                counts[tok.text] = counts.get(tok.text, 0) + 1
+                positions.setdefault(tok.text, []).append(base + tok.position)
+                max_pos = max(max_pos, tok.position + 1)
                 total += 1
-        for term, freq in counts.items():
-            post.setdefault(term, []).append((doc_id, freq))
+            base += max_pos + self.POSITION_GAP
+        for term, plist in positions.items():
+            post.setdefault(term, []).append((doc_id, len(plist), plist))
         lens.append(total)
 
     def flush(self, seg_id: Optional[str] = None) -> Optional[Segment]:
@@ -295,6 +325,8 @@ class SegmentBuilder:
         p_pad = pad_to_bucket(total)
         doc_ids = np.zeros(p_pad, dtype=np.int32)
         freqs = np.zeros(p_pad, dtype=np.float32)
+        pos_offsets = np.zeros(total + 1, dtype=np.int64)
+        pos_lists: list = []
         cursor = 0
         # stable term order (insertion) — postings within a term are already
         # in ascending doc id order because docs are added in order
@@ -302,10 +334,17 @@ class SegmentBuilder:
             terms[term] = tid
             offsets[tid] = cursor
             lengths[tid] = len(plist)
-            arr = np.asarray(plist, dtype=np.int64)
-            doc_ids[cursor : cursor + len(plist)] = arr[:, 0]
-            freqs[cursor : cursor + len(plist)] = arr[:, 1]
+            for i, (doc, freq, positions) in enumerate(plist):
+                doc_ids[cursor + i] = doc
+                freqs[cursor + i] = freq
+                pos_lists.append(positions)
+                pos_offsets[cursor + i + 1] = pos_offsets[cursor + i] + len(positions)
             cursor += len(plist)
+        flat_positions = (
+            np.concatenate([np.asarray(p, np.int32) for p in pos_lists])
+            if pos_lists
+            else np.empty(0, np.int32)
+        ).astype(np.int32)
         lens_list = self._doc_lens.get(field_name, [])
         lens = np.zeros(capacity, dtype=np.int64)
         lens[: len(lens_list)] = lens_list
@@ -321,6 +360,10 @@ class SegmentBuilder:
             sum_doc_lens=int(quantize_length(lens[: self.num_docs]).sum()),
             doc_count=doc_count,
             postings_len=total,
+            host_doc_ids=doc_ids[:total].copy(),
+            host_freqs=freqs[:total].copy(),
+            positions=flat_positions,
+            position_offsets=pos_offsets,
         )
 
     def _pack_doc_values(self, fd: FieldDef, vals: list, capacity: int) -> DocValueColumn:

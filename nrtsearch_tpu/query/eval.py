@@ -108,6 +108,13 @@ def eval_node(node: qp.QueryNode, ctx: EvalContext):
         return _eval_phrase(node, ctx)
     if isinstance(node, qp.FunctionScoreNode):
         return _eval_function_score(node, ctx)
+    if isinstance(node, qp.ConstantScoreNode):
+        _, match = eval_node(node.filter or qp.MatchAllNode(), ctx)
+        return _const_score(match, node.boost), match
+    if isinstance(node, qp.FuzzyQueryNode):
+        return _eval_fuzzy(node, ctx)
+    if isinstance(node, qp.WildcardQueryNode):
+        return _eval_wildcard(node, ctx)
     raise NotImplementedError(f"query node not yet supported: {type(node).__name__}")
 
 
@@ -339,6 +346,83 @@ def _eval_prefix(node: qp.PrefixQueryNode, ctx: EvalContext):
     return _const_score(match, node.boost), match
 
 
+def _eval_fuzzy(node: qp.FuzzyQueryNode, ctx: EvalContext):
+    """Fuzzy term expansion over the segment term dictionary.
+
+    Expansion uses banded Levenshtein with prefix constraint; matches are
+    scored as a constant-score OR over expansions (Lucene's blended-freq
+    rewrite is a later refinement)."""
+    tfi = ctx.segment.fields.get(node.field)
+    if tfi is None or not node.text:
+        return _none(ctx)
+    expanded = _fuzzy_expand(
+        tfi.terms, node.text, node.max_edits, node.prefix_length, node.max_expansions
+    )
+    if not expanded:
+        return _none(ctx)
+    _, match = _text_clause(
+        ctx, node.field, expanded, [0.0] * len(expanded), "SHOULD", 0, 0.0
+    )
+    return _const_score(match, node.boost), match
+
+
+def _eval_wildcard(node: qp.WildcardQueryNode, ctx: EvalContext):
+    import fnmatch
+
+    tfi = ctx.segment.fields.get(node.field)
+    if tfi is None:
+        return _none(ctx)
+    expanded = [t for t in tfi.terms if fnmatch.fnmatchcase(t, node.pattern)]
+    expanded = expanded[: node.max_expansions]
+    if not expanded:
+        return _none(ctx)
+    _, match = _text_clause(
+        ctx, node.field, expanded, [0.0] * len(expanded), "SHOULD", 0, 0.0
+    )
+    return _const_score(match, node.boost), match
+
+
+def _fuzzy_expand(
+    terms: dict, text: str, max_edits: int, prefix_len: int, max_expansions: int
+) -> list[str]:
+    prefix = text[:prefix_len]
+    out = []
+    n = len(text)
+    for t in terms:
+        if len(out) >= max_expansions:
+            break
+        if abs(len(t) - n) > max_edits or not t.startswith(prefix):
+            continue
+        if _levenshtein_at_most(text, t, max_edits):
+            out.append(t)
+    return out
+
+
+def _levenshtein_at_most(a: str, b: str, k: int) -> bool:
+    """Banded edit distance check (distance <= k)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    big = k + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        # cells outside the |i-j| <= k band are unreachable within k edits
+        cur = [big] * (lb + 1)
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        if i <= k:
+            cur[0] = i
+        for j in range(lo, hi + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        if min(cur[lo : hi + 1]) > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
 def _eval_geo_bbox(node: qp.GeoBoundingBoxNode, ctx: EvalContext):
     dv = ctx.segment.doc_values.get(node.field)
     if dv is None or dv.kind != DocValueKind.LAT_LON:
@@ -360,9 +444,98 @@ def _eval_geo_radius(node: qp.GeoRadiusNode, ctx: EvalContext):
 
 
 def _eval_phrase(node, ctx: EvalContext):
-    raise NotImplementedError(
-        "phrase queries require the positions index (next milestone)"
+    """Phrase matching: device AND-candidate recall + host position verify.
+
+    Reference: Lucene PhraseQuery via QueryNodeMapper. Stage 1 runs on device
+    (docs containing all terms); stage 2 verifies positions on the host over
+    the candidate set only and computes the phrase-frequency BM25 score
+    (idf = sum of term idfs, tf = phrase freq — Lucene PhraseQuery semantics).
+    """
+    seg = ctx.segment
+    if isinstance(node, qp.MatchPhraseQueryNode):
+        fd = _field(ctx, node.field)
+        analyzer = fd.search_analyzer or fd.index_analyzer or get_analyzer("standard")
+        tokens = analyzer.analyze(node.query)
+        if not tokens:
+            return _none(ctx)
+        base_pos = tokens[0].position
+        terms = [t.text for t in tokens]
+        req_offsets = [t.position - base_pos for t in tokens]
+        slop = node.slop
+    else:
+        terms = list(node.terms)
+        req_offsets = list(range(len(terms)))
+        slop = node.slop
+    if not terms:
+        return _none(ctx)
+    tfi = seg.fields.get(node.field)
+    if tfi is None or tfi.positions is None:
+        return _none(ctx)
+
+    # stage 1: candidate docs containing all terms (device)
+    _, cand_mask = _text_clause(
+        ctx, node.field, terms, [0.0] * len(terms), "MUST", 0, 0.0
     )
+    cand_ids = np.nonzero(np.asarray(cand_mask)[: seg.num_docs])[0]
+
+    # stage 2: host position verification
+    dc = ctx.stats.doc_count(node.field)
+    sum_idf = sum(
+        bm25_ops.lucene_idf(dc, ctx.stats.doc_freq(node.field, t)) for t in set(terms)
+    )
+    avgdl = ctx.stats.avgdl(node.field)
+    doc_lens = np.asarray(tfi.doc_lens)
+    scores_host = np.zeros(seg.capacity, np.float32)
+    match_host = np.zeros(seg.capacity, bool)
+    for doc in cand_ids:
+        plists = [tfi.positions_of(t, int(doc)) for t in terms]
+        freq = _phrase_freq(plists, req_offsets, slop)
+        if freq > 0:
+            dl = doc_lens[doc]
+            tf_norm = freq / (freq + ctx.k1 * (1 - ctx.b + ctx.b * dl / avgdl))
+            scores_host[doc] = node.boost * sum_idf * tf_norm
+            match_host[doc] = True
+    import jax
+
+    return jax.device_put(scores_host), jax.device_put(match_host)
+
+
+def _phrase_freq(plists: list[np.ndarray], offsets: list[int], slop: int) -> int:
+    """Count phrase occurrences.
+
+    Exact (slop=0): base positions p where every term i appears at p+offset_i.
+    Sloppy: alignments where the total displacement from the exact layout is
+    <= slop (greedy nearest-position approximation of Lucene's sloppy freq).
+    """
+    if any(len(p) == 0 for p in plists):
+        return 0
+    base = plists[0] - offsets[0]
+    if slop == 0:
+        count = 0
+        sets = [set(p.tolist()) for p in plists]
+        for p in base:
+            if all((p + off) in s for off, s in zip(offsets[1:], sets[1:])):
+                count += 1
+        return count
+    count = 0
+    for p in base:
+        total_move = 0
+        ok = True
+        for off, plist in zip(offsets[1:], plists[1:]):
+            want = p + off
+            i = np.searchsorted(plist, want)
+            best = np.inf
+            if i < len(plist):
+                best = abs(int(plist[i]) - want)
+            if i > 0:
+                best = min(best, abs(int(plist[i - 1]) - want))
+            total_move += best
+            if total_move > slop:
+                ok = False
+                break
+        if ok:
+            count += 1
+    return count
 
 
 def _eval_function_score(node: qp.FunctionScoreNode, ctx: EvalContext):

@@ -101,6 +101,27 @@ class PrefixQueryNode(QueryNode):
 
 
 @dataclass(frozen=True)
+class FuzzyQueryNode(QueryNode):
+    field: str = ""
+    text: str = ""
+    max_edits: int = 2
+    prefix_length: int = 0
+    max_expansions: int = 50
+
+
+@dataclass(frozen=True)
+class WildcardQueryNode(QueryNode):
+    field: str = ""
+    pattern: str = ""
+    max_expansions: int = 128
+
+
+@dataclass(frozen=True)
+class ConstantScoreNode(QueryNode):
+    filter: Optional[QueryNode] = None
+
+
+@dataclass(frozen=True)
 class GeoBoundingBoxNode(QueryNode):
     field: str = ""
     min_lat: float = -90.0
@@ -280,6 +301,24 @@ def parse_query(q: dict) -> QueryNode:
             lat=float(c.get("latitude", 0)),
             lon=float(c.get("longitude", 0)),
             radius_meters=_parse_distance(g.get("radius", "0m")),
+        )
+    if "fuzzyQuery" in q:
+        f = q["fuzzyQuery"]
+        return FuzzyQueryNode(
+            boost=boost, field=f["field"], text=f.get("text", ""),
+            max_edits=int(f.get("maxEdits", 2)),
+            prefix_length=int(f.get("prefixLength", 0)),
+            max_expansions=int(f.get("maxExpansions", 50)),
+        )
+    if "wildcardQuery" in q:
+        w = q["wildcardQuery"]
+        return WildcardQueryNode(
+            boost=boost, field=w["field"], pattern=w.get("pattern", ""),
+            max_expansions=int(w.get("maxExpansions", 128)),
+        )
+    if "constantScoreQuery" in q:
+        return ConstantScoreNode(
+            boost=boost, filter=parse_query(q["constantScoreQuery"].get("filter", {}))
         )
     if "booleanQuery" in q:
         b = q["booleanQuery"]

@@ -1,0 +1,136 @@
+"""Phrase, match-phrase, fuzzy, wildcard, constant-score queries."""
+
+import numpy as np
+import pytest
+
+from nrtsearch_tpu.core.searcher import Searcher
+from nrtsearch_tpu.core.writer import IndexWriter
+from nrtsearch_tpu.query.plan import parse_query
+from nrtsearch_tpu.schema.fields import create_field_def
+
+FIELDS = {
+    "doc_id": create_field_def("doc_id", {"type": "_ID", "store": True}),
+    "body": create_field_def("body", {"type": "TEXT", "search": True, "store": True}),
+    "tags": create_field_def(
+        "tags", {"type": "TEXT", "search": True, "multiValued": True}
+    ),
+}
+
+DOCS = [
+    {"doc_id": "0", "body": "the quick brown fox jumps"},
+    {"doc_id": "1", "body": "quick fox runs but brown dog sleeps"},
+    {"doc_id": "2", "body": "a brown quick fox appears twice quick brown fox here"},
+    {"doc_id": "3", "body": "completely unrelated words", "tags": ["alpha beta", "gamma delta"]},
+]
+
+
+@pytest.fixture(scope="module")
+def searcher():
+    w = IndexWriter(FIELDS)
+    w.add_documents(DOCS)
+    return Searcher(w.refresh(), FIELDS, version=1)
+
+
+def test_exact_phrase(searcher):
+    q = parse_query({"phraseQuery": {"field": "body", "terms": ["quick", "brown"]}})
+    td = searcher.search(q, 10)
+    assert sorted(h.global_ord for h in td.hits) == [0, 2]
+    # doc 2 has phrase freq 1 ("quick brown fox here"); doc 0 has freq 1.
+    # higher score = shorter doc => doc 0 ranks first
+    assert td.hits[0].global_ord == 0
+
+
+def test_phrase_three_terms(searcher):
+    q = parse_query(
+        {"phraseQuery": {"field": "body", "terms": ["quick", "brown", "fox"]}}
+    )
+    td = searcher.search(q, 10)
+    assert sorted(h.global_ord for h in td.hits) == [0, 2]
+
+    q2 = parse_query(
+        {"phraseQuery": {"field": "body", "terms": ["brown", "fox", "jumps"]}}
+    )
+    td2 = searcher.search(q2, 10)
+    assert [h.global_ord for h in td2.hits] == [0]
+
+
+def test_sloppy_phrase(searcher):
+    # "quick ... dog" are 4 apart in doc 1 ("quick fox runs but brown dog")
+    q0 = parse_query({"phraseQuery": {"field": "body", "terms": ["quick", "dog"]}})
+    assert searcher.search(q0, 10).total_hits == 0
+    q4 = parse_query(
+        {"phraseQuery": {"field": "body", "terms": ["quick", "dog"], "slop": 4}}
+    )
+    assert [h.global_ord for h in searcher.search(q4, 10).hits] == [1]
+
+
+def test_match_phrase_analyzed(searcher):
+    q = parse_query(
+        {"matchPhraseQuery": {"field": "body", "query": "Quick Brown FOX"}}
+    )
+    td = searcher.search(q, 10)
+    assert sorted(h.global_ord for h in td.hits) == [0, 2]
+
+
+def test_phrase_not_across_multivalue_gap(searcher):
+    # "beta" ends value 1, "gamma" starts value 2: position gap prevents match
+    q = parse_query({"phraseQuery": {"field": "tags", "terms": ["beta", "gamma"]}})
+    assert searcher.search(q, 10).total_hits == 0
+    q2 = parse_query({"phraseQuery": {"field": "tags", "terms": ["alpha", "beta"]}})
+    assert searcher.search(q2, 10).total_hits == 1
+
+
+def test_fuzzy(searcher):
+    q = parse_query({"fuzzyQuery": {"field": "body", "text": "quik", "maxEdits": 1}})
+    td = searcher.search(q, 10)
+    assert sorted(h.global_ord for h in td.hits) == [0, 1, 2]
+    # maxEdits 0: no match
+    q0 = parse_query({"fuzzyQuery": {"field": "body", "text": "quik", "maxEdits": 0}})
+    assert searcher.search(q0, 10).total_hits == 0
+
+
+def test_wildcard(searcher):
+    q = parse_query({"wildcardQuery": {"field": "body", "pattern": "qu*k"}})
+    td = searcher.search(q, 10)
+    assert sorted(h.global_ord for h in td.hits) == [0, 1, 2]
+    q2 = parse_query({"wildcardQuery": {"field": "body", "pattern": "sle?ps"}})
+    assert [h.global_ord for h in searcher.search(q2, 10).hits] == [1]
+
+
+def test_constant_score(searcher):
+    q = parse_query(
+        {
+            "constantScoreQuery": {
+                "filter": {"matchQuery": {"field": "body", "query": "fox"}}
+            },
+            "boost": 3.5,
+        }
+    )
+    td = searcher.search(q, 10)
+    assert {h.global_ord for h in td.hits} == {0, 1, 2}
+    assert all(h.score == pytest.approx(3.5) for h in td.hits)
+
+
+def test_phrase_survives_persistence(tmp_path, searcher):
+    from nrtsearch_tpu.core.directory import commit_segments, open_commit
+
+    commit_segments(searcher.segments, tmp_path, gen=1, version=1)
+    _, segments = open_commit(tmp_path)
+    s2 = Searcher(segments, FIELDS, version=1)
+    q = parse_query({"phraseQuery": {"field": "body", "terms": ["quick", "brown"]}})
+    assert sorted(h.global_ord for h in s2.search(q, 10).hits) == [0, 2]
+
+
+def test_phrase_survives_merge():
+    from nrtsearch_tpu.core.merge import merge_segments
+
+    w = IndexWriter(FIELDS)
+    for d in DOCS:
+        w.add_documents([d])
+        w.refresh()
+    merged, _ = merge_segments(w.segments, FIELDS)
+    s = Searcher([merged], FIELDS, version=1)
+    q = parse_query({"phraseQuery": {"field": "body", "terms": ["quick", "brown"]}})
+    td = s.search(q, 10)
+    ids = sorted(s.segments[h.segment_idx].stored[h.local_id]["doc_id"] for h in td.hits)
+    assert ids == ["0", "2"]
