@@ -124,6 +124,19 @@ class NrtsearchServer:
         self.handlers = Handlers(global_state)
         self.server: Optional[grpc.Server] = None
         self.port: Optional[int] = None
+        self.replication_server: Optional[grpc.Server] = None
+        self.replication_port: Optional[int] = None
+        from nrtsearch_tpu.server.replication import ReplicationService
+
+        self.replication_service = ReplicationService(global_state)
+        global_state.on_nrt_point = self.replication_service.notify_replicas
+        global_state.connect_replica = self._connect_replica
+
+    def _connect_replica(self, index_name, rt, primary_address) -> None:
+        self.replication_service.connect_to_primary(
+            index_name, rt, primary_address,
+            self.config.host_name, self.replication_port or 0,
+        )
 
     def start(self, port: Optional[int] = None) -> int:
         self.server = grpc.server(
@@ -138,14 +151,36 @@ class NrtsearchServer:
         self.server.add_generic_rpc_handlers([make_lucene_service(self.handlers)])
         bind_port = port if port is not None else self.config.port
         self.port = self.server.add_insecure_port(f"[::]:{bind_port}")
+
+        # replication server starts before the main server, like the reference
+        # (NrtsearchServer.start:171-196)
+        from nrtsearch_tpu.server.replication import make_replication_service
+
+        self.replication_server = grpc.server(
+            futures.ThreadPoolExecutor(max_workers=4),
+            options=[("grpc.max_send_message_length", 1024 * 1024 * 1024)],
+        )
+        self.replication_server.add_generic_rpc_handlers(
+            [make_replication_service(self.replication_service)]
+        )
+        self.replication_port = self.replication_server.add_insecure_port(
+            f"[::]:{self.config.replication_port if port is None else 0}"
+        )
+        self.replication_server.start()
+
         self.global_state.warm_boot()
         self.server.start()
-        log.info("LuceneServer listening on %s", self.port)
+        log.info(
+            "LuceneServer on %s, ReplicationServer on %s",
+            self.port, self.replication_port,
+        )
         return self.port
 
     def stop(self, grace: float = 2.0) -> None:
         if self.server is not None:
             self.server.stop(grace)
+        if self.replication_server is not None:
+            self.replication_server.stop(grace)
         self.global_state.close()
 
     def wait(self) -> None:

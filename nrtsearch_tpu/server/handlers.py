@@ -71,11 +71,15 @@ class Handlers:
     def startIndex(self, req: pb.StartIndexRequest) -> pb.StartIndexResponse:
         mode = pb.Mode.Name(req.mode)
         t0 = time.time()
+        primary_address = req.primaryAddress
+        if primary_address and req.port:
+            primary_address = f"{primary_address}:{req.port}"
         rt = self.gs.start_index(
             req.indexName,
             mode=mode,
             restore=req.HasField("restore"),
             primary_gen=req.primaryGen,
+            primary_address=primary_address,
         )
         s = rt.searcher
         return pb.StartIndexResponse(

@@ -196,45 +196,64 @@ class IndexRuntime:
 
     # -- NRT primary ---------------------------------------------------------------
 
-    def _publish_nrt_point(self) -> None:
-        if self.remote is None:
-            return
-        segments = self.writer.segments
-        # persist segment files locally then upload new ones
-        files: list[str] = []
-        for seg in segments:
-            files.extend(
-                commit_file_names_for(seg, self.index_dir, self.remote,
-                                      self.service_name, self.state_info.index_id)
+    def current_point(self) -> NrtPointState:
+        """The current searchable point (persisting segment files first)."""
+        with self._lock:
+            segments = self.writer.segments
+            for seg in segments:
+                commit_file_names_for(
+                    seg, self.index_dir, self.remote, self.service_name,
+                    self.state_info.index_id,
+                )
+            return NrtPointState(
+                version=self._version,
+                gen=self._gen,
+                primary_gen=self.primary_gen,
+                primary_id=self.primary_id,
+                segments=[(s.seg_id, s.del_gen) for s in segments],
             )
-        point = NrtPointState(
-            version=self._version,
-            gen=self._gen,
-            primary_gen=self.primary_gen,
-            primary_id=self.primary_id,
-            segments=[(s.seg_id, s.del_gen) for s in segments],
-        )
-        self.remote.upload_versioned(
-            self.service_name, NrtPointState.resource(self.state_info.index_id),
-            point.to_json().encode(),
-        )
+
+    def _publish_nrt_point(self) -> None:
+        # persist segment files locally, upload new ones to the object store
+        point = self.current_point()
+        if self.remote is not None:
+            self.remote.upload_versioned(
+                self.service_name, NrtPointState.resource(self.state_info.index_id),
+                point.to_json().encode(),
+            )
         if self.on_nrt_point is not None:
-            self.on_nrt_point(point)
+            # notify replicas OFF the runtime lock: a replica's copy job calls
+            # back into this primary (recvCopyState/recvRawFile), which must
+            # not deadlock against the refresh holding _lock. The reference
+            # similarly sends newNRTPoint from the refresh path but serves
+            # copy RPCs on independent executors.
+            threading.Thread(
+                target=self.on_nrt_point, args=(point,), daemon=True
+            ).start()
 
     # -- NRT replica ----------------------------------------------------------------
 
-    def install_point(self, point: NrtPointState) -> bool:
-        """Download a point's files and swap the searcher (replica side)."""
+    def install_point(self, point: NrtPointState, file_fetcher=None) -> bool:
+        """Download a point's files and swap the searcher (replica side).
+
+        ``file_fetcher(files)`` fetches missing files into index_dir — either
+        the object store (isolated replica) or a primary file-copy stream
+        (server/replication.py, SimpleCopyJob equivalent).
+        """
         with self._lock:
             if point.version <= self._version and self._version > 0:
                 return False
             missing = [
                 f for f in point.files if not (self.index_dir / f).exists()
             ]
-            if missing and self.remote is not None:
-                self.remote.download_index_files(
-                    self.service_name, self.state_info.index_id, self.index_dir, missing
-                )
+            if missing:
+                if file_fetcher is not None:
+                    file_fetcher(missing)
+                elif self.remote is not None:
+                    self.remote.download_index_files(
+                        self.service_name, self.state_info.index_id,
+                        self.index_dir, missing,
+                    )
             segments = [
                 load_segment(sid, self.index_dir, del_gen)
                 for sid, del_gen in point.segments

@@ -36,6 +36,11 @@ class GlobalState:
         self.index_ids: dict[str, str] = {}      # name -> unique index id
         self.states: dict[str, IndexStateInfo] = {}
         self.runtimes: dict[str, IndexRuntime] = {}
+        # set by NrtsearchServer when push replication is enabled:
+        # on_nrt_point(index_name, point) — primary publish hook;
+        # connect_replica(index_name, rt, primary_address) — replica bootstrap
+        self.on_nrt_point = None
+        self.connect_replica = None
         self._load()
 
     # -- persistence -------------------------------------------------------------
@@ -58,12 +63,32 @@ class GlobalState:
         info = self.states[name]
         self.backend.store_index_state(info.index_id, info.to_json())
 
+    # started roles are NODE-local (the same index is PRIMARY on one node and
+    # REPLICA on others), so they live beside — not inside — the shared index
+    # state (reference: the node's IndexStartConfig determines its role)
+    def _started_file(self) -> Path:
+        return Path(self.config.state_dir) / f"node_{self.config.node_name}_started.json"
+
+    def _load_started(self) -> dict:
+        p = self._started_file()
+        return json.loads(p.read_text()) if p.exists() else {}
+
+    def _store_started(self, name: str, mode: Optional[str]) -> None:
+        started = self._load_started()
+        if mode is None:
+            started.pop(name, None)
+        else:
+            started[name] = mode
+        p = self._started_file()
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(json.dumps(started))
+
     def warm_boot(self) -> None:
-        """Auto-start indices that were started when the node went down."""
-        for name, info in list(self.states.items()):
-            if info.started_mode:
+        """Auto-start indices this node had started when it went down."""
+        for name, mode in self._load_started().items():
+            if name in self.states:
                 try:
-                    self.start_index(name, info.started_mode, restore=True)
+                    self.start_index(name, mode, restore=True)
                 except Exception:
                     pass
 
@@ -122,6 +147,7 @@ class GlobalState:
         mode: str = "STANDALONE",
         restore: bool = False,
         primary_gen: int = 0,
+        primary_address: str = "",
     ) -> IndexRuntime:
         with self._lock:
             self._require(name)
@@ -129,6 +155,13 @@ class GlobalState:
                 raise RuntimeError(f"index {name!r} already started")
             info = self.states[name]
             index_dir = Path(self.config.index_dir) / info.index_id
+            on_point = None
+            if mode == "PRIMARY" and self.on_nrt_point is not None:
+                hook = self.on_nrt_point
+
+                def on_point(point, _name=name):
+                    hook(_name, point)
+
             rt = IndexRuntime(
                 state_info=info,
                 index_dir=index_dir,
@@ -136,11 +169,13 @@ class GlobalState:
                 remote=self.remote,
                 service_name=self.config.service_name,
                 primary_gen=primary_gen,
+                on_nrt_point=on_point,
             )
             rt.start(restore=restore)
             self.runtimes[name] = rt
-            self.update_state(name, info.with_mode(mode))
-            rt.state_info = self.states[name]
+            self._store_started(name, mode)
+            if mode == "REPLICA" and primary_address and self.connect_replica:
+                self.connect_replica(name, rt, primary_address)
             return rt
 
     def stop_index(self, name: str) -> None:
@@ -149,7 +184,7 @@ class GlobalState:
             rt = self.runtimes.pop(name, None)
             if rt is not None:
                 rt.stop()
-            self.update_state(name, self.states[name].with_mode(None))
+            self._store_started(name, None)
 
     def get_runtime(self, name: str) -> IndexRuntime:
         self._require(name)
