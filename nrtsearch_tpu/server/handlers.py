@@ -234,8 +234,19 @@ class Handlers:
         top_hits = req.topHits or 10
         fetch_n = max(top_hits, req.startHit)
 
+        # deep pagination via searchAfter: extend the collected window past
+        # the cursor (reference: LastHitInfo searchAfter state)
+        search_after = req.searchAfter if req.HasField("searchAfter") else None
+        if search_after is not None:
+            fetch_n += search_after.lastHitIndex + 1
+
         need_arrays = bool(req.facets) or bool(req.collectors) or bool(req.knn)
-        if req.knn and not has_query:
+        if req.retrievers:
+            # multi-retriever hybrid mode: retrievers recall independently,
+            # then blend (reference: executeMultiRetriever, SearchHandler:528)
+            td = self._multi_retriever(searcher, req, fetch_n)
+            arrays = self._hits_as_arrays(searcher, td) if need_arrays else None
+        elif req.knn and not has_query:
             # knn-only request: results come from the vector queries alone
             td = self._knn_only(searcher, req.knn, fetch_n)
             arrays = [] if need_arrays else None
@@ -251,6 +262,31 @@ class Handlers:
                 td = self._merge_knn(searcher, td, arrays, req.knn, fetch_n)
         recall_ms = (time.time() - t_start) * 1000
 
+        # rescorers run sequentially over the top window (SearchHandler:270-281)
+        t_rescore = time.time()
+        for rescorer in req.rescorers:
+            window = rescorer.windowSize or len(td.hits)
+            which = rescorer.WhichOneof("rescorers")
+            if which == "queryRescorer":
+                from nrtsearch_tpu.search.rescore import query_rescore
+
+                qr = rescorer.queryRescorer
+                td.hits = query_rescore(
+                    searcher, td.hits, window,
+                    parse_query(MessageToDict(qr.rescoreQuery)),
+                    qr.queryWeight or 1.0, qr.rescoreQueryWeight or 1.0,
+                )
+            elif which == "scriptRescorer":
+                from nrtsearch_tpu.search.rescore import script_rescore
+
+                td.hits = script_rescore(
+                    searcher, td.hits, window, rescorer.scriptRescorer.script.source
+                )
+        rescore_ms = (time.time() - t_rescore) * 1000
+
+        if search_after is not None:
+            td.hits = self._after_cursor(td.hits, search_after, sort)
+
         resp = pb.SearchResponse()
         resp.totalHits.value = td.total_hits
         resp.totalHits.relation = pb.TotalHits.Relation.EQUAL_TO
@@ -258,7 +294,8 @@ class Handlers:
         hits = td.hits[req.startHit : top_hits]
         t_fetch = time.time()
         retrieve = list(req.retrieveFields)
-        virtual_values = None
+        virtual_values = self._virtual_values(searcher, req, arrays)
+        highlight_plan = self._highlight_plan(req, node, field_defs)
         for h in hits:
             pb_hit = resp.hits.add()
             pb_hit.luceneDocId = h.global_ord
@@ -268,7 +305,11 @@ class Handlers:
                 sf_val = pb_hit.sortedFields[sort.field].fieldValue.add()
                 sf_val.doubleValue = h.sort_key or 0.0
             if retrieve:
-                fill_hit_fields_pb(pb_hit, searcher, h, retrieve, field_defs, pb)
+                fill_hit_fields_pb(
+                    pb_hit, searcher, h, retrieve, field_defs, pb, virtual_values
+                )
+            for hfield, (terms, settings) in highlight_plan.items():
+                self._highlight_hit(pb_hit, searcher, h, hfield, terms, settings)
         fetch_ms = (time.time() - t_fetch) * 1000
 
         if need_arrays:
@@ -288,8 +329,137 @@ class Handlers:
 
         resp.diagnostics.firstPassSearchTimeMs = recall_ms
         resp.diagnostics.getFieldsTimeMs = fetch_ms
+        resp.diagnostics.rescoreTimeMs = rescore_ms
         resp.diagnostics.parsedQuery = repr(node)
         return resp
+
+    # -- search sub-features -------------------------------------------------------
+
+    def _multi_retriever(self, searcher, req, fetch_n: int):
+        from nrtsearch_tpu.core.searcher import TopDocs
+        from nrtsearch_tpu.search import retrievers as rtr
+
+        specs = []
+        for name, mr in req.retrievers.items():
+            which = mr.WhichOneof("retriever")
+            if which == "query":
+                specs.append(
+                    rtr.RetrieverSpec(
+                        name=name,
+                        query=parse_query(MessageToDict(mr.query)),
+                        window_size=mr.windowSize or 100,
+                        weight=mr.weight or 1.0,
+                    )
+                )
+            else:
+                knn = mr.knn
+                specs.append(
+                    rtr.RetrieverSpec(
+                        name=name,
+                        knn_field=knn.field,
+                        knn_vector=np.asarray(list(knn.queryVector), np.float32),
+                        knn_k=knn.k or 10,
+                        knn_filter=parse_query(MessageToDict(knn.filter))
+                        if knn.HasField("filter") else None,
+                        window_size=mr.windowSize or (knn.k or 100),
+                        weight=mr.weight or 1.0,
+                    )
+                )
+        results = rtr.run_retrievers(searcher, specs)
+        weights = {s.name: s.weight for s in specs}
+        blender = req.blender
+        btype = pb.BlenderSettings.BlenderType.Name(blender.type)
+        if btype == "WEIGHTED_SCORE":
+            stype = pb.BlenderSettings.ScoreType.Name(blender.scoreType)
+            merged = rtr.blend_weighted_score(results, weights, stype)
+        elif btype == "RAW":
+            merged = rtr.blend_raw(results, sorted(results))
+        else:
+            merged = rtr.blend_rrf(
+                results, weights, blender.rrfRankConstant or 60
+            )
+        return TopDocs(merged[:fetch_n], len(merged))
+
+    def _after_cursor(self, hits, search_after, sort):
+        """Drop hits at or before the searchAfter cursor."""
+        out = []
+        for h in hits:
+            if sort is None:
+                key_ok = h.score < search_after.lastScore or (
+                    h.score == search_after.lastScore
+                    and h.global_ord > search_after.lastDocId
+                )
+            else:
+                key_ok = h.global_ord > search_after.lastDocId or (
+                    search_after.lastFieldValues
+                    and (h.sort_key or 0.0) != float(search_after.lastFieldValues[0])
+                )
+            if key_ok:
+                out.append(h)
+        return out
+
+    def _virtual_values(self, searcher, req, arrays):
+        """Request-level virtual fields -> global-ord-indexed value arrays."""
+        if not req.virtualFields:
+            return None
+        from nrtsearch_tpu.query.eval import _ScriptDocValues
+        from nrtsearch_tpu.script.expr import compile_expression
+
+        out = {}
+        for vf in req.virtualFields:
+            fn = compile_expression(vf.script.source)
+            vals = []
+            for idx, seg in enumerate(searcher.segments):
+                if arrays:
+                    score_arr = np.asarray(arrays[idx][0])
+                else:
+                    score_arr = np.zeros(seg.capacity, np.float32)
+                v = np.asarray(fn(_ScriptDocValues(seg), score_arr))
+                if v.ndim == 0:
+                    v = np.full(seg.capacity, float(v), np.float32)
+                vals.append(v[: seg.num_docs])
+            out[vf.name] = np.concatenate(vals) if vals else np.zeros(0)
+        return out
+
+    def _highlight_plan(self, req, node, field_defs):
+        if not req.HasField("highlight") or not req.highlight.fields:
+            return {}
+        from nrtsearch_tpu.search.highlight import (
+            HighlightSettings,
+            query_terms_for_field,
+        )
+
+        def settings_for(fname):
+            s = req.highlight.fieldSettings.get(fname) or req.highlight.settings
+            hs = HighlightSettings()
+            if s.preTags:
+                hs.pre_tag = s.preTags[0]
+            if s.postTags:
+                hs.post_tag = s.postTags[0]
+            if s.fragmentSize:
+                hs.fragment_size = s.fragmentSize
+            if s.maxNumberOfFragments:
+                hs.max_fragments = s.maxNumberOfFragments
+            return hs
+
+        plan = {}
+        for fname in req.highlight.fields:
+            terms = query_terms_for_field(node, fname)
+            plan[fname] = (terms, settings_for(fname))
+        return plan
+
+    def _highlight_hit(self, pb_hit, searcher, hit, field, terms, settings):
+        from nrtsearch_tpu.search.highlight import highlight_text
+
+        seg = searcher.segments[hit.segment_idx]
+        text = seg.stored[hit.local_id].get(field)
+        if not text:
+            return
+        if isinstance(text, list):
+            text = " ".join(str(t) for t in text)
+        frags = highlight_text(str(text), terms, settings)
+        if frags:
+            pb_hit.highlights[field].fragments.extend(frags)
 
     # -- kNN integration (reference: KnnUtils SHOULD-merge into main query) -----
 
