@@ -1,0 +1,244 @@
+"""nrtsearch_client CLI: one subcommand per RPC.
+
+Reference: tools/cli (picocli ``nrtsearch_client`` with ~30 subcommands —
+SearchCommand, AddDocumentsCommand with CSV/JSON streaming, StartIndexV2Command,
+...). CSV ingestion uses ';' as the multi-value separator, matching the
+reference's CSV format (docker-compose-config/docs.csv).
+
+Usage: python -m nrtsearch_tpu.cli --host localhost --port 8000 <command> ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import sys
+from typing import Iterable
+
+from google.protobuf.json_format import MessageToJson, Parse
+
+from nrtsearch_tpu.client import NrtsearchClient
+from nrtsearch_tpu.gen import pb
+
+
+def _print(msg) -> None:
+    print(MessageToJson(msg, indent=1))
+
+
+def cmd_create_index(client, args) -> None:
+    _print(client.create_index(args.indexName))
+
+
+def cmd_delete_index(client, args) -> None:
+    _print(client.delete_index(args.indexName))
+
+
+def cmd_register_fields(client, args) -> None:
+    req = Parse(open(args.fileName).read(), pb.FieldDefRequest())
+    if args.indexName:
+        req.indexName = args.indexName
+    _print(client.register_fields(req))
+
+
+def cmd_settings(client, args) -> None:
+    req = Parse(open(args.fileName).read(), pb.SettingsV2Request()) if args.fileName \
+        else pb.SettingsV2Request(indexName=args.indexName)
+    if args.indexName:
+        req.indexName = args.indexName
+    _print(client.settings_v2(req))
+
+
+def cmd_live_settings(client, args) -> None:
+    req = Parse(open(args.fileName).read(), pb.LiveSettingsV2Request()) if args.fileName \
+        else pb.LiveSettingsV2Request(indexName=args.indexName)
+    if args.indexName:
+        req.indexName = args.indexName
+    _print(client.live_settings_v2(req))
+
+
+def cmd_start_index(client, args) -> None:
+    if args.fileName:
+        req = Parse(open(args.fileName).read(), pb.StartIndexRequest())
+        if args.indexName:
+            req.indexName = args.indexName
+    else:
+        req = pb.StartIndexRequest(
+            indexName=args.indexName, mode=pb.Mode.Value(args.mode),
+            primaryAddress=args.primaryAddress or "",
+        )
+    _print(client.start_index(req))
+
+
+def cmd_stop_index(client, args) -> None:
+    _print(client.stop_index(args.indexName))
+
+
+def _csv_documents(index_name: str, path: str) -> Iterable[pb.AddDocumentRequest]:
+    with open(path, newline="") as f:
+        for row in csv.DictReader(f):
+            req = pb.AddDocumentRequest(indexName=index_name)
+            for key, value in row.items():
+                if value is None or value == "":
+                    continue
+                for v in value.split(";"):
+                    req.fields[key].value.append(v)
+            yield req
+
+
+def _json_documents(index_name: str, path: str) -> Iterable[pb.AddDocumentRequest]:
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            doc = json.loads(line)
+            req = pb.AddDocumentRequest(indexName=index_name)
+            for key, value in doc.items():
+                values = value if isinstance(value, list) else [value]
+                for v in values:
+                    req.fields[key].value.append(
+                        json.dumps(v) if isinstance(v, (dict, list)) else str(v)
+                    )
+            yield req
+
+
+def cmd_add_documents(client, args) -> None:
+    gen = _csv_documents if args.fileType == "csv" else _json_documents
+    _print(client.add_documents(gen(args.indexName, args.fileName)))
+
+
+def cmd_search(client, args) -> None:
+    req = Parse(open(args.fileName).read(), pb.SearchRequest())
+    if args.indexName:
+        req.indexName = args.indexName
+    _print(client.search(req))
+
+
+def cmd_delete(client, args) -> None:
+    req = Parse(open(args.fileName).read(), pb.AddDocumentRequest())
+    _print(client.delete(req))
+
+
+def cmd_delete_by_query(client, args) -> None:
+    req = Parse(open(args.fileName).read(), pb.DeleteByQueryRequest())
+    _print(client.delete_by_query(req))
+
+
+def cmd_delete_all(client, args) -> None:
+    _print(client.delete_all(args.indexName))
+
+
+def cmd_refresh(client, args) -> None:
+    _print(client.refresh(args.indexName))
+
+
+def cmd_commit(client, args) -> None:
+    _print(client.commit(args.indexName))
+
+
+def cmd_stats(client, args) -> None:
+    _print(client.stats(args.indexName))
+
+
+def cmd_indices(client, args) -> None:
+    _print(client.indices())
+
+
+def cmd_status(client, args) -> None:
+    _print(client.status())
+
+
+def cmd_ready(client, args) -> None:
+    _print(client.ready(args.indexNames or ""))
+
+
+def cmd_force_merge(client, args) -> None:
+    _print(client.force_merge(args.indexName, args.maxSegments))
+
+
+def cmd_write_nrt_point(client, args) -> None:
+    from nrtsearch_tpu.server.replication import ReplicationClient
+
+    rc = ReplicationClient(f"{args.host}:{args.replicationPort}")
+    try:
+        _print(rc.write_nrt_point(args.indexName))
+    finally:
+        rc.close()
+
+
+def cmd_get_nodes(client, args) -> None:
+    from nrtsearch_tpu.server.replication import ReplicationClient
+
+    rc = ReplicationClient(f"{args.host}:{args.replicationPort}")
+    try:
+        _print(rc.get_nodes_info(args.indexName))
+    finally:
+        rc.close()
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="nrtsearch_client")
+    p.add_argument("--host", default="localhost")
+    p.add_argument("--port", type=int, default=8000)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def add(name, fn, *flags):
+        sp = sub.add_parser(name)
+        sp.set_defaults(fn=fn)
+        for flag, kw in flags:
+            sp.add_argument(flag, **kw)
+        return sp
+
+    idx = ("--indexName", {"required": True})
+    idx_opt = ("--indexName", {"default": ""})
+    fname = ("--fileName", {"required": True})
+    fname_opt = ("--fileName", {"default": ""})
+
+    add("createIndex", cmd_create_index, idx)
+    add("deleteIndex", cmd_delete_index, idx)
+    add("registerFields", cmd_register_fields, fname, idx_opt)
+    add("settings", cmd_settings, fname_opt, idx_opt)
+    add("liveSettings", cmd_live_settings, fname_opt, idx_opt)
+    add(
+        "startIndex", cmd_start_index, idx_opt, fname_opt,
+        ("--mode", {"default": "STANDALONE",
+                    "choices": ["STANDALONE", "PRIMARY", "REPLICA"]}),
+        ("--primaryAddress", {"default": ""}),
+    )
+    add("stopIndex", cmd_stop_index, idx)
+    add(
+        "addDocuments", cmd_add_documents, idx, fname,
+        ("--fileType", {"default": "csv", "choices": ["csv", "json"]}),
+    )
+    add("search", cmd_search, fname, idx_opt)
+    add("delete", cmd_delete, fname)
+    add("deleteByQuery", cmd_delete_by_query, fname)
+    add("deleteAllDocuments", cmd_delete_all, idx)
+    add("refresh", cmd_refresh, idx)
+    add("commit", cmd_commit, idx)
+    add("stats", cmd_stats, idx)
+    add("indices", cmd_indices)
+    add("status", cmd_status)
+    add("ready", cmd_ready, ("--indexNames", {"default": ""}))
+    add("forceMerge", cmd_force_merge, idx, ("--maxSegments", {"type": int, "default": 1}))
+    add("writeNRTPoint", cmd_write_nrt_point, idx,
+        ("--replicationPort", {"type": int, "default": 8001}))
+    add("getNodes", cmd_get_nodes, idx,
+        ("--replicationPort", {"type": int, "default": 8001}))
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    with NrtsearchClient(f"{args.host}:{args.port}") as client:
+        try:
+            args.fn(client, args)
+        except Exception as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

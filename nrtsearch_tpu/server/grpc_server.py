@@ -190,11 +190,19 @@ class NrtsearchServer:
 
 def main(argv: Optional[list[str]] = None) -> None:
     import argparse
+    import os
 
     parser = argparse.ArgumentParser(description="nrtsearch_tpu server")
     parser.add_argument("config", nargs="?", help="YAML config file")
     parser.add_argument("--port", type=int, default=None)
     args = parser.parse_args(argv)
+
+    # honor JAX_PLATFORMS=cpu exactly: TPU plugins may prepend themselves to
+    # jax_platforms, and only one process can own the chip anyway
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     logging.basicConfig(level=logging.INFO)
     config = NrtsearchConfig.load(args.config)
     server = NrtsearchServer(config)

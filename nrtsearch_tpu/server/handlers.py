@@ -223,6 +223,14 @@ class Handlers:
         has_query = req.HasField("query")
         qdict = MessageToDict(req.query) if has_query else {}
         node = parse_query(qdict)
+        if not has_query and req.queryText and req.queryText != "*:*":
+            from nrtsearch_tpu.query.text_parser import parse_query_text
+
+            default_fields = [
+                n for n, fd in field_defs.items() if fd.search and fd.is_text
+            ]
+            node = parse_query_text(req.queryText, default_fields or ["*"])
+            has_query = True
 
         sort = None
         if req.HasField("querySort") and req.querySort.fields.sortedFields:
