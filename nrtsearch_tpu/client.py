@@ -144,3 +144,35 @@ class NrtsearchClient:
 
     def settings_v2(self, request: pb.SettingsV2Request) -> pb.SettingsV2Response:
         return self._u("settingsV2", pb.SettingsV2Request, pb.SettingsV2Response)(request)
+
+    def metrics(self) -> pb.MetricsResponse:
+        return self._u("metrics", pb.MetricsRequest, pb.MetricsResponse)(
+            pb.MetricsRequest()
+        )
+
+    def custom(self, request: pb.CustomRequest) -> pb.CustomResponse:
+        return self._u("custom", pb.CustomRequest, pb.CustomResponse)(request)
+
+    def create_snapshot(self, index_name: str) -> pb.CreateSnapshotResponse:
+        return self._u(
+            "createSnapshot", pb.CreateSnapshotRequest, pb.CreateSnapshotResponse
+        )(pb.CreateSnapshotRequest(indexName=index_name))
+
+    def release_snapshot(self, index_name: str, index_gen: int) -> pb.ReleaseSnapshotResponse:
+        req = pb.ReleaseSnapshotRequest(indexName=index_name)
+        req.snapshotId.indexGen = index_gen
+        return self._u(
+            "releaseSnapshot", pb.ReleaseSnapshotRequest, pb.ReleaseSnapshotResponse
+        )(req)
+
+    def get_all_snapshot_gens(self, index_name: str) -> pb.GetAllSnapshotGenResponse:
+        return self._u(
+            "getAllSnapshotIndexGen", pb.GetAllSnapshotGenRequest,
+            pb.GetAllSnapshotGenResponse,
+        )(pb.GetAllSnapshotGenRequest(indexName=index_name))
+
+    def backup_warming_queries(self, index_name: str) -> pb.BackupWarmingQueriesResponse:
+        return self._u(
+            "backupWarmingQueries", pb.BackupWarmingQueriesRequest,
+            pb.BackupWarmingQueriesResponse,
+        )(pb.BackupWarmingQueriesRequest(index=index_name))

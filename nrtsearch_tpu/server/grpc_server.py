@@ -33,24 +33,49 @@ _STATUS_MAP = {
 }
 
 
-def _wrap_unary(fn: Callable):
+def _check_deadline(context) -> None:
+    """DeadlineUtils.checkDeadline equivalent (DeadlineUtils.java:48)."""
+    remaining = context.time_remaining()
+    if remaining is not None and remaining <= 0:
+        context.abort(grpc.StatusCode.DEADLINE_EXCEEDED, "deadline exceeded")
+
+
+def _wrap_unary(fn: Callable, metrics=None):
+    import time as _time
+
     def call(request, context):
+        t0 = _time.perf_counter()
         try:
-            return fn(request)
+            _check_deadline(context)
+            resp = fn(request)
+            if metrics is not None:
+                metrics.observe_rpc(fn.__name__, _time.perf_counter() - t0)
+            return resp
         except Exception as e:  # map to gRPC status like Handler.java:83
             code = _STATUS_MAP.get(type(e), grpc.StatusCode.INTERNAL)
+            if metrics is not None:
+                metrics.observe_rpc(fn.__name__, _time.perf_counter() - t0, code.name)
             log.warning("rpc %s failed: %s", fn.__name__, e)
             context.abort(code, f"{type(e).__name__}: {e}")
 
     return call
 
 
-def _wrap_stream_unary(fn: Callable):
+def _wrap_stream_unary(fn: Callable, metrics=None):
+    import time as _time
+
     def call(request_iterator, context):
+        t0 = _time.perf_counter()
         try:
-            return fn(request_iterator)
+            _check_deadline(context)
+            resp = fn(request_iterator)
+            if metrics is not None:
+                metrics.observe_rpc(fn.__name__, _time.perf_counter() - t0)
+            return resp
         except Exception as e:
             code = _STATUS_MAP.get(type(e), grpc.StatusCode.INTERNAL)
+            if metrics is not None:
+                metrics.observe_rpc(fn.__name__, _time.perf_counter() - t0, code.name)
             log.warning("rpc %s failed: %s", fn.__name__, e)
             context.abort(code, f"{type(e).__name__}: {e}")
 
@@ -79,10 +104,19 @@ _LUCENE_RPCS = {
     "ready": (pb.ReadyCheckRequest, pb.HealthCheckResponse, "unary"),
     "forceMerge": (pb.ForceMergeRequest, pb.ForceMergeResponse, "unary"),
     "metrics": (pb.MetricsRequest, pb.MetricsResponse, "unary"),
+    "custom": (pb.CustomRequest, pb.CustomResponse, "unary"),
+    "createSnapshot": (pb.CreateSnapshotRequest, pb.CreateSnapshotResponse, "unary"),
+    "releaseSnapshot": (pb.ReleaseSnapshotRequest, pb.ReleaseSnapshotResponse, "unary"),
+    "getAllSnapshotIndexGen": (
+        pb.GetAllSnapshotGenRequest, pb.GetAllSnapshotGenResponse, "unary",
+    ),
+    "backupWarmingQueries": (
+        pb.BackupWarmingQueriesRequest, pb.BackupWarmingQueriesResponse, "unary",
+    ),
 }
 
 
-def make_lucene_service(handlers: Handlers) -> grpc.GenericRpcHandler:
+def make_lucene_service(handlers: Handlers, metrics=None) -> grpc.GenericRpcHandler:
     method_handlers = {}
     for name, (req_t, resp_t, kind) in _LUCENE_RPCS.items():
         fn = getattr(handlers, name, None)
@@ -90,19 +124,21 @@ def make_lucene_service(handlers: Handlers) -> grpc.GenericRpcHandler:
             continue
         if kind == "unary":
             method_handlers[name] = grpc.unary_unary_rpc_method_handler(
-                _wrap_unary(fn),
+                _wrap_unary(fn, metrics),
                 request_deserializer=req_t.FromString,
                 response_serializer=resp_t.SerializeToString,
             )
         elif kind == "stream_unary":
             method_handlers[name] = grpc.stream_unary_rpc_method_handler(
-                _wrap_stream_unary(fn),
+                _wrap_stream_unary(fn, metrics),
                 request_deserializer=req_t.FromString,
                 response_serializer=resp_t.SerializeToString,
             )
     # `delete` takes a single AddDocumentRequest in the reference; expose both
+    delete_one = lambda req: handlers.delete([req])  # noqa: E731
+    delete_one.__name__ = "delete"
     method_handlers["delete"] = grpc.unary_unary_rpc_method_handler(
-        _wrap_unary(lambda req: handlers.delete([req])),
+        _wrap_unary(delete_one, metrics),
         request_deserializer=pb.AddDocumentRequest.FromString,
         response_serializer=pb.AddDocumentResponse.SerializeToString,
     )
@@ -121,7 +157,15 @@ class NrtsearchServer:
             backend = LocalStateBackend(self.config.state_dir)
             global_state = GlobalState(self.config, backend)
         self.global_state = global_state
-        self.handlers = Handlers(global_state)
+        from nrtsearch_tpu.server.monitoring import Metrics
+        from nrtsearch_tpu.server.plugins import PluginRegistry, load_plugins
+
+        self.metrics = Metrics(global_state)
+        self.plugins = PluginRegistry()
+        load_plugins(self.config.plugins, self.plugins)
+        for ingestor in self.plugins.ingestors:
+            ingestor.initialize(global_state)
+        self.handlers = Handlers(global_state, self.metrics, self.plugins)
         self.server: Optional[grpc.Server] = None
         self.port: Optional[int] = None
         self.replication_server: Optional[grpc.Server] = None
@@ -148,7 +192,9 @@ class NrtsearchServer:
                 ("grpc.max_receive_message_length", 1024 * 1024 * 1024),
             ],
         )
-        self.server.add_generic_rpc_handlers([make_lucene_service(self.handlers)])
+        self.server.add_generic_rpc_handlers(
+            [make_lucene_service(self.handlers, self.metrics)]
+        )
         bind_port = port if port is not None else self.config.port
         self.port = self.server.add_insecure_port(f"[::]:{bind_port}")
 
@@ -169,6 +215,8 @@ class NrtsearchServer:
         self.replication_server.start()
 
         self.global_state.warm_boot()
+        for ingestor in self.plugins.ingestors:
+            ingestor.start()
         self.server.start()
         log.info(
             "LuceneServer on %s, ReplicationServer on %s",
@@ -177,6 +225,11 @@ class NrtsearchServer:
         return self.port
 
     def stop(self, grace: float = 2.0) -> None:
+        for ingestor in self.plugins.ingestors:
+            try:
+                ingestor.stop()
+            except Exception:
+                pass
         if self.server is not None:
             self.server.stop(grace)
         if self.replication_server is not None:

@@ -22,8 +22,20 @@ from nrtsearch_tpu.state.global_state import GlobalState
 
 
 class Handlers:
-    def __init__(self, global_state: GlobalState):
+    def __init__(self, global_state: GlobalState, metrics=None, plugins=None):
         self.gs = global_state
+        self.metrics_provider = metrics
+        self.plugins = plugins
+        self._warmers: dict[str, object] = {}
+
+    def _warmer(self, index_name: str):
+        from nrtsearch_tpu.server.warming import Warmer
+
+        if index_name not in self._warmers:
+            self._warmers[index_name] = Warmer(
+                index_name, self.gs.config.max_warming_queries
+            )
+        return self._warmers[index_name]
 
     # -- admin -----------------------------------------------------------------
 
@@ -212,13 +224,67 @@ class Handlers:
             status=pb.ForceMergeResponse.Status.FORCE_MERGE_COMPLETED
         )
 
+    # -- snapshots / warming / metrics / custom -------------------------------------
+
+    def createSnapshot(self, req: pb.CreateSnapshotRequest) -> pb.CreateSnapshotResponse:
+        rt = self.gs.get_runtime(req.indexName)
+        gen = rt.create_snapshot()
+        resp = pb.CreateSnapshotResponse()
+        resp.snapshotId.indexGen = gen
+        resp.snapshotId.stateGen = rt.state_info.gen
+        return resp
+
+    def releaseSnapshot(self, req: pb.ReleaseSnapshotRequest) -> pb.ReleaseSnapshotResponse:
+        rt = self.gs.get_runtime(req.indexName)
+        ok = rt.release_snapshot(req.snapshotId.indexGen)
+        return pb.ReleaseSnapshotResponse(success=ok)
+
+    def getAllSnapshotIndexGen(
+        self, req: pb.GetAllSnapshotGenRequest
+    ) -> pb.GetAllSnapshotGenResponse:
+        rt = self.gs.get_runtime(req.indexName)
+        return pb.GetAllSnapshotGenResponse(indexGens=rt.snapshot_gens())
+
+    def backupWarmingQueries(
+        self, req: pb.BackupWarmingQueriesRequest
+    ) -> pb.BackupWarmingQueriesResponse:
+        rt = self.gs.get_runtime(req.index)
+        if self.gs.remote is None:
+            raise RuntimeError("no remote backend configured for warming backup")
+        n = self._warmer(req.index).backup(
+            self.gs.remote, self.gs.config.service_name, rt.state_info.index_id
+        )
+        return pb.BackupWarmingQueriesResponse(numQueriesBackedUp=n)
+
+    def metrics(self, req: pb.MetricsRequest) -> pb.MetricsResponse:
+        if self.metrics_provider is None:
+            return pb.MetricsResponse(metrics="")
+        return pb.MetricsResponse(metrics=self.metrics_provider.scrape())
+
+    def custom(self, req: pb.CustomRequest) -> pb.CustomResponse:
+        if self.plugins is None or req.id not in self.plugins.custom_request_handlers:
+            raise KeyError(f"no custom request handler registered for {req.id!r}")
+        result = self.plugins.custom_request_handlers[req.id](
+            req.path, dict(req.params)
+        )
+        resp = pb.CustomResponse()
+        for k, v in (result or {}).items():
+            resp.response[k] = str(v)
+        return resp
+
     # -- search -------------------------------------------------------------------
 
     def search(self, req: pb.SearchRequest) -> pb.SearchResponse:
         t_start = time.time()
         rt = self.gs.get_runtime(req.indexName)
-        searcher = rt.acquire(req.searcherVersion or None)
+        if req.snapshotGen:
+            searcher = rt.searcher_for_snapshot(req.snapshotGen)
+        else:
+            searcher = rt.acquire(req.searcherVersion or None)
         field_defs = rt.field_defs
+        self._warmer(req.indexName).add_search_request(req)
+        if self.metrics_provider is not None:
+            self.metrics_provider.search_hits.labels(req.indexName).inc()
 
         has_query = req.HasField("query")
         qdict = MessageToDict(req.query) if has_query else {}

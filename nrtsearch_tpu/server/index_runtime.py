@@ -315,6 +315,99 @@ class IndexRuntime:
         self._refresh_thread = threading.Thread(target=tick, daemon=True)
         self._refresh_thread.start()
 
+    # -- snapshots (reference: PersistentSnapshotDeletionPolicy via
+    # CreateSnapshotHandler; ref-counted commit gens, ShardState.java:753-761) --
+
+    def _snapshots_file(self) -> Path:
+        return self.index_dir / "snapshots.json"
+
+    def _load_snapshots(self) -> dict:
+        p = self._snapshots_file()
+        import json
+
+        return json.loads(p.read_text()) if p.exists() else {}
+
+    def create_snapshot(self) -> int:
+        """Commit and pin the commit point; returns the pinned gen."""
+        gen = self.commit()
+        import json
+
+        with self._lock:
+            snaps = self._load_snapshots()
+            snaps[str(gen)] = snaps.get(str(gen), 0) + 1
+            self._snapshots_file().write_text(json.dumps(snaps))
+        return gen
+
+    def release_snapshot(self, gen: int) -> bool:
+        import json
+
+        with self._lock:
+            snaps = self._load_snapshots()
+            key = str(gen)
+            if key not in snaps:
+                return False
+            snaps[key] -= 1
+            if snaps[key] <= 0:
+                del snaps[key]
+            self._snapshots_file().write_text(json.dumps(snaps))
+            self.gc_files()
+            return True
+
+    def snapshot_gens(self) -> list[int]:
+        return sorted(int(g) for g in self._load_snapshots())
+
+    def searcher_for_snapshot(self, gen: int) -> Searcher:
+        """Open a point-in-time searcher over a pinned commit."""
+        from nrtsearch_tpu.core.directory import CommitManifest, load_segment
+
+        manifest_path = self.index_dir / f"segments_{gen}.json"
+        if not manifest_path.exists():
+            raise KeyError(f"no snapshot commit gen {gen}")
+        manifest = CommitManifest.from_json(manifest_path.read_text())
+        segments = [
+            load_segment(sid, self.index_dir, dg) for sid, dg in manifest.segments
+        ]
+        return Searcher(segments, self.field_defs, version=manifest.version)
+
+    def gc_files(self) -> list[str]:
+        """Delete index files not referenced by the latest commit, any pinned
+        snapshot, or the live searcher (ReplicaDeleterManager analogue)."""
+        from nrtsearch_tpu.core.directory import (
+            CommitManifest,
+            latest_commit,
+            segment_file_names,
+        )
+
+        with self._lock:
+            keep: set[str] = set()
+            keep_manifests: set[str] = set()
+            latest = latest_commit(self.index_dir)
+            pinned_gens = set(self.snapshot_gens())
+            if latest is not None:
+                pinned_gens.add(latest.gen)
+            for gen in pinned_gens:
+                p = self.index_dir / f"segments_{gen}.json"
+                if not p.exists():
+                    continue
+                keep_manifests.add(p.name)
+                m = CommitManifest.from_json(p.read_text())
+                for sid, dg in m.segments:
+                    keep.update(segment_file_names(sid, dg))
+            for seg in self.writer.segments:
+                keep.update(segment_file_names(seg.seg_id, seg.del_gen))
+            removed = []
+            for p in self.index_dir.iterdir():
+                if p.name == "snapshots.json" or not p.is_file():
+                    continue
+                if p.name.startswith("segments_"):
+                    drop = p.name not in keep_manifests
+                else:
+                    drop = p.name not in keep
+                if drop:
+                    removed.append(p.name)
+                    p.unlink()
+            return removed
+
     # -- stats ------------------------------------------------------------------------
 
     def stats(self) -> dict:

@@ -1,0 +1,97 @@
+"""Prometheus metrics.
+
+Reference: server/monitoring/ (19 collectors, 2,031 LoC; registered at
+NrtsearchServer.java:255-281) — per-RPC latency/counts via a server
+interceptor, index metrics (docs/segments/searcher age), NRT metrics (point
+lag, copy bytes), and the /metrics surface exposed through an RPC returning
+the text exposition format (MetricsHandler equivalent).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from prometheus_client import (
+    CollectorRegistry,
+    Counter,
+    Gauge,
+    Histogram,
+    generate_latest,
+)
+
+_BUCKETS = (
+    0.0005, 0.001, 0.0025, 0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5,
+    1.0, 2.5, 5.0, 10.0,
+)
+
+
+class Metrics:
+    """Per-server metrics registry (one per NrtsearchServer)."""
+
+    def __init__(self, global_state=None):
+        self.registry = CollectorRegistry()
+        self.global_state = global_state
+        self.rpc_latency = Histogram(
+            "grpc_server_handled_latency_seconds",
+            "gRPC handler latency",
+            ["method"],
+            registry=self.registry,
+            buckets=_BUCKETS,
+        )
+        self.rpc_count = Counter(
+            "grpc_server_handled_total",
+            "gRPC calls handled",
+            ["method", "code"],
+            registry=self.registry,
+        )
+        self.indexing_docs = Counter(
+            "nrt_indexing_docs_total",
+            "documents indexed",
+            ["index"],
+            registry=self.registry,
+        )
+        self.search_hits = Counter(
+            "nrt_search_total_hits",
+            "total hits returned",
+            ["index"],
+            registry=self.registry,
+        )
+        self.nrt_point_version = Gauge(
+            "nrt_current_point_version",
+            "current searcher version",
+            ["index"],
+            registry=self.registry,
+        )
+        self.copy_bytes = Counter(
+            "nrt_replication_copied_bytes_total",
+            "bytes copied by replication",
+            ["index"],
+            registry=self.registry,
+        )
+        # live index gauges (numDocs / segments / searcher age) collected at
+        # scrape time via a custom collector
+        self._index_gauges = Gauge(
+            "nrt_index_num_docs", "live docs", ["index"], registry=self.registry
+        )
+        self._segment_gauges = Gauge(
+            "nrt_index_num_segments", "segments", ["index"], registry=self.registry
+        )
+        self._buffered_gauges = Gauge(
+            "nrt_index_buffered_docs", "buffered docs", ["index"],
+            registry=self.registry,
+        )
+
+    def observe_rpc(self, method: str, seconds: float, code: str = "OK") -> None:
+        self.rpc_latency.labels(method).observe(seconds)
+        self.rpc_count.labels(method, code).inc()
+
+    def scrape(self) -> str:
+        if self.global_state is not None:
+            for name, rt in list(self.global_state.runtimes.items()):
+                st = rt.stats()
+                self._index_gauges.labels(name).set(st["numDocs"])
+                self._segment_gauges.labels(name).set(st["numSegments"])
+                self._buffered_gauges.labels(name).set(st["bufferedDocs"])
+                self.nrt_point_version.labels(name).set(st["version"])
+        return generate_latest(self.registry).decode()

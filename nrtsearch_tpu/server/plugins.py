@@ -1,0 +1,96 @@
+"""Plugin system: extension-point registries.
+
+Reference: server/plugins/ (jar classloader plugins with 15 extension
+interfaces — Analysis, Blender, Collector, CustomRequest, FetchTask,
+FieldType, Highlighter, HitsLogger, Ingestion, Metrics, Rescorer, Script,
+Similarity; PluginsService + CustomRequestProcessor.java:43). The Python
+re-expression: plugins are modules exposing a ``register(registry)`` hook,
+loaded from config by import path or via the ``nrtsearch_tpu.plugins``
+entry-point group; extension points are plain callables in this registry.
+"""
+
+from __future__ import annotations
+
+import importlib
+import logging
+from typing import Callable, Optional
+
+log = logging.getLogger("nrtsearch_tpu.plugins")
+
+
+class PluginRegistry:
+    def __init__(self) -> None:
+        self.custom_request_handlers: dict[str, Callable] = {}  # id -> fn(path, params) -> dict
+        self.hits_loggers: dict[str, Callable] = {}             # name -> fn(index, request, hits)
+        self.rescorers: dict[str, Callable] = {}                # name -> fn(searcher, hits, params)
+        self.blenders: dict[str, Callable] = {}                 # name -> fn(results, weights) -> hits
+        self.similarities: dict[str, Callable] = {}             # name -> scorer factory
+        self.ingestors: list = []                               # Ingestor instances
+
+    # -- analyzers / fields / scripts reuse the module-level registries ---------
+
+    def register_analyzer(self, analyzer) -> None:
+        from nrtsearch_tpu.analysis import register_analyzer
+
+        register_analyzer(analyzer)
+
+    def register_field_type(self, name: str, factory) -> None:
+        from nrtsearch_tpu.schema.fields import register_field_type
+
+        register_field_type(name, factory)
+
+    def register_custom_request_handler(self, plugin_id: str, fn: Callable) -> None:
+        self.custom_request_handlers[plugin_id] = fn
+
+    def register_hits_logger(self, name: str, fn: Callable) -> None:
+        self.hits_loggers[name] = fn
+
+    def register_rescorer(self, name: str, fn: Callable) -> None:
+        self.rescorers[name] = fn
+
+    def register_blender(self, name: str, fn: Callable) -> None:
+        self.blenders[name] = fn
+
+    def register_similarity(self, name: str, factory: Callable) -> None:
+        self.similarities[name] = factory
+
+    def register_ingestor(self, ingestor) -> None:
+        self.ingestors.append(ingestor)
+
+
+class Ingestor:
+    """Pull-based ingestion plugin base (reference: server/ingestion/Ingestor
+    .java:40 — lifecycle initialize/start/stop, addDocuments, commit)."""
+
+    def initialize(self, global_state) -> None: ...
+
+    def start(self) -> None: ...
+
+    def stop(self) -> None: ...
+
+
+def load_plugins(names: list[str], registry: PluginRegistry) -> None:
+    """Load plugins by module path (config ``plugins:`` list) or entry point."""
+    for name in names:
+        loaded = False
+        try:
+            mod = importlib.import_module(name)
+            if hasattr(mod, "register"):
+                mod.register(registry)
+                loaded = True
+        except ImportError:
+            pass
+        if not loaded:
+            try:
+                from importlib.metadata import entry_points
+
+                for ep in entry_points(group="nrtsearch_tpu.plugins"):
+                    if ep.name == name:
+                        ep.load()(registry)
+                        loaded = True
+            except Exception:
+                pass
+        if loaded:
+            log.info("loaded plugin %s", name)
+        else:
+            log.warning("plugin %s not found", name)
