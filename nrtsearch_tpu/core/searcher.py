@@ -96,7 +96,7 @@ class Searcher:
             if extra_filter is not None:
                 _, fmask = qeval.eval_node(extra_filter, ctx)
                 match = match & fmask
-            match = match & seg.live
+            match = match & seg.live & self._root_mask(seg)
             if return_arrays:
                 arrays.append((scores, match))
             k = min(top_hits, seg.capacity)
@@ -177,7 +177,7 @@ class Searcher:
         for seg in self.segments:
             ctx = qeval.EvalContext(seg, self.field_defs, self.stats)
             _, match = qeval.eval_node(node, ctx)
-            total += int(np.asarray((match & seg.live).sum()))
+            total += int(np.asarray((match & seg.live & self._root_mask(seg)).sum()))
         return total
 
     def match_masks(self, node: qp.QueryNode) -> list[Any]:
@@ -186,8 +186,22 @@ class Searcher:
         for seg in self.segments:
             ctx = qeval.EvalContext(seg, self.field_defs, self.stats)
             _, match = qeval.eval_node(node, ctx)
-            out.append(match & seg.live)
+            out.append(match & seg.live & self._root_mask(seg))
         return out
+
+    @staticmethod
+    def _root_mask(seg: Segment):
+        """Top-level searches return parent (root) docs only; nested children
+        are reachable via NestedQuery / innerHits (Lucene block-join)."""
+        from nrtsearch_tpu.core.segment import SegmentBuilder
+
+        dv = seg.doc_values.get(SegmentBuilder.NESTED_PATH_FIELD)
+        if dv is None or not dv.ord_index:
+            return True
+        root_ord = dv.ord_index.get(SegmentBuilder.ROOT_PATH)
+        if root_ord is None:
+            return True
+        return dv.values == root_ord
 
     # -- internals -----------------------------------------------------------
 

@@ -164,8 +164,31 @@ class Segment:
     def live_doc_count(self) -> int:
         return self.num_docs - self.del_count
 
+    def parent_positions(self) -> Optional[np.ndarray]:
+        """Sorted local ids of parent (root) docs, None if no nesting info."""
+        dv = self.doc_values.get(SegmentBuilder.NESTED_PATH_FIELD)
+        if dv is None or not dv.ord_index:
+            return None
+        root_ord = dv.ord_index.get(SegmentBuilder.ROOT_PATH)
+        if root_ord is None:
+            return None
+        return np.nonzero(dv.host_values[: self.num_docs] == root_ord)[0]
+
     def with_deletes(self, deleted_local_ids: np.ndarray) -> "Segment":
-        """Return a new segment with additional docs marked deleted."""
+        """Return a new segment with additional docs marked deleted.
+
+        Deleting a parent also deletes its nested children (Lucene block-join
+        delete semantics: blocks live and die together)."""
+        deleted_local_ids = np.asarray(deleted_local_ids, dtype=np.int64)
+        parents = self.parent_positions()
+        if parents is not None and len(parents):
+            expanded = set(int(d) for d in deleted_local_ids)
+            for d in deleted_local_ids:
+                idx = int(np.searchsorted(parents, int(d)))
+                if idx < len(parents) and parents[idx] == d:
+                    start = int(parents[idx - 1]) + 1 if idx > 0 else 0
+                    expanded.update(range(start, int(d)))
+            deleted_local_ids = np.asarray(sorted(expanded), dtype=np.int64)
         host_live = self.host_live.copy()
         host_live[deleted_local_ids] = False
         live = np.zeros(self.capacity, dtype=bool)
@@ -200,6 +223,15 @@ class SegmentBuilder:
     """
 
     def __init__(self, field_defs: dict[str, FieldDef]):
+        if self.NESTED_PATH_FIELD not in field_defs:
+            field_defs = {
+                **field_defs,
+                self.NESTED_PATH_FIELD: FieldDef(
+                    name=self.NESTED_PATH_FIELD,
+                    type=FieldType.ATOM,
+                    store_doc_values=True,
+                ),
+            }
         self.field_defs = field_defs
         self.num_docs = 0
         # field -> term -> list[(doc, freq)] built as parallel arrays
@@ -210,12 +242,46 @@ class SegmentBuilder:
         self._stored: list[dict] = []
         self._positions: dict[str, dict] = {}
 
+    # internal field naming for nested documents (reference: _NESTED_PATH in
+    # LuceneDocumentBuilder; Lucene block-join ordering: children BEFORE parent)
+    NESTED_PATH_FIELD = "_nested_path"
+    ROOT_PATH = "_root"
+
     def add_document(self, doc: dict[str, Any]) -> int:
         """Add one parsed document: field name -> raw value or list of values.
 
-        Returns the local doc id. Values are raw strings (as in the proto
-        AddDocumentRequest MultiValuedField) or already-typed values.
+        OBJECT fields with nestedDoc=true expand into child documents indexed
+        immediately before the parent (Lucene block ordering), each carrying
+        dotted field names (``path.subfield``) and a ``_nested_path`` doc
+        value; the parent gets ``_nested_path = _root``.
+
+        Returns the parent's local doc id.
         """
+        import json as _json
+
+        nested_children: list[tuple[str, dict]] = []
+        flat_doc: dict[str, Any] = {}
+        for name, value in doc.items():
+            fd = self.field_defs.get(name)
+            if (
+                fd is not None
+                and fd.type == FieldType.OBJECT
+                and fd.raw.get("nestedDoc")
+            ):
+                values = value if isinstance(value, (list, tuple)) else [value]
+                for v in values:
+                    child = _json.loads(v) if isinstance(v, str) else dict(v)
+                    nested_children.append((name, child))
+            else:
+                flat_doc[name] = value
+        for path, child in nested_children:
+            child_doc = {f"{path}.{k}": v for k, v in child.items()}
+            child_doc[self.NESTED_PATH_FIELD] = path
+            self._add_flat(child_doc)
+        flat_doc[self.NESTED_PATH_FIELD] = self.ROOT_PATH
+        return self._add_flat(flat_doc)
+
+    def _add_flat(self, doc: dict[str, Any]) -> int:
         doc_id = self.num_docs
         self.num_docs += 1
         stored_row: dict[str, Any] = {}

@@ -115,6 +115,8 @@ def eval_node(node: qp.QueryNode, ctx: EvalContext):
         return _eval_fuzzy(node, ctx)
     if isinstance(node, qp.WildcardQueryNode):
         return _eval_wildcard(node, ctx)
+    if isinstance(node, qp.NestedQueryNode):
+        return _eval_nested(node, ctx)
     raise NotImplementedError(f"query node not yet supported: {type(node).__name__}")
 
 
@@ -421,6 +423,59 @@ def _levenshtein_at_most(a: str, b: str, k: int) -> bool:
             return False
         prev = cur
     return prev[lb] <= k
+
+
+def _eval_nested(node: qp.NestedQueryNode, ctx: EvalContext):
+    """Block-join: evaluate the child query, aggregate per parent block.
+
+    Reference: NestedQuery (proto) -> Lucene ToParentBlockJoinQuery. Blocks
+    are contiguous (children precede their parent), so per-parent aggregation
+    is a reduceat over parent boundaries.
+    """
+    from nrtsearch_tpu.core.segment import SegmentBuilder
+
+    seg = ctx.segment
+    dv = seg.doc_values.get(SegmentBuilder.NESTED_PATH_FIELD)
+    parents = seg.parent_positions()
+    if dv is None or parents is None or len(parents) == 0:
+        return _none(ctx)
+    path_ord = (dv.ord_index or {}).get(node.path)
+    if path_ord is None:
+        return _none(ctx)
+    child_scores, child_match = eval_node(node.query or qp.MatchAllNode(), ctx)
+    cs = np.asarray(child_scores)[: seg.num_docs]
+    cm = np.asarray(child_match)[: seg.num_docs]
+    on_path = dv.host_values[: seg.num_docs] == path_ord
+    cm = cm & on_path & seg.host_live
+    cs = np.where(cm, cs, 0.0)
+
+    # per-parent block aggregation: block of parents[i] = (parents[i-1], parents[i])
+    starts = np.concatenate([[0], parents[:-1] + 1])
+    sums = np.add.reduceat(cs, starts) * (starts < seg.num_docs)
+    counts = np.add.reduceat(cm.astype(np.int64), starts)
+    # reduceat with empty blocks (start == parent pos) repeats values; fix by
+    # zeroing blocks with no matching children
+    empty = counts == 0
+    sums = np.where(empty, 0.0, sums)
+    if node.score_mode == "MAX" or node.score_mode == "MIN":
+        op = np.maximum if node.score_mode == "MAX" else np.minimum
+        agg = op.reduceat(np.where(cm, cs, -np.inf if node.score_mode == "MAX" else np.inf), starts)
+        agg = np.where(empty, 0.0, agg)
+    elif node.score_mode == "AVG":
+        agg = np.where(empty, 0.0, sums / np.maximum(counts, 1))
+    elif node.score_mode == "NONE":
+        agg = (~empty).astype(np.float32)
+    else:  # SUM
+        agg = sums
+
+    scores_host = np.zeros(seg.capacity, np.float32)
+    match_host = np.zeros(seg.capacity, bool)
+    scores_host[parents] = (agg * node.boost).astype(np.float32)
+    match_host[parents] = ~empty
+    scores_host = np.where(match_host[: seg.capacity], scores_host, 0.0)
+    import jax
+
+    return jax.device_put(scores_host), jax.device_put(match_host)
 
 
 def _eval_geo_bbox(node: qp.GeoBoundingBoxNode, ctx: EvalContext):

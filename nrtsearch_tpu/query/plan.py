@@ -163,6 +163,15 @@ class FunctionScoreNode(QueryNode):
 
 
 @dataclass(frozen=True)
+class NestedQueryNode(QueryNode):
+    """Block-join query on nested child docs, scores aggregated to parents."""
+
+    path: str = ""
+    query: Optional[QueryNode] = None
+    score_mode: str = "NONE"  # NONE | AVG | MAX | SUM | MIN (proto3 default NONE)
+
+
+@dataclass(frozen=True)
 class KnnQueryNode(QueryNode):
     field: str = ""
     query_vector: tuple[float, ...] = ()
@@ -340,6 +349,14 @@ def parse_query(q: dict) -> QueryNode:
             boost=boost,
             query=parse_query(f.get("query", {})),
             expression=(f.get("script") or {}).get("source", "_score"),
+        )
+    if "nestedQuery" in q:
+        n = q["nestedQuery"]
+        return NestedQueryNode(
+            boost=boost,
+            path=n.get("path", ""),
+            query=parse_query(n.get("query", {})),
+            score_mode=n.get("scoreMode", "NONE"),
         )
     if "knnQuery" in q or "knn" in q:
         kq = q.get("knnQuery") or q.get("knn")

@@ -370,6 +370,7 @@ class Handlers:
         retrieve = list(req.retrieveFields)
         virtual_values = self._virtual_values(searcher, req, arrays)
         highlight_plan = self._highlight_plan(req, node, field_defs)
+        inner_cache: dict = {}  # per-request inner-query eval cache
         for h in hits:
             pb_hit = resp.hits.add()
             pb_hit.luceneDocId = h.global_ord
@@ -384,6 +385,8 @@ class Handlers:
                 )
             for hfield, (terms, settings) in highlight_plan.items():
                 self._highlight_hit(pb_hit, searcher, h, hfield, terms, settings)
+            for ih in req.innerHits:
+                self._inner_hits(pb_hit, searcher, h, ih, field_defs, inner_cache)
         fetch_ms = (time.time() - t_fetch) * 1000
 
         if need_arrays:
@@ -611,6 +614,69 @@ class Handlers:
                     s[h.local_id] = h.score
             arrays.append((s, m))
         return arrays
+
+    def _inner_hits(self, pb_hit, searcher, hit, ih, field_defs, inner_cache) -> None:
+        """Per-parent child sub-search (reference: InnerHitFetchTask,
+        server/innerhit/; proto search.proto:965-982)."""
+        from nrtsearch_tpu.core.segment import SegmentBuilder
+        from nrtsearch_tpu.query import eval as qeval
+
+        seg = searcher.segments[hit.segment_idx]
+        parents = seg.parent_positions()
+        dv = seg.doc_values.get(SegmentBuilder.NESTED_PATH_FIELD)
+        result = pb_hit.innerHits[ih.innerHitName or ih.queryNestedPath]
+        if parents is None or dv is None:
+            return
+        path_ord = (dv.ord_index or {}).get(ih.queryNestedPath)
+        if path_ord is None:
+            return
+        idx = int(np.searchsorted(parents, hit.local_id))
+        if idx >= len(parents) or parents[idx] != hit.local_id:
+            return
+        start = int(parents[idx - 1]) + 1 if idx > 0 else 0
+        end = hit.local_id
+        if end <= start:
+            result.totalHits.value = 0
+            return
+
+        # evaluate the inner query once per (segment, query) pair
+        cache_key = (hit.segment_idx, ih.SerializeToString())
+        if cache_key not in inner_cache:
+            inner_node = (
+                parse_query(MessageToDict(ih.innerQuery))
+                if ih.HasField("innerQuery")
+                else parse_query({})
+            )
+            ctx = qeval.EvalContext(seg, field_defs, searcher.stats)
+            scores, match = qeval.eval_node(inner_node, ctx)
+            inner_cache[cache_key] = (np.asarray(scores), np.asarray(match))
+        scores, match = inner_cache[cache_key]
+
+        on_path = dv.host_values[start:end] == path_ord
+        ok = match[start:end] & on_path & seg.host_live[start:end]
+        child_ids = np.nonzero(ok)[0] + start
+        child_scores = scores[child_ids]
+        order = np.argsort(-child_scores, kind="stable")
+        top = int(ih.topHits or 3)
+        sel = order[int(ih.startHit) : int(ih.startHit) + top]
+        result.totalHits.value = len(child_ids)
+        from nrtsearch_tpu.core.searcher import Hit as CoreHit
+
+        base = int(searcher.bases[hit.segment_idx])
+        for o in sel:
+            child_local = int(child_ids[o])
+            child_hit = CoreHit(
+                hit.segment_idx, child_local, base + child_local,
+                float(child_scores[o]),
+            )
+            child_pb = result.hits.add()
+            child_pb.luceneDocId = child_hit.global_ord
+            child_pb.score = child_hit.score
+            if ih.retrieveFields:
+                fill_hit_fields_pb(
+                    child_pb, searcher, child_hit, list(ih.retrieveFields),
+                    field_defs, pb,
+                )
 
     def _run_facets(self, req, resp, matches) -> None:
         for facet in req.facets:
