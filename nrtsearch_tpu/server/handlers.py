@@ -408,6 +408,14 @@ class Handlers:
         resp.diagnostics.getFieldsTimeMs = fetch_ms
         resp.diagnostics.rescoreTimeMs = rescore_ms
         resp.diagnostics.parsedQuery = repr(node)
+
+        # hits loggers (reference: HitsLoggerFetchTask, server/logging/)
+        if self.plugins is not None and self.plugins.hits_loggers:
+            for logger in self.plugins.hits_loggers.values():
+                try:
+                    logger(req.indexName, req, td.hits[: top_hits])
+                except Exception:
+                    pass
         return resp
 
     # -- search sub-features -------------------------------------------------------

@@ -241,8 +241,15 @@ class IndexRuntime:
         (server/replication.py, SimpleCopyJob equivalent).
         """
         with self._lock:
-            if point.version <= self._version and self._version > 0:
+            # a new primary incarnation (higher primaryGen) restarts the
+            # version clock; accept its points unconditionally (reference:
+            # primaryGen monotonic generation + ephemeral primaryId detect a
+            # new primary, SURVEY.md §5 failure detection)
+            new_primary = point.primary_gen > self.primary_gen
+            if not new_primary and point.version <= self._version and self._version > 0:
                 return False
+            if new_primary:
+                self.primary_gen = point.primary_gen
             missing = [
                 f for f in point.files if not (self.index_dir / f).exists()
             ]

@@ -268,13 +268,63 @@ class ReplicationService:
                            primary_address: str, my_host: str, my_port: int,
                            replica_id: int = 0) -> None:
         """Register with the primary and do the initial sync
-        (NRTReplicaNode.syncFromCurrentPrimary equivalent)."""
+        (NRTReplicaNode.syncFromCurrentPrimary equivalent).
+
+        ``primary_address`` may be ``file:/path/to/primary.json`` — a
+        discovery file holding {"host": ..., "port": ...} that is polled for
+        primary failover (reference: PrimaryFileNameResolver, polling every
+        10s; FileChangedTask reconnects on change)."""
+        if primary_address.startswith("file:"):
+            path = Path(primary_address[len("file:"):])
+            self._watch_primary_file(index_name, rt, path, my_host, my_port,
+                                     replica_id)
+            return
+        old = self._primary_clients.pop(index_name, None)
+        if old is not None:
+            old.close()
         client = ReplicationClient(primary_address)
         self._primary_clients[index_name] = client
         client.add_replicas(
             index_name, rt.state_info.index_id, my_host, my_port, replica_id
         )
         self.sync_from_primary(index_name, rt, client)
+
+    def _watch_primary_file(self, index_name: str, rt: IndexRuntime, path: Path,
+                            my_host: str, my_port: int, replica_id: int,
+                            interval: float = 2.0) -> None:
+        import json
+
+        state = {"last": None}
+
+        def read_addr():
+            try:
+                d = json.loads(path.read_text())
+                if isinstance(d, list):
+                    d = d[0]
+                return f"{d['host']}:{d['port']}"
+            except Exception:
+                return None
+
+        def connect_if_changed():
+            addr = read_addr()
+            if addr and addr != state["last"]:
+                try:
+                    self.connect_to_primary(
+                        index_name, rt, addr, my_host, my_port, replica_id
+                    )
+                    state["last"] = addr
+                    log.info("replica connected to primary %s (discovery file)", addr)
+                except Exception as e:
+                    log.warning("primary connect failed: %s", e)
+
+        connect_if_changed()
+
+        def poll():
+            while not rt._stopped.is_set():
+                rt._stopped.wait(interval)
+                connect_if_changed()
+
+        threading.Thread(target=poll, daemon=True).start()
 
 
 def make_replication_service(service: ReplicationService) -> grpc.GenericRpcHandler:

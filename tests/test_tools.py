@@ -1,0 +1,214 @@
+"""nrt_utils, REST gateway, discovery-file failover, hits loggers."""
+
+import json
+import time
+import urllib.request
+
+import pytest
+
+from nrtsearch_tpu.client import NrtsearchClient
+from nrtsearch_tpu.config import NrtsearchConfig
+from nrtsearch_tpu.gen import pb
+from nrtsearch_tpu.remote.backend import LocalFileBackend
+from nrtsearch_tpu.server.grpc_server import NrtsearchServer
+from nrtsearch_tpu.state.backend import LocalStateBackend
+from nrtsearch_tpu.state.global_state import GlobalState
+
+
+def _mk_server(tmp_path, name="n", remote=None, state=None):
+    config = NrtsearchConfig.from_dict({
+        "stateDir": state or str(tmp_path / f"{name}_state"),
+        "indexDir": str(tmp_path / f"{name}_index"),
+        "nodeName": name,
+    })
+    gs = GlobalState(config, LocalStateBackend(config.state_dir), remote=remote)
+    srv = NrtsearchServer(config, gs)
+    port = srv.start(0)
+    return srv, NrtsearchClient(f"localhost:{port}")
+
+
+FIELDS = [
+    pb.Field(name="id", type=pb.FieldType._ID, store=True),
+    pb.Field(name="t", type=pb.FieldType.TEXT, search=True, store=True),
+]
+
+
+def _fill(client, index="idx", n=3):
+    client.create_index(index)
+    client.register_fields(pb.FieldDefRequest(indexName=index, field=FIELDS))
+    client.start_index(pb.StartIndexRequest(indexName=index, mode=pb.Mode.STANDALONE))
+    reqs = []
+    for i in range(n):
+        r = pb.AddDocumentRequest(indexName=index)
+        r.fields["id"].value.append(str(i))
+        r.fields["t"].value.append(f"sample text {i}")
+        reqs.append(r)
+    client.add_documents(reqs)
+    client.refresh(index)
+
+
+def test_nrt_utils_snapshot_restore_cleanup(tmp_path, capsys):
+    from nrtsearch_tpu.nrt_utils import main as utils_main
+    from nrtsearch_tpu.server.index_runtime import IndexRuntime
+    from nrtsearch_tpu.state.index_state import IndexStateInfo
+
+    remote = LocalFileBackend(tmp_path / "store")
+    info = IndexStateInfo(index_name="i", index_id="i-123").with_fields(
+        {"id": {"type": "_ID"}, "t": {"type": "TEXT", "search": True}}
+    )
+    rt = IndexRuntime(info, tmp_path / "p", mode="PRIMARY", remote=remote,
+                      service_name="svc", primary_gen=1)
+    rt.start()
+    rt.add_documents([{"id": "1", "t": "hello world"}])
+    rt.refresh()
+
+    root = str(tmp_path / "store")
+    assert utils_main(["--root", root, "snapshot", "--serviceName", "svc",
+                       "--indexId", "i-123", "--snapshotId", "snap1"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["snapshotId"] == "snap1"
+
+    # more data -> new point; restore flips _current back to the snapshot
+    rt.add_documents([{"id": "2", "t": "more data"}])
+    rt.refresh()
+    assert utils_main(["--root", root, "listSnapshots", "--serviceName", "svc",
+                       "--indexId", "i-123"]) == 0
+    snaps = json.loads(capsys.readouterr().out)
+    assert len(snaps) == 1
+    assert utils_main(["--root", root, "restore", "--serviceName", "svc",
+                       "--indexId", "i-123", "--snapshotId", "snap1"]) == 0
+    capsys.readouterr()
+
+    replica = IndexRuntime(info, tmp_path / "r", mode="REPLICA", remote=remote,
+                           service_name="svc")
+    replica.sync_from_remote()
+    assert replica.searcher.num_docs == 1  # the snapshot point, not the newer one
+
+    assert utils_main(["--root", root, "cleanup", "--serviceName", "svc",
+                       "--indexId", "i-123", "--dryRun"]) == 0
+    cleanup = json.loads(capsys.readouterr().out)
+    assert cleanup["dryRun"] is True
+    rt.stop()
+    replica.stop()
+
+
+def test_rest_gateway(tmp_path):
+    from nrtsearch_tpu.server.rest_gateway import RestGateway
+
+    srv, client = _mk_server(tmp_path, "rest")
+    _fill(client)
+    gw = RestGateway(f"localhost:{srv.port}")
+    gw.start()
+    try:
+        def post(path, body):
+            req = urllib.request.Request(
+                f"http://localhost:{gw.port}/v1/{path}",
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+
+        resp = post("search", {
+            "indexName": "idx", "topHits": 5, "retrieveFields": ["id"],
+            "query": {"matchQuery": {"field": "t", "query": "sample"}},
+        })
+        assert resp["totalHits"]["value"] == "3"
+
+        with urllib.request.urlopen(f"http://localhost:{gw.port}/v1/status") as r:
+            assert json.loads(r.read())["health"] == "DONE"
+
+        # REST ingest
+        post("addDocuments", [{
+            "indexName": "idx",
+            "fields": {"id": {"value": ["9"]}, "t": {"value": ["rest ingested doc"]}},
+        }])
+        post("refresh", {"indexName": "idx"})
+        resp2 = post("search", {
+            "indexName": "idx", "topHits": 5,
+            "query": {"matchQuery": {"field": "t", "query": "ingested"}},
+        })
+        assert resp2["totalHits"]["value"] == "1"
+
+        # error mapping
+        try:
+            post("search", {"indexName": "missing"})
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        gw.stop()
+        client.close()
+        srv.stop()
+
+
+def test_discovery_file_failover(tmp_path):
+    remote = LocalFileBackend(tmp_path / "remote")
+    shared_state = str(tmp_path / "shared_state")
+    p1, c1 = _mk_server(tmp_path, "p1", remote=remote, state=shared_state)
+    _fill(c1, "idx")
+    c1.commit("idx")  # uncommitted docs don't survive a stop
+    c1.stop_index("idx")
+    c1.start_index(pb.StartIndexRequest(indexName="idx", mode=pb.Mode.PRIMARY,
+                                        primaryGen=1))
+    r = pb.AddDocumentRequest(indexName="idx")
+    r.fields["id"].value.append("p1doc")
+    r.fields["t"].value.append("from primary one")
+    c1.add_documents([r])
+    c1.refresh("idx")
+
+    # replica discovers the primary via a JSON host file
+    disc = tmp_path / "primary.json"
+    disc.write_text(json.dumps({"host": "localhost", "port": p1.replication_port}))
+    rep, rc = _mk_server(tmp_path, "rep", remote=remote, state=shared_state)
+    rc.start_index(pb.StartIndexRequest(indexName="idx", mode=pb.Mode.REPLICA,
+                                        primaryAddress=f"file:{disc}"))
+    deadline = time.time() + 5
+    while time.time() < deadline and rc.stats("idx").numDocs != 4:
+        time.sleep(0.1)
+    assert rc.stats("idx").numDocs == 4
+
+    # failover: new primary takes over, discovery file flips
+    p2, c2 = _mk_server(tmp_path, "p2", remote=remote, state=shared_state)
+    c2.start_index(pb.StartIndexRequest(indexName="idx", mode=pb.Mode.PRIMARY,
+                                        primaryGen=2))
+    r2 = pb.AddDocumentRequest(indexName="idx")
+    r2.fields["id"].value.append("p2doc")
+    r2.fields["t"].value.append("from primary two")
+    c2.add_documents([r2])
+    p1.stop()
+    disc.write_text(json.dumps({"host": "localhost", "port": p2.replication_port}))
+    c2.refresh("idx")
+    deadline = time.time() + 8
+    while time.time() < deadline:
+        req = pb.SearchRequest(indexName="idx", topHits=10)
+        req.query.matchQuery.field = "t"
+        req.query.matchQuery.query = "two"
+        if rc.search(req).totalHits.value == 1:
+            break
+        time.sleep(0.2)
+        c2.refresh("idx")
+    req = pb.SearchRequest(indexName="idx", topHits=10)
+    req.query.matchQuery.field = "t"
+    req.query.matchQuery.query = "two"
+    assert rc.search(req).totalHits.value == 1
+    for x in (c1, rc, c2):
+        x.close()
+    for s in (rep, p2):
+        s.stop()
+
+
+def test_hits_logger(tmp_path):
+    srv, client = _mk_server(tmp_path, "hl")
+    _fill(client)
+    logged = []
+    srv.plugins.register_hits_logger("audit", lambda idx, req, hits: logged.append(
+        (idx, len(hits))
+    ))
+    req = pb.SearchRequest(indexName="idx", topHits=2)
+    req.query.matchQuery.field = "t"
+    req.query.matchQuery.query = "sample"
+    client.search(req)
+    assert logged == [("idx", 2)]
+    client.close()
+    srv.stop()
