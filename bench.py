@@ -22,11 +22,11 @@ import time
 NUM_DOCS = int(os.environ.get("BENCH_NUM_DOCS", 1_000_000))
 VOCAB = int(os.environ.get("BENCH_VOCAB", 100_000))
 AVG_LEN = int(os.environ.get("BENCH_AVG_LEN", 48))
-BATCH = int(os.environ.get("BENCH_BATCH", 32))
+BATCH = int(os.environ.get("BENCH_BATCH", 16))
 TERMS_PER_QUERY = int(os.environ.get("BENCH_TERMS", 4))
 TOP_K = int(os.environ.get("BENCH_TOPK", 100))
-ITERS = int(os.environ.get("BENCH_ITERS", 50))
-CPU_ITERS = int(os.environ.get("BENCH_CPU_ITERS", 5))
+ITERS = int(os.environ.get("BENCH_ITERS", 20))
+CPU_ITERS = int(os.environ.get("BENCH_CPU_ITERS", 2))
 
 
 def _timeit(run, iters):
@@ -43,13 +43,20 @@ def _timeit(run, iters):
 
 
 def main() -> None:
+    global T0
+    T0 = time.perf_counter()
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from nrtsearch_tpu.models.flagship import SyntheticCorpus, bm25_search_step
 
+    def log(msg):
+        print(f"[bench +{time.perf_counter()-T0:.0f}s] {msg}", file=sys.stderr)
+
+    log("building corpus")
     corpus = SyntheticCorpus(NUM_DOCS, VOCAB, AVG_LEN, seed=42)
+    log("corpus built; packing to device")
     model = corpus.to_model()
 
     # pre-compile a fixed set of query batches (steady-state serving shape)
@@ -88,19 +95,25 @@ def main() -> None:
 
     accel = jax.devices()[0]
     run_accel = make_runner(accel)
+    log("compiling accel program")
     run_accel()  # compile
     run_accel()
+    log("timing accel")
     total, p50, p99 = _timeit(run_accel, ITERS)
     qps = BATCH * ITERS / total
+    log(f"accel done: {qps:.1f} qps")
 
     cpu_qps = None
     try:
         cpu = jax.devices("cpu")[0]
         if cpu != accel:
             run_cpu = make_runner(cpu)
+            log("compiling cpu baseline")
             run_cpu()  # compile
+            log("timing cpu baseline")
             cpu_total, _, _ = _timeit(run_cpu, CPU_ITERS)
             cpu_qps = BATCH * CPU_ITERS / cpu_total
+            log(f"cpu done: {cpu_qps:.2f} qps")
     except Exception as e:  # no cpu backend available
         print(f"cpu baseline unavailable: {e}", file=sys.stderr)
 

@@ -208,6 +208,14 @@ class Searcher:
     def _sort_keys(self, seg: Segment, sort: SortSpec):
         import jax.numpy as jnp
 
+        fd = self.field_defs.get(sort.field)
+        if fd is not None and fd.type.value in ("VIRTUAL", "RUNTIME"):
+            from nrtsearch_tpu.search.fetch import virtual_field_column
+
+            idx = self.segments.index(seg)
+            return jnp.asarray(
+                virtual_field_column(self, idx, fd).astype(np.float32)
+            )
         dv = seg.doc_values.get(sort.field)
         if dv is None:
             return jnp.zeros(seg.capacity, jnp.float32)

@@ -174,6 +174,39 @@ class Segment:
             return None
         return np.nonzero(dv.host_values[: self.num_docs] == root_ord)[0]
 
+    def with_doc_value_updates(
+        self, updates: dict[str, dict[int, Any]]
+    ) -> "Segment":
+        """Copy-on-write doc-value updates (reference: DocValueUpdatable trait,
+        AddDocumentHandler.executeDocValueUpdateRequest:498). Numeric columns
+        only. The result carries a NEW seg_id so persistence/replication treat
+        it as a fresh immutable segment (column-level update files are a later
+        format optimization)."""
+        import dataclasses
+
+        new_dv = dict(self.doc_values)
+        for field, per_doc in updates.items():
+            dv = new_dv.get(field)
+            if dv is None or dv.kind not in (DocValueKind.LONG, DocValueKind.DOUBLE):
+                raise ValueError(
+                    f"field {field!r} is not a numeric doc-values field"
+                )
+            host = dv.host_values.copy()
+            present = dv.host_present.copy()
+            for local, value in per_doc.items():
+                host[local] = value
+                present[local] = True
+            new_dv[field] = dataclasses.replace(
+                dv,
+                values=SegmentBuilder._numeric_device_array(host),
+                present=_device_put(present),
+                host_values=host,
+                host_present=present,
+            )
+        return dataclasses.replace(
+            self, doc_values=new_dv, seg_id=f"seg_{next(_SEG_COUNTER)}_dv"
+        )
+
     def with_deletes(self, deleted_local_ids: np.ndarray) -> "Segment":
         """Return a new segment with additional docs marked deleted.
 

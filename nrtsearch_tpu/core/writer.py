@@ -43,6 +43,7 @@ class IndexWriter:
         self._buffer_deleted: set[int] = set()
         self._buffer_ids: dict[str, int] = {}
         self._pending_deletes: dict[str, set[int]] = {}  # seg_id -> local ids
+        self._pending_dv_updates: dict[str, dict] = {}   # seg_id -> field -> {local: value}
         self._id_map: dict[str, tuple[str, int]] = {}  # id -> (seg_id, local)
         self._lock = threading.RLock()
         self._seq = 0
@@ -89,6 +90,41 @@ class IndexWriter:
             self._seq += 1
             return self._seq
 
+    def update_doc_values(self, docs: Sequence[dict[str, Any]]) -> int:
+        """Doc-values-only updates by id (IndexingRequestType.UPDATE_DOC_VALUES).
+
+        Each doc carries the _ID field plus numeric doc-value fields to
+        update. The target doc must be in a flushed segment (refresh first)."""
+        if self.id_field is None:
+            raise ValueError("doc-value updates require an _ID field")
+        with self._lock:
+            for doc in docs:
+                id_value = doc.get(self.id_field)
+                if isinstance(id_value, (list, tuple)):
+                    id_value = id_value[0]
+                id_value = str(id_value)
+                if id_value in self._buffer_ids:
+                    raise ValueError(
+                        f"doc {id_value!r} is still buffered; refresh before "
+                        "updating doc values"
+                    )
+                loc = self._id_map.get(id_value)
+                if loc is None:
+                    raise KeyError(f"no document with id {id_value!r}")
+                seg_id, local = loc
+                for fname, value in doc.items():
+                    if fname == self.id_field:
+                        continue
+                    fd = self.field_defs.get(fname)
+                    if fd is None:
+                        raise KeyError(f"unregistered field: {fname!r}")
+                    v = value[0] if isinstance(value, (list, tuple)) else value
+                    self._pending_dv_updates.setdefault(seg_id, {}).setdefault(
+                        fname, {}
+                    )[local] = fd.parse_doc_value(v)
+            self._seq += 1
+            return self._seq
+
     def delete_all(self) -> int:
         with self._lock:
             self.segments = []
@@ -96,6 +132,7 @@ class IndexWriter:
             self._buffer_deleted = set()
             self._buffer_ids = {}
             self._pending_deletes = {}
+            self._pending_dv_updates = {}
             self._id_map = {}
             self._seq += 1
             return self._seq
@@ -111,10 +148,11 @@ class IndexWriter:
     # -- refresh / merge ----------------------------------------------------------
 
     def refresh(self) -> list[Segment]:
-        """Flush buffer + apply deletes; returns the new segment list."""
+        """Flush buffer + apply deletes/updates; returns the new segment list."""
         with self._lock:
             self._flush_buffer()
             self._apply_pending_deletes()
+            self._apply_pending_dv_updates()
             self._maybe_merge()
             return list(self.segments)
 
@@ -147,6 +185,25 @@ class IndexWriter:
             new_segments.append(seg)
         self.segments = new_segments
         self._pending_deletes = {}
+
+    def _apply_pending_dv_updates(self) -> None:
+        if not self._pending_dv_updates:
+            return
+        new_segments = []
+        renamed: dict[str, str] = {}
+        for seg in self.segments:
+            upd = self._pending_dv_updates.get(seg.seg_id)
+            if upd:
+                new_seg = seg.with_doc_value_updates(upd)
+                renamed[seg.seg_id] = new_seg.seg_id
+                seg = new_seg
+            new_segments.append(seg)
+        self.segments = new_segments
+        if renamed:
+            for id_value, (seg_id, local) in list(self._id_map.items()):
+                if seg_id in renamed:
+                    self._id_map[id_value] = (renamed[seg_id], local)
+        self._pending_dv_updates = {}
 
     def _maybe_merge(self) -> None:
         if len(self.segments) <= self.merge_factor:

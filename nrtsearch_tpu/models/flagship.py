@@ -91,12 +91,16 @@ class BatchedBM25:
     def compile_queries(
         self, queries: Sequence[Sequence[str]], max_terms: int = 8
     ) -> QueryBatch:
-        """Analyzed query terms -> padded [B, R] tables (R power of two)."""
+        """Analyzed query terms -> padded [B, R] run tables (R power of two).
+
+        High-df terms are chunked into fixed-length runs (plan_runs) so the
+        merged width tracks the true postings touched, not terms x max df."""
+        from nrtsearch_tpu.ops.merge_scoring import plan_runs
+
         B = len(queries)
-        R = _pad_pow2(max_terms, 2)
-        offs = np.zeros((B, R), np.int32)
-        lens = np.zeros((B, R), np.int32)
-        weights = np.zeros((B, R), np.float32)
+        offs = np.zeros((B, max_terms), np.int64)
+        lens = np.zeros((B, max_terms), np.int32)
+        weights = np.zeros((B, max_terms), np.float32)
         n_terms = np.zeros(B, np.int32)
         for qi, qterms in enumerate(queries):
             n_terms[qi] = min(len(qterms), max_terms)
@@ -107,8 +111,8 @@ class BatchedBM25:
                 offs[qi, ti] = self.offsets[tid]
                 lens[qi, ti] = self.lengths[tid]
                 weights[qi, ti] = lucene_idf(self.num_docs_real, int(self.lengths[tid]))
-        run_len = _pad_pow2(int(lens.max()), 128)
-        return QueryBatch(offs, lens, weights, n_terms, run_len)
+        run_offs, run_lens, run_w, run_len = plan_runs(offs, lens, weights)
+        return QueryBatch(run_offs, run_lens, run_w, n_terms, run_len)
 
     def search(self, batch: QueryBatch, k: int = 10, require_all_terms: bool = False):
         return bm25_search_step(

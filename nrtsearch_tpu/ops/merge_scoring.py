@@ -35,26 +35,112 @@ import numpy as np
 DOC_SENTINEL = np.int32(2**31 - 1)
 
 
+def plan_runs(
+    offs: np.ndarray,      # int64 [B, T] term postings offsets
+    lens: np.ndarray,      # int32 [B, T] term postings lengths
+    weights: np.ndarray,   # float32 [B, T]
+    *,
+    min_run: int = 1024,
+    target_runs: int = 8,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Split long postings runs into fixed-length chunks.
+
+    The merge kernel pads every run to one static ``run_len``; without
+    splitting, one high-df term inflates the merged width to
+    ``terms x pow2(max_df)``. Chunking each term's (doc-sorted, contiguous)
+    postings into runs of at most ``run_len`` keeps the merged width at
+    ~2x the true postings touched regardless of df skew. Chunks of one term
+    partition its docs, so per-doc term counts are unchanged.
+
+    Returns (run_offs [B, R], run_lens [B, R], run_weights [B, R], run_len).
+    """
+    B, T = lens.shape
+    max_total = max(int(lens.sum(axis=1).max()), 1)
+    run_len = _pow2(max(min_run, -(-max_total // target_runs)))
+    rows = []
+    max_runs = 1
+    for b in range(B):
+        runs = []
+        for t in range(T):
+            ln = int(lens[b, t])
+            if ln <= 0 or weights[b, t] == 0.0:
+                continue
+            off = int(offs[b, t])
+            w = float(weights[b, t])
+            for start in range(0, ln, run_len):
+                runs.append((off + start, min(run_len, ln - start), w))
+        rows.append(runs)
+        max_runs = max(max_runs, len(runs))
+    R = _pow2(max_runs, 2)
+    out_offs = np.zeros((B, R), np.int32)
+    out_lens = np.zeros((B, R), np.int32)
+    out_w = np.zeros((B, R), np.float32)
+    for b, runs in enumerate(rows):
+        for i, (o, ln, w) in enumerate(runs):
+            out_offs[b, i] = o
+            out_lens[b, i] = ln
+            out_w[b, i] = w
+    return out_offs, out_lens, out_w, run_len
+
+
+def _pow2(n: int, minimum: int = 1) -> int:
+    b = minimum
+    while b < n:
+        b <<= 1
+    return b
+
+
+_SMALL_BLOCK = 256  # lane-friendly block width for small-distance stages
+
+
 def _compare_exchange(docs, payloads, d: int):
-    """One bitonic stage: compare-exchange at distance d (ascending)."""
+    """One bitonic stage: compare-exchange at distance d (ascending), static d.
+
+    Two formulations keep XLA in well-tiled layouts:
+    - d >= 128: reshape to [..., n/(2d), 2, d] and min/max the two halves
+      (last dim d tiles onto lanes, size-2 dim tiles onto sublanes).
+    - d < 128: reshape to [..., n/256, 256] and pair partners with a static
+      roll inside the 256-wide lane dim. CE pairs always lie within a 2d <=
+      256 block, so values that wrap across the roll boundary are never
+      selected. The flat [..., 2, d] reshape here would pad d up to 128
+      (4x+ memory, the OOM we measured).
+    """
     n = docs.shape[-1]
     shape = docs.shape[:-1]
-    docs2 = docs.reshape(*shape, n // (2 * d), 2, d)
-    lo_d, hi_d = docs2[..., 0, :], docs2[..., 1, :]
-    swap = lo_d > hi_d
-    new_docs = jnp.concatenate(
-        [jnp.where(swap, hi_d, lo_d)[..., None, :], jnp.where(swap, lo_d, hi_d)[..., None, :]],
-        axis=-2,
-    ).reshape(*shape, n)
+    if d >= 128:
+        def ce(x, swap=None):
+            x2 = x.reshape(*shape, n // (2 * d), 2, d)
+            lo, hi = x2[..., 0, :], x2[..., 1, :]
+            if swap is None:
+                s = lo > hi
+                out = jnp.stack([jnp.where(s, hi, lo), jnp.where(s, lo, hi)], axis=-2)
+                return out.reshape(*shape, n), s
+            out = jnp.stack([jnp.where(swap, hi, lo), jnp.where(swap, lo, hi)], axis=-2)
+            return out.reshape(*shape, n)
+
+        new_docs, swap = ce(docs)
+        return new_docs, [ce(p, swap) for p in payloads]
+
+    m = n // _SMALL_BLOCK
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, _SMALL_BLOCK), 1)
+    hi_bit = (idx & d) != 0  # [1, 256], broadcasts
+
+    def partner(x):
+        x3 = x.reshape(*shape, m, _SMALL_BLOCK)
+        return jnp.where(
+            hi_bit,
+            jnp.roll(x3, d, axis=-1),
+            jnp.roll(x3, -d, axis=-1),
+        )
+
+    docs3 = docs.reshape(*shape, m, _SMALL_BLOCK)
+    pd = partner(docs)
+    keep = jnp.where(hi_bit, docs3 >= pd, docs3 <= pd)
+    new_docs = jnp.where(keep, docs3, pd).reshape(*shape, n)
     new_payloads = []
     for p in payloads:
-        p2 = p.reshape(*shape, n // (2 * d), 2, d)
-        lo_p, hi_p = p2[..., 0, :], p2[..., 1, :]
-        new_p = jnp.concatenate(
-            [jnp.where(swap, hi_p, lo_p)[..., None, :], jnp.where(swap, lo_p, hi_p)[..., None, :]],
-            axis=-2,
-        ).reshape(*shape, n)
-        new_payloads.append(new_p)
+        p3 = p.reshape(*shape, m, _SMALL_BLOCK)
+        new_payloads.append(jnp.where(keep, p3, partner(p)).reshape(*shape, n))
     return new_docs, new_payloads
 
 
@@ -64,16 +150,12 @@ def _bitonic_merge_level(docs, payloads, run_len: int):
     shape = docs.shape[:-1]
     # reverse every second run -> bitonic sequences of length 2*run_len
     docs2 = docs.reshape(*shape, n // (2 * run_len), 2, run_len)
-    docs2 = jnp.concatenate(
-        [docs2[..., 0, :][..., None, :], docs2[..., 1, ::-1][..., None, :]], axis=-2
-    )
+    docs2 = jnp.stack([docs2[..., 0, :], docs2[..., 1, ::-1]], axis=-2)
     docs = docs2.reshape(*shape, n)
     new_payloads = []
     for p in payloads:
         p2 = p.reshape(*shape, n // (2 * run_len), 2, run_len)
-        p2 = jnp.concatenate(
-            [p2[..., 0, :][..., None, :], p2[..., 1, ::-1][..., None, :]], axis=-2
-        )
+        p2 = jnp.stack([p2[..., 0, :], p2[..., 1, ::-1]], axis=-2)
         new_payloads.append(p2.reshape(*shape, n))
     payloads = new_payloads
     d = run_len

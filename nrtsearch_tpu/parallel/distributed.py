@@ -148,13 +148,14 @@ class DistributedBM25:
         )
 
     def compile_queries(self, queries: Sequence[Sequence[int]], max_terms: int = 8):
-        """Queries (term-id lists) -> per-shard [S, B, R] tables + static run_len."""
+        """Queries (term-id lists) -> per-shard [S, B, R] run tables + run_len."""
+        from nrtsearch_tpu.ops.merge_scoring import plan_runs
+
         S = self.term_offsets_host.shape[0]
         B = len(queries)
-        R = _pad_pow2(max_terms, 2)
-        offs = np.zeros((S, B, R), np.int32)
-        lens = np.zeros((S, B, R), np.int32)
-        weights = np.zeros((S, B, R), np.float32)
+        offs = np.zeros((S, B, max_terms), np.int64)
+        lens = np.zeros((S, B, max_terms), np.int32)
+        weights = np.zeros((S, B, max_terms), np.float32)
         n_terms = np.zeros((S, B), np.int32)
         for qi, qterms in enumerate(queries):
             n_terms[:, qi] = min(len(qterms), max_terms)
@@ -167,8 +168,24 @@ class DistributedBM25:
                 offs[:, qi, ti] = self.term_offsets_host[:, t]
                 lens[:, qi, ti] = self.term_lengths_host[:, t]
                 weights[:, qi, ti] = w
-        run_len = _pad_pow2(int(lens.max()), 128)
-        return offs, lens, weights, n_terms, run_len
+        # plan runs per shard with a SHARED run_len/R (max over shards) so
+        # the shard_map body stays one program
+        planned = [plan_runs(offs[s], lens[s], weights[s]) for s in range(S)]
+        run_len = max(p[3] for p in planned)
+        if any(p[3] != run_len for p in planned):
+            planned = [
+                plan_runs(offs[s], lens[s], weights[s], min_run=run_len)
+                for s in range(S)
+            ]
+        R = max(p[0].shape[1] for p in planned)
+        out_offs = np.zeros((S, B, R), np.int32)
+        out_lens = np.zeros((S, B, R), np.int32)
+        out_w = np.zeros((S, B, R), np.float32)
+        for s, (o, ln, w, _) in enumerate(planned):
+            out_offs[s, :, : o.shape[1]] = o
+            out_lens[s, :, : ln.shape[1]] = ln
+            out_w[s, :, : w.shape[1]] = w
+        return out_offs, out_lens, out_w, n_terms, run_len
 
     def search(self, offs, lens, weights, n_terms, *, run_len: int, k: int = 10):
         """One distributed search step. Returns (scores [B,k], ids [B,k], hits [B])."""

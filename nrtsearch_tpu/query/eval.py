@@ -71,7 +71,23 @@ class EvalContext:
 
 
 def eval_node(node: qp.QueryNode, ctx: EvalContext):
-    """Evaluate a plan node against one segment -> (scores [D], match [D])."""
+    """Evaluate a plan node against one segment -> (scores [D], match [D]).
+
+    Filter-like nodes are cached per (segment, node) — segments are immutable
+    so entries never go stale (query_cache.py)."""
+    from nrtsearch_tpu.search.query_cache import DEFAULT_QUERY_CACHE as _qc
+
+    if _qc.cacheable(node):
+        cached = _qc.get(ctx.segment.seg_id, node)
+        if cached is not None:
+            return cached
+        result = _eval_node_impl(node, ctx)
+        _qc.put(ctx.segment.seg_id, node, result)
+        return result
+    return _eval_node_impl(node, ctx)
+
+
+def _eval_node_impl(node: qp.QueryNode, ctx: EvalContext):
     D = ctx.segment.capacity
     if isinstance(node, qp.MatchAllNode):
         return (
@@ -86,6 +102,18 @@ def eval_node(node: qp.QueryNode, ctx: EvalContext):
         fd = _field(ctx, node.field)
         analyzer = get_analyzer(node.analyzer) if node.analyzer else None
         terms = analyzer.terms(node.query) if analyzer else fd.query_terms(node.query)
+        if node.fuzzy_max_edits > 0:
+            tfi = ctx.segment.fields.get(node.field)
+            if tfi is not None:
+                expanded = []
+                for t in terms:
+                    expanded.extend(
+                        _fuzzy_expand(
+                            tfi.terms, t, node.fuzzy_max_edits,
+                            node.fuzzy_prefix_length, node.fuzzy_max_expansions,
+                        )
+                    )
+                terms = list(dict.fromkeys(expanded))  # dedupe, keep order
         return _text_clause(
             ctx, node.field, terms, [1.0] * len(terms), node.operator,
             node.minimum_number_should_match, node.boost,
@@ -159,6 +187,10 @@ def _text_clause(
         return _none(ctx)
     if tfi is None:
         return _none(ctx)
+    # per-field similarity parameters (SimilarityCreator equivalent)
+    fd = ctx.field_defs.get(field)
+    k1 = fd.sim_k1 if fd is not None else ctx.k1
+    b = fd.sim_b if fd is not None else ctx.b
     offs = np.zeros(len(terms), np.int32)
     lens = np.zeros(len(terms), np.int32)
     weights = np.zeros(len(terms), np.float32)
@@ -176,8 +208,8 @@ def _text_clause(
         jnp.asarray(offs)[None, :],
         jnp.asarray(lens)[None, :],
         jnp.asarray(weights)[None, :],
-        jnp.float32(ctx.k1),
-        jnp.float32(ctx.b),
+        jnp.float32(k1),
+        jnp.float32(b),
         jnp.float32(ctx.stats.avgdl(field)),
         cap=cap,
         num_docs=seg.capacity,

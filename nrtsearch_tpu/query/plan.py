@@ -53,7 +53,9 @@ class MatchQueryNode(QueryNode):
     operator: str = "SHOULD"          # SHOULD (or) | MUST (and)
     minimum_number_should_match: int = 0
     analyzer: Optional[str] = None
-    fuzzy: bool = False               # fuzzy expansion: later milestone
+    fuzzy_max_edits: int = 0          # >0: expand terms within edit distance
+    fuzzy_prefix_length: int = 0
+    fuzzy_max_expansions: int = 50
 
 
 @dataclass(frozen=True)
@@ -237,13 +239,17 @@ def parse_query(q: dict) -> QueryNode:
         )
     if "matchQuery" in q:
         m = q["matchQuery"]
+        fz = m.get("fuzzyParams") or {}
         return MatchQueryNode(
             boost=boost,
             field=m["field"],
             query=m.get("query", ""),
-            operator="MUST" if m.get("operator") == "MUST" else "SHOULD",
+            operator="MUST" if m.get("operator") in ("MUST", "MUST_MATCH") else "SHOULD",
             minimum_number_should_match=int(m.get("minimumNumberShouldMatch", 0)),
             analyzer=_analyzer_name(m.get("analyzer")),
+            fuzzy_max_edits=int(fz.get("maxEdits", 0)),
+            fuzzy_prefix_length=int(fz.get("prefixLength", 0)),
+            fuzzy_max_expansions=int(fz.get("maxExpansions", 50)),
         )
     if "multiMatchQuery" in q:
         m = q["multiMatchQuery"]

@@ -71,6 +71,11 @@ class FieldDef:
     # VECTOR options
     dims: int = 0
     similarity: str = "cosine"    # l2_norm | dot_product | cosine | normalized_cosine | max_inner_product
+    # text scoring similarity (reference: SimilarityCreator, default BM25;
+    # "boolean" = constant per-term scores, expressed as BM25 with k1=0)
+    text_similarity: str = "BM25"
+    sim_k1: float = 1.2
+    sim_b: float = 0.75
     # DATE_TIME options
     date_time_format: Optional[str] = None
     # VIRTUAL / RUNTIME
@@ -247,6 +252,14 @@ def create_field_def(name: str, spec: dict) -> FieldDef:
         else spec.get("script"),
         raw=dict(spec),
     )
+    sim_name = spec.get("similarity", "") or "BM25"
+    sim_params = spec.get("similarityParams", {}) or {}
+    fd.text_similarity = sim_name
+    if sim_name.lower() == "boolean":
+        fd.sim_k1 = 0.0  # tf/(tf + 0) == 1: constant per-term contribution
+    else:
+        fd.sim_k1 = float(sim_params.get("k1", 1.2))
+        fd.sim_b = float(sim_params.get("b", 0.75))
     if fd.type == FieldType.VECTOR and fd.dims <= 0:
         raise ValueError(f"VECTOR field {name!r} requires vectorDimensions > 0")
     if fd.sort and not fd.store_doc_values:

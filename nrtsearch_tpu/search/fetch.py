@@ -28,6 +28,9 @@ def fetch_field_values(
     if virtual_values and field_name in virtual_values:
         return [float(virtual_values[field_name][hit.global_ord])]
     fd = field_defs.get(field_name)
+    if fd is not None and fd.type in (FieldType.VIRTUAL, FieldType.RUNTIME):
+        col = virtual_field_column(searcher, hit.segment_idx, fd)
+        return [float(col[local])]
     # stored first (like the reference's stored-field preference for source)
     if fd is not None and fd.store:
         row = seg.stored[local]
@@ -65,6 +68,31 @@ def fetch_field_values(
         v = row[field_name]
         return v if isinstance(v, list) else [v]
     return None
+
+
+def virtual_field_column(searcher: Searcher, segment_idx: int, fd: FieldDef) -> np.ndarray:
+    """Schema-level VIRTUAL/RUNTIME field column (lazy, cached per searcher).
+
+    Reference: VirtualFieldDef / runtime script fields — js-expression scripts
+    over doc values (SURVEY.md §2.5). Evaluated vectorized over the whole
+    segment once, cached on the immutable searcher snapshot.
+    """
+    cache = getattr(searcher, "_virtual_cache", None)
+    if cache is None:
+        cache = {}
+        searcher._virtual_cache = cache
+    key = (segment_idx, fd.name)
+    if key not in cache:
+        from nrtsearch_tpu.query.eval import _ScriptDocValues
+        from nrtsearch_tpu.script.expr import compile_expression
+
+        seg = searcher.segments[segment_idx]
+        fn = compile_expression(fd.script_source or "0")
+        vals = np.asarray(fn(_ScriptDocValues(seg), np.zeros(seg.capacity, np.float32)))
+        if vals.ndim == 0:
+            vals = np.full(seg.capacity, float(vals), np.float32)
+        cache[key] = vals
+    return cache[key]
 
 
 def fill_hit_fields_pb(

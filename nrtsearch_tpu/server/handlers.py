@@ -158,6 +158,9 @@ class Handlers:
             doc = {}
             for fname, mv in req.fields.items():
                 doc[fname] = list(mv.value)
+            if req.requestType == pb.IndexingRequestType.UPDATE_DOC_VALUES:
+                gen = rt.update_doc_values([doc])
+                continue
             buffer.append(doc)
             if len(buffer) >= max_buffer:
                 gen = rt.add_documents(buffer)
@@ -748,6 +751,8 @@ class Handlers:
                 )
             elif which == "hitCount":
                 result.hitCountResult.value = coll.hit_count(matches)
+            elif which == "topHitsCollector":
+                self._top_hits_collector(spec.topHitsCollector, result, matches)
             elif which == "filter":
                 fq = spec.filter.query if spec.filter.HasField("query") else spec.filter.setQuery
                 fnode = parse_query(MessageToDict(fq))
@@ -760,6 +765,61 @@ class Handlers:
                     )
             else:
                 raise NotImplementedError(f"collector type {which!r}")
+
+    def _top_hits_collector(self, spec, result, matches) -> None:
+        """TopHitsCollector: top docs within the match set by score or sort."""
+        from nrtsearch_tpu.core.searcher import Hit as CoreHit
+
+        searcher = matches.searcher
+        candidates: list[CoreHit] = []
+        top_n = (spec.topHits or 10)
+        sort_field = None
+        reverse = False
+        if spec.HasField("querySort") and spec.querySort.fields.sortedFields:
+            sf = spec.querySort.fields.sortedFields[0]
+            sort_field, reverse = sf.fieldName, sf.reverse
+        total = 0
+        for idx, (seg, mask) in enumerate(zip(searcher.segments, matches.masks)):
+            m = mask[: seg.num_docs]
+            ids = np.nonzero(m)[0]
+            total += len(ids)
+            if len(ids) == 0:
+                continue
+            if sort_field is not None:
+                dv = seg.doc_values.get(sort_field)
+                keys = (
+                    dv.host_values[ids].astype(np.float64)
+                    if dv is not None
+                    else np.zeros(len(ids))
+                )
+                order = np.argsort(-keys if reverse else keys, kind="stable")[:top_n]
+                sel_scores = keys[order]
+            else:
+                scores = (
+                    matches.scores[idx][: seg.num_docs][ids]
+                    if matches.scores is not None
+                    else np.zeros(len(ids))
+                )
+                order = np.argsort(-scores, kind="stable")[:top_n]
+                sel_scores = scores[order]
+            base = int(searcher.bases[idx])
+            for o, s in zip(order, sel_scores):
+                candidates.append(CoreHit(idx, int(ids[o]), base + int(ids[o]), float(s)))
+        sign = 1.0 if (sort_field is not None and not reverse) else -1.0
+        candidates.sort(key=lambda h: (sign * h.score, h.global_ord))
+        hr = result.hitsResult
+        hr.totalHits.value = total
+        rt_fields = None
+        for h in candidates[int(spec.startHit) : int(spec.startHit) + top_n]:
+            pb_hit = hr.hits.add()
+            pb_hit.luceneDocId = h.global_ord
+            pb_hit.score = h.score
+            if spec.retrieveFields:
+                if rt_fields is None:
+                    rt_fields = searcher.field_defs
+                fill_hit_fields_pb(
+                    pb_hit, searcher, h, list(spec.retrieveFields), rt_fields, pb
+                )
 
     def _script_terms_counts(self, matches, script: str) -> dict[str, int]:
         from collections import defaultdict

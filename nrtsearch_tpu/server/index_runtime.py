@@ -108,6 +108,10 @@ class IndexRuntime:
         self._check_writable()
         return self.writer.delete_by_id(ids)
 
+    def update_doc_values(self, docs: list[dict[str, Any]]) -> int:
+        self._check_writable()
+        return self.writer.update_doc_values(docs)
+
     def delete_by_query(self, node) -> int:
         self._check_writable()
         self.refresh()  # deletes run against a current view, like the reference
@@ -147,6 +151,7 @@ class IndexRuntime:
                 self.writer.buffered_docs > 0
                 or bool(self.writer._pending_deletes)
                 or bool(self.writer._buffer_deleted)
+                or bool(self.writer._pending_dv_updates)
             )
             segments = self.writer.refresh()
             if not dirty and [s.seg_id for s in segments] == before:
