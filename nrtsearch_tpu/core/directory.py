@@ -73,6 +73,8 @@ def save_segment(seg: Segment, directory: str | Path) -> list[str]:
         "num_docs": seg.num_docs,
         "capacity": seg.capacity,
         "stored": seg.stored,
+        "suggest": {k: [[d, t, w, c] for d, t, w, c in v]
+                     for k, v in seg.suggest.items()},
         "fields": {},
         "doc_values": {},
         "vectors": {},
@@ -199,6 +201,8 @@ def load_segment(seg_id: str, directory: str | Path, del_gen: int = 0) -> Segmen
         doc_values=doc_values,
         vectors=vectors,
         stored=meta["stored"],
+        suggest={k: [(d, t, w, c) for d, t, w, c in v]
+                 for k, v in meta.get("suggest", {}).items()},
         live=_device_put(live_full),
         host_live=host_live,
         del_count=int(meta["num_docs"] - host_live.sum()),

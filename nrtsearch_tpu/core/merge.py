@@ -111,6 +111,12 @@ def merge_segments(
                 new = m[old]
                 if new >= 0 and pres[old]:
                     out.append((int(new), vals[old]))
+        for fname, entries in seg.suggest.items():
+            out = builder._suggest.setdefault(fname, [])
+            for doc, text, weight, ctxs in entries:
+                nd = m[int(doc)]
+                if nd >= 0:
+                    out.append((int(nd), text, weight, list(ctxs)))
         for old in range(seg.num_docs):
             new = m[old]
             if new >= 0:

@@ -159,6 +159,9 @@ class Segment:
     host_live: np.ndarray             # host bool [num_docs]
     del_count: int = 0
     del_gen: int = 0                  # bumped per delete batch (Lucene del-gen)
+    # CONTEXT_SUGGEST data: field -> list of (doc, text, weight, contexts)
+    # (host-side completion structures, reference: ContextSuggestFieldDef)
+    suggest: dict = dc_field(default_factory=dict)
 
     @property
     def live_doc_count(self) -> int:
@@ -272,6 +275,7 @@ class SegmentBuilder:
         self._doc_lens: dict[str, list[int]] = {}
         self._dv: dict[str, list] = {}          # field -> list[(doc, value)]
         self._vectors: dict[str, list] = {}     # field -> list[(doc, np.ndarray)]
+        self._suggest: dict[str, list] = {}     # field -> [(doc, text, weight, ctxs)]
         self._stored: list[dict] = []
         self._positions: dict[str, dict] = {}
 
@@ -339,6 +343,21 @@ class SegmentBuilder:
                 if fd.store:
                     stored_row[name] = vec.tolist()
                 continue
+            if fd.type == FieldType.CONTEXT_SUGGEST:
+                import json as _sjson
+
+                for v in values:
+                    if isinstance(v, str) and v.lstrip().startswith("{"):
+                        d = _sjson.loads(v)
+                        entry = (doc_id, str(d.get("value", "")),
+                                 float(d.get("weight", 1.0)),
+                                 list(d.get("contexts", [])))
+                    else:
+                        entry = (doc_id, str(v), 1.0, [])
+                    self._suggest.setdefault(name, []).append(entry)
+                if fd.store:
+                    stored_row[name] = list(values)
+                continue
             if fd.type == FieldType.LAT_LON:
                 lat, lon = float(values[0]), float(values[1])
                 self._dv.setdefault(name, []).append((doc_id, (lat, lon)))
@@ -401,6 +420,7 @@ class SegmentBuilder:
         live = np.zeros(capacity, dtype=bool)
         live[: self.num_docs] = True
         return Segment(
+            suggest={k: list(v) for k, v in self._suggest.items()},
             seg_id=seg_id,
             num_docs=self.num_docs,
             capacity=capacity,

@@ -145,6 +145,8 @@ def _eval_node_impl(node: qp.QueryNode, ctx: EvalContext):
         return _eval_wildcard(node, ctx)
     if isinstance(node, qp.NestedQueryNode):
         return _eval_nested(node, ctx)
+    if isinstance(node, qp.CompletionQueryNode):
+        return _eval_completion(node, ctx)
     raise NotImplementedError(f"query node not yet supported: {type(node).__name__}")
 
 
@@ -455,6 +457,38 @@ def _levenshtein_at_most(a: str, b: str, k: int) -> bool:
             return False
         prev = cur
     return prev[lb] <= k
+
+
+def _eval_completion(node: qp.CompletionQueryNode, ctx: EvalContext):
+    """Context-suggest completion: prefix (optionally fuzzy) match over the
+    segment's suggestion entries, scored by suggestion weight.
+
+    Reference: ContextSuggestFieldDef + CompletionQuery (prefix/fuzzy) with
+    context filtering (MyContextQuery)."""
+    seg = ctx.segment
+    entries = seg.suggest.get(node.field)
+    if not entries or not node.text:
+        return _none(ctx)
+    want = node.text.lower()
+    ctx_set = set(node.contexts)
+    scores_host = np.zeros(seg.capacity, np.float32)
+    match_host = np.zeros(seg.capacity, bool)
+    for doc, text, weight, contexts in entries:
+        lt = text.lower()
+        if node.fuzzy:
+            ok = _levenshtein_at_most(want, lt[: len(want)], 1)
+        else:
+            ok = lt.startswith(want)
+        if not ok:
+            continue
+        if ctx_set and not (ctx_set & set(contexts)):
+            continue
+        if weight * node.boost > scores_host[doc]:
+            scores_host[doc] = weight * node.boost
+        match_host[doc] = True
+    import jax
+
+    return jax.device_put(scores_host), jax.device_put(match_host)
 
 
 def _eval_nested(node: qp.NestedQueryNode, ctx: EvalContext):

@@ -165,6 +165,16 @@ class FunctionScoreNode(QueryNode):
 
 
 @dataclass(frozen=True)
+class CompletionQueryNode(QueryNode):
+    """Context-suggest completion (reference: CompletionQuery + MyContextQuery)."""
+
+    field: str = ""
+    text: str = ""
+    fuzzy: bool = False
+    contexts: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
 class NestedQueryNode(QueryNode):
     """Block-join query on nested child docs, scores aggregated to parents."""
 
@@ -355,6 +365,13 @@ def parse_query(q: dict) -> QueryNode:
             boost=boost,
             query=parse_query(f.get("query", {})),
             expression=(f.get("script") or {}).get("source", "_score"),
+        )
+    if "completionQuery" in q:
+        c = q["completionQuery"]
+        return CompletionQueryNode(
+            boost=boost, field=c["field"], text=c.get("text", ""),
+            fuzzy=bool(c.get("fuzzy", False)),
+            contexts=tuple(c.get("contexts", [])),
         )
     if "nestedQuery" in q:
         n = q["nestedQuery"]

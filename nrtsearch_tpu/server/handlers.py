@@ -412,6 +412,15 @@ class Handlers:
         resp.diagnostics.rescoreTimeMs = rescore_ms
         resp.diagnostics.parsedQuery = repr(node)
 
+        if req.profile:
+            # ProfileResult (reference: SearchStatsWrapper, search.proto:1403)
+            resp.profileResult.parsedQueryText = repr(node)
+            for seg in searcher.segments:
+                ss = resp.profileResult.segmentStats.add()
+                ss.maxDoc = seg.num_docs
+                ss.numDocs = seg.live_doc_count
+                ss.collectTimeMs = recall_ms / max(len(searcher.segments), 1)
+
         # hits loggers (reference: HitsLoggerFetchTask, server/logging/)
         if self.plugins is not None and self.plugins.hits_loggers:
             for logger in self.plugins.hits_loggers.values():
