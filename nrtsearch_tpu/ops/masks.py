@@ -64,6 +64,23 @@ def geo_bounding_box_mask(
     return ok & present
 
 
+def point_in_polygon_mask(
+    latlon: jax.Array,    # f32 [D, 2]
+    present: jax.Array,
+    polygon: jax.Array,   # f32 [V, 2] (lat, lon) vertices, closed or open
+) -> jax.Array:
+    """Ray-casting point-in-polygon (GeoPointQuery: docs inside a polygon)."""
+    lat, lon = latlon[:, 0:1], latlon[:, 1:2]       # [D, 1]
+    y1, x1 = polygon[:, 0][None, :], polygon[:, 1][None, :]   # [1, V]
+    y2 = jnp.roll(polygon[:, 0], -1)[None, :]
+    x2 = jnp.roll(polygon[:, 1], -1)[None, :]
+    cond = (y1 > lat) != (y2 > lat)
+    denom = jnp.where(y2 - y1 == 0, 1e-12, y2 - y1)
+    x_int = x1 + (lat - y1) * (x2 - x1) / denom
+    crossings = jnp.sum(cond & (lon < x_int), axis=1)
+    return ((crossings % 2) == 1) & present
+
+
 def geo_radius_mask(
     latlon: jax.Array,
     present: jax.Array,

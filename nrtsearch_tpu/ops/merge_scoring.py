@@ -41,7 +41,7 @@ def plan_runs(
     weights: np.ndarray,   # float32 [B, T]
     *,
     min_run: int = 1024,
-    target_runs: int = 8,
+    force_run_len: int = 0,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Split long postings runs into fixed-length chunks.
 
@@ -55,8 +55,33 @@ def plan_runs(
     Returns (run_offs [B, R], run_lens [B, R], run_weights [B, R], run_len).
     """
     B, T = lens.shape
-    max_total = max(int(lens.sum(axis=1).max()), 1)
-    run_len = _pow2(max(min_run, -(-max_total // target_runs)))
+    max_df = max(int(lens.max()), 1)
+
+    # pick the run_len minimizing merged width N = R * run_len, where both R
+    # and run_len round up to powers of two (double rounding makes naive
+    # target-based choices backfire; include the no-split option)
+    def width(rl: int) -> int:
+        max_runs = 1
+        for b in range(B):
+            runs = 0
+            for t in range(T):
+                ln = int(lens[b, t])
+                if ln > 0 and weights[b, t] != 0.0:
+                    runs += -(-ln // rl)
+            max_runs = max(max_runs, runs)
+        return _pow2(max_runs, 2) * rl
+
+    if force_run_len:
+        run_len = _pow2(force_run_len)
+    else:
+        candidates = []
+        rl = _pow2(max(min_run, 1))
+        top = max(_pow2(max_df), rl)
+        while rl <= top:
+            candidates.append(rl)
+            rl <<= 1
+        run_len = min(candidates, key=width)
+
     rows = []
     max_runs = 1
     for b in range(B):

@@ -174,7 +174,7 @@ class DistributedBM25:
         run_len = max(p[3] for p in planned)
         if any(p[3] != run_len for p in planned):
             planned = [
-                plan_runs(offs[s], lens[s], weights[s], min_run=run_len)
+                plan_runs(offs[s], lens[s], weights[s], force_run_len=run_len)
                 for s in range(S)
             ]
         R = max(p[0].shape[1] for p in planned)

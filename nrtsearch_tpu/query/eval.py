@@ -147,6 +147,13 @@ def _eval_node_impl(node: qp.QueryNode, ctx: EvalContext):
         return _eval_nested(node, ctx)
     if isinstance(node, qp.CompletionQueryNode):
         return _eval_completion(node, ctx)
+    if isinstance(node, qp.GeoPolygonNode):
+        dv = ctx.segment.doc_values.get(node.field)
+        if dv is None or dv.kind != DocValueKind.LAT_LON or len(node.points) < 3:
+            return _none(ctx)
+        poly = jnp.asarray(np.asarray(node.points, np.float32))
+        match = mask_ops.point_in_polygon_mask(dv.values, dv.present, poly)
+        return _const_score(match, node.boost), match
     raise NotImplementedError(f"query node not yet supported: {type(node).__name__}")
 
 

@@ -165,6 +165,14 @@ class FunctionScoreNode(QueryNode):
 
 
 @dataclass(frozen=True)
+class GeoPolygonNode(QueryNode):
+    """Docs whose LAT_LON point lies inside the polygon (GeoPointQuery)."""
+
+    field: str = ""
+    points: tuple[tuple[float, float], ...] = ()
+
+
+@dataclass(frozen=True)
 class CompletionQueryNode(QueryNode):
     """Context-suggest completion (reference: CompletionQuery + MyContextQuery)."""
 
@@ -365,6 +373,16 @@ def parse_query(q: dict) -> QueryNode:
             boost=boost,
             query=parse_query(f.get("query", {})),
             expression=(f.get("script") or {}).get("source", "_score"),
+        )
+    if "geoPointQuery" in q:
+        g = q["geoPointQuery"]
+        return GeoPolygonNode(
+            boost=boost,
+            field=g["field"],
+            points=tuple(
+                (float(p.get("latitude", 0)), float(p.get("longitude", 0)))
+                for p in g.get("points", [])
+            ),
         )
     if "completionQuery" in q:
         c = q["completionQuery"]

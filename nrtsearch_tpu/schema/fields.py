@@ -80,6 +80,8 @@ class FieldDef:
     date_time_format: Optional[str] = None
     # VIRTUAL / RUNTIME
     script_source: Optional[str] = None
+    # ATOM: values longer than this are not indexed (doc values still stored)
+    ignore_above: int = 0
     # raw proto options kept for introspection / stats
     raw: dict = dc_field(default_factory=dict)
 
@@ -139,6 +141,8 @@ class FieldDef:
             analyzer = self.index_analyzer or get_analyzer("standard")
             return analyzer.analyze(value)
         # ATOM / _ID: single untokenized term (keyword semantics)
+        if self.ignore_above and len(value) > self.ignore_above:
+            return []  # Field.ignoreAbove: skip indexing oversized keywords
         return [Token(value, 0, 0, len(value))]
 
     def query_terms(self, text: str) -> list[str]:
@@ -247,6 +251,7 @@ def create_field_def(name: str, spec: dict) -> FieldDef:
         dims=int(spec.get("vectorDimensions", 0)),
         similarity=spec.get("vectorSimilarity", "cosine"),
         date_time_format=spec.get("dateTimeFormat"),
+        ignore_above=int(spec.get("ignoreAbove", 0)),
         script_source=(spec.get("script") or {}).get("source")
         if isinstance(spec.get("script"), dict)
         else spec.get("script"),

@@ -374,20 +374,42 @@ class Handlers:
         virtual_values = self._virtual_values(searcher, req, arrays)
         highlight_plan = self._highlight_plan(req, node, field_defs)
         inner_cache: dict = {}  # per-request inner-query eval cache
+        pb_hits = []
         for h in hits:
             pb_hit = resp.hits.add()
+            pb_hits.append(pb_hit)
             pb_hit.luceneDocId = h.global_ord
             if sort is None:
                 pb_hit.score = h.score
             else:
                 sf_val = pb_hit.sortedFields[sort.field].fieldValue.add()
                 sf_val.doubleValue = h.sort_key or 0.0
+
+        def fill_one(pair):
+            pb_hit, h = pair
             if retrieve:
                 fill_hit_fields_pb(
                     pb_hit, searcher, h, retrieve, field_defs, pb, virtual_values
                 )
+            if req.explain:
+                pb_hit.explain = (
+                    f"score={h.score:.6f} query={node!r} doc={h.global_ord}"
+                )
             for hfield, (terms, settings) in highlight_plan.items():
                 self._highlight_hit(pb_hit, searcher, h, hfield, terms, settings)
+
+        pairs = list(zip(pb_hits, hits))
+        if len(pairs) > 8 and not req.innerHits:
+            # parallel fetch by doc chunk (reference: FillDocsTask on the
+            # FETCH pool, parallelFetchChunkSize semantics)
+            from nrtsearch_tpu.server.concurrent import ExecutorFactory
+
+            list(ExecutorFactory.get().pool("FETCH").map(fill_one, pairs))
+        else:
+            for pair in pairs:
+                fill_one(pair)
+        # inner hits mutate a shared eval cache: keep them on the caller thread
+        for pb_hit, h in pairs:
             for ih in req.innerHits:
                 self._inner_hits(pb_hit, searcher, h, ih, field_defs, inner_cache)
         fetch_ms = (time.time() - t_fetch) * 1000
