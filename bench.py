@@ -59,12 +59,14 @@ def main() -> None:
     log("corpus built; packing to device")
     model = corpus.to_model()
 
-    # pre-compile a fixed set of query batches (steady-state serving shape)
-    batches = [
-        model.compile_queries(corpus.sample_queries(BATCH, TERMS_PER_QUERY), TERMS_PER_QUERY)
-        for _ in range(8)
-    ]
-    run_len = max(b.run_len for b in batches)
+    # pre-compile a fixed set of query batches (steady-state serving shape),
+    # planned jointly so every batch shares one (run_len, R) compiled program
+    log("compiling query batches")
+    batches = model.compile_query_batches(
+        [corpus.sample_queries(BATCH, TERMS_PER_QUERY) for _ in range(8)],
+        TERMS_PER_QUERY,
+    )
+    run_len = batches[0].run_len
 
     def make_runner(device):
         post_docs = jax.device_put(model.doc_ids, device)

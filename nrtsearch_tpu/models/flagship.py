@@ -114,6 +114,29 @@ class BatchedBM25:
         run_offs, run_lens, run_w, run_len = plan_runs(offs, lens, weights)
         return QueryBatch(run_offs, run_lens, run_w, n_terms, run_len)
 
+    def compile_query_batches(
+        self, batches: Sequence[Sequence[Sequence[str]]], max_terms: int = 8
+    ) -> list[QueryBatch]:
+        """Compile several batches with ONE shared (run_len, R) so they all hit
+        the same compiled program (steady-state serving)."""
+        all_queries = [q for batch in batches for q in batch]
+        joint = self.compile_queries(all_queries, max_terms)
+        out = []
+        i = 0
+        for batch in batches:
+            n = len(batch)
+            out.append(
+                QueryBatch(
+                    joint.term_offsets[i : i + n],
+                    joint.term_lengths[i : i + n],
+                    joint.term_weights[i : i + n],
+                    joint.n_terms[i : i + n],
+                    joint.run_len,
+                )
+            )
+            i += n
+        return out
+
     def search(self, batch: QueryBatch, k: int = 10, require_all_terms: bool = False):
         return bm25_search_step(
             self.doc_ids,
