@@ -87,7 +87,7 @@ def main() -> None:
             state["i"] += 1
             out = bm25_search_step(
                 post_docs, impacts, offs, lens, weights, n_terms,
-                run_len=run_len, k=TOP_K,
+                run_len=run_len, k=TOP_K, use_pallas=device.platform == "tpu",
             )
             # force real completion: block_until_ready is unreliable through
             # the axon tunnel, so read back one element

@@ -148,7 +148,15 @@ class BatchedBM25:
             run_len=batch.run_len,
             k=k,
             require_all_terms=require_all_terms,
+            use_pallas=_on_tpu(),
         )
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
 
 def _pad_pow2(n: int, minimum: int = 128) -> int:

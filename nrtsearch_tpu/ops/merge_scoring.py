@@ -169,7 +169,7 @@ def _compare_exchange(docs, payloads, d: int):
     return new_docs, new_payloads
 
 
-def _bitonic_merge_level(docs, payloads, run_len: int):
+def _bitonic_merge_level(docs, payloads, run_len: int, use_pallas: bool = False):
     """Merge adjacent sorted runs of length run_len into runs of 2*run_len."""
     n = docs.shape[-1]
     shape = docs.shape[:-1]
@@ -183,6 +183,11 @@ def _bitonic_merge_level(docs, payloads, run_len: int):
         p2 = jnp.stack([p2[..., 0, :], p2[..., 1, ::-1]], axis=-2)
         new_payloads.append(p2.reshape(*shape, n))
     payloads = new_payloads
+    if use_pallas and len(payloads) == 1 and docs.ndim == 2:
+        from nrtsearch_tpu.ops.pallas_merge import merge_level_pallas
+
+        docs, p0 = merge_level_pallas(docs, payloads[0], run_len)
+        return docs, [p0]
     d = run_len
     while d >= 1:
         docs, payloads = _compare_exchange(docs, payloads, d)
@@ -190,10 +195,13 @@ def _bitonic_merge_level(docs, payloads, run_len: int):
     return docs, payloads
 
 
-def merge_sorted_runs(docs, *payloads):
+def merge_sorted_runs(docs, *payloads, use_pallas: bool = False):
     """Merge R sorted runs [..., R, L] -> fully sorted [..., R*L].
 
-    R and L must be powers of two; pad runs with DOC_SENTINEL.
+    R and L must be powers of two; pad runs with DOC_SENTINEL. With
+    ``use_pallas`` the compare-exchange stages run as TPU Pallas kernels
+    (ops/pallas_merge.py): one read+write per far stage, all near stages
+    fused into a single VMEM pass.
     """
     shape = docs.shape[:-2]
     R, L = docs.shape[-2], docs.shape[-1]
@@ -201,7 +209,7 @@ def merge_sorted_runs(docs, *payloads):
     payloads = [p.reshape(*shape, R * L) for p in payloads]
     run_len = L
     while run_len < R * L:
-        docs, payloads = _bitonic_merge_level(docs, payloads, run_len)
+        docs, payloads = _bitonic_merge_level(docs, payloads, run_len, use_pallas)
         run_len *= 2
     return (docs, *payloads)
 
@@ -238,7 +246,7 @@ def segmented_scores(docs_sorted, contribs):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("run_len", "k", "require_all_terms")
+    jax.jit, static_argnames=("run_len", "k", "require_all_terms", "use_pallas")
 )
 def merge_score_topk(
     post_docs: jax.Array,      # int32 [P_pad] doc-sorted postings (flat)
@@ -251,6 +259,7 @@ def merge_score_topk(
     run_len: int,              # static: power-of-two padded run length
     k: int,
     require_all_terms: bool = False,
+    use_pallas: bool = False,  # static: TPU Pallas merge stages
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fused scatter-free retrieval. Returns (scores [B,k], docs [B,k], hits [B]).
 
@@ -281,7 +290,7 @@ def merge_score_topk(
 
     docs, contribs = jax.vmap(gather_runs)(term_offsets, term_lengths, term_weights)
     # [B, R, run_len] -> merged [B, R*run_len]
-    docs, contribs = merge_sorted_runs(docs, contribs)
+    docs, contribs = merge_sorted_runs(docs, contribs, use_pallas=use_pallas)
     seg_scores, seg_counts, tail, valid = segmented_scores(docs, contribs)
 
     ok = tail & valid & (seg_scores > 0.0)

@@ -1,0 +1,147 @@
+"""Pallas TPU kernels for the bitonic merge (hot path of merge_scoring).
+
+The XLA formulation of a compare-exchange stage costs several materialized
+copies (layout changes, roll-as-concat), executing ~270x off memory bandwidth.
+These kernels bring each stage to one read + one write of the (docs, contribs)
+pair, and fuse ALL stages with distance < TILE into a single VMEM-resident
+pass:
+
+- ``far_stage``: distance d >= TILE. The flat [B, N] arrays are viewed as
+  [B, N/(2d), 2, d] (a contiguous reshape); each program loads a (2, TILE)
+  block — the lower and upper halves of one pair at the same offset — does the
+  min/max exchange, and writes it back in place (input/output aliasing).
+- ``near_stages``: all distances d0, d0/2, ..., 1 with 2*d0 <= TILE run inside
+  one kernel: pairs never cross the tile boundary, so each tile loads once,
+  applies log2(d0)+1 exchange rounds in VMEM (partner selection via
+  ``pltpu.roll`` within the tile + parity masks), and stores once.
+
+Called under jit from ops/merge_scoring.py on TPU backends; the pure-XLA
+formulation remains the CPU/test path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 1 << 17  # 128k elements: 512KB per f32 tile; stages below 64k fuse into one pass
+
+
+def _far_kernel(docs_ref, contribs_ref, docs_out, contribs_out):
+    lo_d = docs_ref[0, 0, 0, :]
+    hi_d = docs_ref[0, 0, 1, :]
+    swap = lo_d > hi_d
+    docs_out[0, 0, 0, :] = jnp.where(swap, hi_d, lo_d)
+    docs_out[0, 0, 1, :] = jnp.where(swap, lo_d, hi_d)
+    lo_c = contribs_ref[0, 0, 0, :]
+    hi_c = contribs_ref[0, 0, 1, :]
+    contribs_out[0, 0, 0, :] = jnp.where(swap, hi_c, lo_c)
+    contribs_out[0, 0, 1, :] = jnp.where(swap, lo_c, hi_c)
+
+
+def far_stage(docs: jax.Array, contribs: jax.Array, d: int):
+    """One compare-exchange stage at distance d >= TILE (in-place)."""
+    B, N = docs.shape
+    nblk = N // (2 * d)
+    sub = d // TILE
+    docs_v = docs.reshape(B, nblk, 2, d)
+    contribs_v = contribs.reshape(B, nblk, 2, d)
+
+    # block (1, 1, 2, TILE): the size-2 axis equals the full array dim, which
+    # satisfies the TPU block-shape constraint; w walks TILE chunks of d
+    spec = pl.BlockSpec(
+        (1, 1, 2, TILE), lambda b, blk, w: (b, blk, 0, w), memory_space=pltpu.VMEM
+    )
+    out_docs, out_contribs = pl.pallas_call(
+        _far_kernel,
+        grid=(B, nblk, sub),
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(docs_v.shape, docs_v.dtype),
+            jax.ShapeDtypeStruct(contribs_v.shape, contribs_v.dtype),
+        ],
+        input_output_aliases={0: 0, 1: 1},
+    )(docs_v, contribs_v)
+    return out_docs.reshape(B, N), out_contribs.reshape(B, N)
+
+
+_ROWS = TILE // 128
+
+
+def _near_kernel(docs_ref, contribs_ref, docs_out, contribs_out, *, d0: int):
+    """All stages d0..1 on one (ROWS, 128) VMEM tile.
+
+    Linear position p = row*128 + col. For d >= 128 (d multiple of 128 within
+    the tile) the exchange partner is a row shift; for d < 128 a lane shift.
+    Circular-wrap values are never selected (pairs live within 2d blocks)."""
+    docs = docs_ref[0, 0]
+    contribs = contribs_ref[0, 0]
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 128), 0)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, 128), 1)
+    d = d0
+    while d >= 1:
+        if d >= 128:
+            shift = d // 128
+            hi_bit = (row_idx & shift) != 0
+            axis, s = 0, shift
+            wrap = _ROWS
+        else:
+            hi_bit = (col_idx & d) != 0
+            axis, s = 1, d
+            wrap = 128
+        pd = jnp.where(
+            hi_bit,
+            pltpu.roll(docs, s, axis=axis),
+            pltpu.roll(docs, wrap - s, axis=axis),
+        )
+        pc = jnp.where(
+            hi_bit,
+            pltpu.roll(contribs, s, axis=axis),
+            pltpu.roll(contribs, wrap - s, axis=axis),
+        )
+        # boolean logic instead of where-on-bools (Mosaic can't trunc i8->i1)
+        keep = (hi_bit & (docs >= pd)) | (~hi_bit & (docs <= pd))
+        docs = jnp.where(keep, docs, pd)
+        contribs = jnp.where(keep, contribs, pc)
+        d //= 2
+    docs_out[0, 0] = docs
+    contribs_out[0, 0] = contribs
+
+
+def near_stages(docs: jax.Array, contribs: jax.Array, d0: int):
+    """All stages d0 down to 1 in one VMEM pass (requires 2*d0 <= TILE)."""
+    B, N = docs.shape
+    docs_v = docs.reshape(B, N // TILE, _ROWS, 128)
+    contribs_v = contribs.reshape(B, N // TILE, _ROWS, 128)
+    spec = pl.BlockSpec(
+        (1, 1, _ROWS, 128), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_docs, out_contribs = pl.pallas_call(
+        functools.partial(_near_kernel, d0=d0),
+        grid=(B, N // TILE),
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(docs_v.shape, docs_v.dtype),
+            jax.ShapeDtypeStruct(contribs_v.shape, contribs_v.dtype),
+        ],
+        input_output_aliases={0: 0, 1: 1},
+    )(docs_v, contribs_v)
+    return out_docs.reshape(B, N), out_contribs.reshape(B, N)
+
+
+def merge_level_pallas(docs: jax.Array, contribs: jax.Array, run_len: int):
+    """Merge adjacent sorted runs of length run_len (after the caller's
+    bitonic reversal): stages run_len, run_len/2, ..., 1."""
+    d = run_len
+    while d >= TILE:
+        docs, contribs = far_stage(docs, contribs, d)
+        d //= 2
+    if d >= 1:
+        docs, contribs = near_stages(docs, contribs, d)
+    return docs, contribs

@@ -46,14 +46,14 @@ def make_search_mesh(
 def _local_search(
     post_docs, post_impacts,
     term_offsets, term_lengths, term_weights, n_terms,
-    *, run_len, shard_capacity, k,
+    *, run_len, shard_capacity, k, use_pallas=False,
 ):
     """Per-device body: local merge-scoring + cross-shard top-k merge."""
     # leading shard dim is 1 inside shard_map
     local_scores, local_docs, local_hits = merge_score_topk(
         post_docs[0], post_impacts[0],
         term_offsets[0], term_lengths[0], term_weights[0], n_terms[0],
-        run_len=run_len, k=k,
+        run_len=run_len, k=k, use_pallas=use_pallas,
     )
     shard_idx = jax.lax.axis_index("shard")
     global_ids = local_docs + shard_idx * shard_capacity
@@ -191,6 +191,7 @@ class DistributedBM25:
         """One distributed search step. Returns (scores [B,k], ids [B,k], hits [B])."""
         mesh = self.mesh
         qspec = P("shard", "data", None)
+        use_pallas = all(d.platform == "tpu" for d in mesh.devices.flat)
         fn = jax.jit(
             jax.shard_map(
                 partial(
@@ -198,6 +199,7 @@ class DistributedBM25:
                     run_len=run_len,
                     shard_capacity=self.shard_capacity,
                     k=k,
+                    use_pallas=use_pallas,
                 ),
                 mesh=mesh,
                 in_specs=(
