@@ -35,6 +35,9 @@ class Hit:
 class TopDocs:
     hits: list[Hit]
     total_hits: int
+    relation: str = "EQUAL_TO"     # | GREATER_THAN_OR_EQUAL_TO
+    hit_timeout: bool = False
+    terminated_early: bool = False
 
 
 @dataclass(frozen=True)
@@ -77,6 +80,8 @@ class Searcher:
         sort: Optional[SortSpec] = None,
         extra_filter: Optional[qp.QueryNode] = None,
         return_arrays: bool = False,
+        timeout_sec: float = 0.0,
+        terminate_after: int = 0,
     ):
         """Recall + top-k over all segments.
 
@@ -84,13 +89,29 @@ class Searcher:
         filtered kNN / drill-down). With ``return_arrays`` also returns the
         per-segment (scores, match) device arrays so aggregation collectors
         and facets run over the full match set without re-evaluating.
+
+        ``timeout_sec`` / ``terminate_after`` bound work at segment
+        granularity (reference: SearchCutoffWrapper / TerminateAfterWrapper):
+        remaining segments are skipped, hits become a lower bound
+        (relation GREATER_THAN_OR_EQUAL_TO).
         """
+        import time as _time
+
         if not self.segments:
             return (TopDocs([], 0), []) if return_arrays else TopDocs([], 0)
+        t_start = _time.time()
+        hit_timeout = False
+        terminated_early = False
         per_segment: list[tuple[np.ndarray, np.ndarray, int, int]] = []
         arrays = []
         total = 0
         for idx, seg in enumerate(self.segments):
+            if timeout_sec and idx > 0 and (_time.time() - t_start) > timeout_sec:
+                hit_timeout = True
+                break
+            if terminate_after and total >= terminate_after:
+                terminated_early = True
+                break
             ctx = qeval.EvalContext(seg, self.field_defs, self.stats)
             scores, match = qeval.eval_node(node, ctx)
             if extra_filter is not None:
@@ -120,6 +141,10 @@ class Searcher:
             total += seg_total
 
         td = self._merge_top(per_segment, top_hits, sort, total)
+        td.hit_timeout = hit_timeout
+        td.terminated_early = terminated_early
+        if hit_timeout or terminated_early:
+            td.relation = "GREATER_THAN_OR_EQUAL_TO"
         return (td, arrays) if return_arrays else td
 
     def knn_search(

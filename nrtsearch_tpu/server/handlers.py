@@ -331,8 +331,12 @@ class Handlers:
                 # facets still need match arrays: matches = knn result docs
                 arrays = self._hits_as_arrays(searcher, td)
         else:
+            ls = rt.state_info.live_settings
+            timeout_sec = req.timeoutSec or float(ls.get("defaultSearchTimeoutSec", 0))
+            terminate_after = req.terminateAfter or int(ls.get("defaultTerminateAfter", 0))
             result = searcher.search(
-                node, fetch_n, sort=sort, return_arrays=need_arrays
+                node, fetch_n, sort=sort, return_arrays=need_arrays,
+                timeout_sec=timeout_sec, terminate_after=terminate_after,
             )
             td, arrays = result if need_arrays else (result, None)
             if req.knn:
@@ -366,7 +370,11 @@ class Handlers:
 
         resp = pb.SearchResponse()
         resp.totalHits.value = td.total_hits
-        resp.totalHits.relation = pb.TotalHits.Relation.EQUAL_TO
+        resp.totalHits.relation = pb.TotalHits.Relation.Value(
+            getattr(td, "relation", "EQUAL_TO")
+        )
+        resp.hitTimeout = getattr(td, "hit_timeout", False)
+        resp.terminatedEarly = getattr(td, "terminated_early", False)
 
         hits = td.hits[req.startHit : top_hits]
         t_fetch = time.time()

@@ -150,11 +150,17 @@ class ReplicationService:
         )
 
     def recvRawFile(self, req: pb.FileInfo, context):
+        """Stream one file in chunks, ending with a checksum footer chunk
+        (ack=True, seqNum=CRC32) that the receiver verifies — the reference's
+        CopyOneFile footer-checksum mechanism."""
+        import zlib
+
         rt = self.gs.get_runtime(req.indexName)
         path = Path(rt.index_dir) / req.fileName
         if not path.exists():
             context.abort(grpc.StatusCode.NOT_FOUND, f"no file {req.fileName!r}")
         seq = 0
+        crc = 0
         with open(path, "rb") as f:
             if req.fpStart:
                 f.seek(req.fpStart)
@@ -163,7 +169,10 @@ class ReplicationService:
                 if not chunk:
                     break
                 seq += 1
+                crc = zlib.crc32(chunk, crc)
                 yield pb.RawFileChunk(content=chunk, seqNum=seq)
+        # trailing checksum footer (ack=True marks it)
+        yield pb.RawFileChunk(content=b"", seqNum=crc, ack=True)
 
     def writeNRTPoint(self, req: pb.IndexName, context) -> pb.SearcherVersion:
         rt = self.gs.get_runtime(req.indexName)
@@ -226,11 +235,24 @@ class ReplicationService:
         point = NrtPointState.from_json(state.manifest)
 
         def fetch(files: list[str]) -> None:
+            import zlib
+
             for name in files:
                 tmp = Path(rt.index_dir) / (name + ".tmp")
+                crc = 0
+                footer = None
                 with open(tmp, "wb") as f:
                     for chunk in client.recv_raw_file(index_name, name):
+                        if chunk.ack:  # checksum footer
+                            footer = chunk.seqNum
+                            continue
+                        crc = zlib.crc32(chunk.content, crc)
                         f.write(chunk.content)
+                if footer is not None and footer != crc:
+                    tmp.unlink(missing_ok=True)
+                    raise IOError(
+                        f"checksum mismatch copying {name!r}: {crc} != {footer}"
+                    )
                 tmp.replace(Path(rt.index_dir) / name)
 
         return rt.install_point(point, file_fetcher=fetch)
