@@ -388,7 +388,25 @@ class SegmentBuilder:
         positions: dict[str, list[int]] = {}
         total = 0
         base = 0
+        use_native = fd.type == FieldType.TEXT and fd.index_analyzer is None
+        native = None
+        if use_native:
+            from nrtsearch_tpu.native_ext import get as _get_native
+
+            native = _get_native()
         for v in values:
+            if native is not None:
+                res = native.std_term_positions(v, base)
+                if res is not None:
+                    terms, count = res
+                    if len(values) == 1:
+                        positions = terms
+                    else:
+                        for term, plist in terms.items():
+                            positions.setdefault(term, []).extend(plist)
+                    total += count
+                    base += count + self.POSITION_GAP
+                    continue
             max_pos = 0
             for tok in fd.index_tokens(v):
                 positions.setdefault(tok.text, []).append(base + tok.position)

@@ -195,6 +195,11 @@ class GlobalState:
 
     def _require(self, name: str) -> None:
         if name not in self.index_ids:
+            # a shared state backend may have gained the index after our boot
+            # (e.g. primary created it while this replica was already up)
+            with self._lock:
+                self._load()
+        if name not in self.index_ids:
             raise KeyError(f"index {name!r} does not exist")
 
     def close(self) -> None:
