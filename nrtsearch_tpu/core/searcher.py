@@ -99,6 +99,16 @@ class Searcher:
 
         if not self.segments:
             return (TopDocs([], 0), []) if return_arrays else TopDocs([], 0)
+        if (
+            sort is None
+            and extra_filter is None
+            and not return_arrays
+            and not timeout_sec
+            and not terminate_after
+        ):
+            fast = self._fast_text_search(node, top_hits)
+            if fast is not None:
+                return fast
         t_start = _time.time()
         hit_timeout = False
         terminated_early = False
@@ -146,6 +156,124 @@ class Searcher:
         if hit_timeout or terminated_early:
             td.relation = "GREATER_THAN_OR_EQUAL_TO"
         return (td, arrays) if return_arrays else td
+
+    def _fast_text_search(self, node: qp.QueryNode, top_hits: int):
+        """Scatter-free path for plain text queries (the dominant query type).
+
+        Match/term queries with default scoring route through the fused
+        merge-scoring kernel (ops/merge_scoring.py) instead of the dense
+        scatter evaluator — the same program the flagship bench runs. Returns
+        None when the query shape isn't eligible (caller falls back)."""
+        from nrtsearch_tpu.ops.bm25 import lucene_idf
+        from nrtsearch_tpu.ops.merge_scoring import merge_score_topk, plan_runs
+
+        if isinstance(node, qp.MatchQueryNode):
+            if node.minimum_number_should_match > 1 or node.fuzzy_max_edits:
+                return None
+            fd = self.field_defs.get(node.field)
+            if fd is None or node.analyzer is not None:
+                return None
+            if fd.index_analyzer is not None or fd.search_analyzer is not None:
+                return None
+            terms = fd.query_terms(node.query)
+            require_all = node.operator == "MUST"
+        elif isinstance(node, qp.TermQueryNode) and node.text is not None:
+            fd = self.field_defs.get(node.field)
+            if fd is None or not fd.is_text or not fd.search:
+                return None
+            terms = [node.text]
+            require_all = True
+        else:
+            return None
+        if not terms or len(terms) > 16:
+            return None
+        fd = self.field_defs.get(node.field)
+        if fd.sim_k1 != 1.2 or fd.sim_b != 0.75:
+            return None  # non-default similarity: use the general evaluator
+
+        # nested children need the root-filtered general path
+        for seg in self.segments:
+            parents = seg.parent_positions()
+            if parents is not None and len(parents) != seg.num_docs:
+                return None
+
+        dc = self.stats.doc_count(node.field)
+        hits: list[Hit] = []
+        total = 0
+        import jax.numpy as jnp
+
+        for idx, seg in enumerate(self.segments):
+            tfi = seg.fields.get(node.field)
+            if tfi is None:
+                continue
+            model = self._flagship_view(idx, node.field)
+            offs = np.zeros((1, len(terms)), np.int64)
+            lens = np.zeros((1, len(terms)), np.int32)
+            weights = np.zeros((1, len(terms)), np.float32)
+            for ti, term in enumerate(terms):
+                off, ln = tfi.lookup(term)
+                df = self.stats.doc_freq(node.field, term)
+                offs[0, ti], lens[0, ti] = off, ln
+                weights[0, ti] = (
+                    lucene_idf(dc, df) * node.boost if df else 0.0
+                )
+            if require_all and any(
+                self.stats.doc_freq(node.field, t) == 0 for t in terms
+            ):
+                continue  # a missing required term matches nothing
+            r_offs, r_lens, r_w, run_len = plan_runs(
+                offs, lens, weights, max_run=int(tfi.doc_ids.shape[0])
+            )
+            scores, docs, th = merge_score_topk(
+                model["doc_ids"], model["impacts"],
+                jnp.asarray(r_offs), jnp.asarray(r_lens), jnp.asarray(r_w),
+                jnp.asarray(np.asarray([len(terms)], np.int32)),
+                run_len=run_len, k=min(top_hits, seg.capacity),
+                require_all_terms=require_all,
+                use_pallas=model["use_pallas"],
+            )
+            scores = np.asarray(scores[0])
+            docs = np.asarray(docs[0])
+            total += int(np.asarray(th[0]))
+            base = int(self.bases[idx])
+            for s, d in zip(scores, docs):
+                if s == -np.inf:
+                    break
+                hits.append(Hit(idx, int(d), base + int(d), float(s)))
+        hits.sort(key=lambda h: (-h.score, h.global_ord))
+        return TopDocs(hits[:top_hits], total)
+
+    def _flagship_view(self, seg_idx: int, field: str) -> dict:
+        """Per-(segment, field) packed view with live-folded impacts, cached
+        on this immutable searcher snapshot."""
+        cache = getattr(self, "_flagship_cache", None)
+        if cache is None:
+            cache = {}
+            self._flagship_cache = cache
+        key = (seg_idx, field)
+        if key not in cache:
+            import jax
+            import jax.numpy as jnp
+
+            from nrtsearch_tpu.ops.bm25 import precompute_impacts
+
+            seg = self.segments[seg_idx]
+            tfi = seg.fields[field]
+            avgdl = self.stats.avgdl(field)
+            impacts = precompute_impacts(
+                tfi.doc_ids, tfi.freqs, tfi.doc_lens, seg.live,
+                jnp.float32(1.2), jnp.float32(0.75), jnp.float32(avgdl),
+            )
+            try:
+                use_pallas = jax.devices()[0].platform == "tpu"
+            except Exception:
+                use_pallas = False
+            cache[key] = {
+                "doc_ids": tfi.doc_ids,
+                "impacts": impacts,
+                "use_pallas": use_pallas,
+            }
+        return cache[key]
 
     def knn_search(
         self,

@@ -111,7 +111,9 @@ class BatchedBM25:
                 offs[qi, ti] = self.offsets[tid]
                 lens[qi, ti] = self.lengths[tid]
                 weights[qi, ti] = lucene_idf(self.num_docs_real, int(self.lengths[tid]))
-        run_offs, run_lens, run_w, run_len = plan_runs(offs, lens, weights)
+        run_offs, run_lens, run_w, run_len = plan_runs(
+            offs, lens, weights, max_run=int(self.doc_ids.shape[0])
+        )
         return QueryBatch(run_offs, run_lens, run_w, n_terms, run_len)
 
     def compile_query_batches(

@@ -42,6 +42,7 @@ def plan_runs(
     *,
     min_run: int = 1024,
     force_run_len: int = 0,
+    max_run: int = 0,   # cap run_len (must not exceed the postings array)
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Split long postings runs into fixed-length chunks.
 
@@ -71,15 +72,21 @@ def plan_runs(
             max_runs = max(max_runs, runs)
         return _pow2(max_runs, 2) * rl
 
+    if max_run:
+        min_run = min(min_run, max_run)
     if force_run_len:
         run_len = _pow2(force_run_len)
     else:
         candidates = []
         rl = _pow2(max(min_run, 1))
         top = max(_pow2(max_df), rl)
+        if max_run:
+            top = min(top, _pow2(max_run) if max_run == _pow2(max_run) else max_run)
         while rl <= top:
             candidates.append(rl)
             rl <<= 1
+        if not candidates:
+            candidates = [rl]
         run_len = min(candidates, key=width)
 
     rows = []
