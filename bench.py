@@ -22,7 +22,7 @@ import time
 NUM_DOCS = int(os.environ.get("BENCH_NUM_DOCS", 1_000_000))
 VOCAB = int(os.environ.get("BENCH_VOCAB", 100_000))
 AVG_LEN = int(os.environ.get("BENCH_AVG_LEN", 48))
-BATCH = int(os.environ.get("BENCH_BATCH", 16))
+BATCH = int(os.environ.get("BENCH_BATCH", 32))
 TERMS_PER_QUERY = int(os.environ.get("BENCH_TERMS", 4))
 TOP_K = int(os.environ.get("BENCH_TOPK", 100))
 ITERS = int(os.environ.get("BENCH_ITERS", 20))

@@ -233,7 +233,7 @@ def _text_clause(
 
 def _eval_term(node: qp.TermQueryNode, ctx: EvalContext):
     fd = _field(ctx, node.field)
-    if node.text is not None and fd.is_text:
+    if node.text is not None and fd.is_text and fd.search:
         return _text_clause(ctx, node.field, [node.text], [1.0], "MUST", 0, node.boost)
     dv = ctx.segment.doc_values.get(node.field)
     if dv is None:

@@ -729,21 +729,26 @@ class Handlers:
                 )
 
     def _run_facets(self, req, resp, matches) -> None:
+        # drill-sideways (reference: DrillSidewaysImpl): when the query ANDs
+        # in FILTER clauses on a facet's own dimension, that dimension's
+        # counts are computed with its own filter EXCLUDED
+        sideways = self._drill_sideways_matches(req, matches)
         for facet in req.facets:
+            facet_matches = sideways.get(facet.dim, matches)
             fr = resp.facetResult.add()
             fr.name = facet.name or facet.dim
             fr.dim = facet.dim
             if facet.numericRange:
                 ranges = [MessageToDict(r) for r in facet.numericRange]
                 for label, count in coll.numeric_range_counts(
-                    matches, facet.dim, ranges
+                    facet_matches, facet.dim, ranges
                 ):
                     lv = fr.labelValues.add()
                     lv.label = label
                     lv.value = count
                 fr.childCount = len(fr.labelValues)
                 continue
-            counts = coll.terms_counts(matches, facet.dim)
+            counts = coll.terms_counts(facet_matches, facet.dim)
             top_n = facet.topN or 10
             fr.childCount = len(counts)
             fr.value = sum(counts.values())
@@ -753,6 +758,44 @@ class Handlers:
                 lv = fr.labelValues.add()
                 lv.label = label
                 lv.value = count
+
+    def _drill_sideways_matches(self, req, matches) -> dict:
+        """Per-facet-dimension match sets with that dim's own FILTER clauses
+        removed from the query (DrillSidewaysImpl semantics). Only boolean
+        top-level queries with field-bearing FILTER clauses participate."""
+        from nrtsearch_tpu.query import plan as qp
+
+        if not req.HasField("query") or not req.facets:
+            return {}
+        node = parse_query(MessageToDict(req.query))
+        if not isinstance(node, qp.BooleanQueryNode):
+            return {}
+        filter_fields = {
+            getattr(c.node, "field", None)
+            for c in node.clauses
+            if c.occur == qp.Occur.FILTER
+        }
+        out = {}
+        for facet in req.facets:
+            dim = facet.dim
+            if dim not in filter_fields:
+                continue
+            reduced = qp.BooleanQueryNode(
+                boost=node.boost,
+                clauses=tuple(
+                    c for c in node.clauses
+                    if not (
+                        c.occur == qp.Occur.FILTER
+                        and getattr(c.node, "field", None) == dim
+                    )
+                ),
+                minimum_number_should_match=node.minimum_number_should_match,
+            )
+            masks = matches.searcher.match_masks(reduced)
+            out[dim] = coll.SegmentMatches(
+                matches.searcher, [np.asarray(m) for m in masks]
+            )
+        return out
 
     def _run_collectors(self, specs, results_map, matches) -> None:
         for name, spec in specs.items():

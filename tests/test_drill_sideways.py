@@ -1,0 +1,76 @@
+"""Drill-sideways facets: a dimension's own filter is excluded from its
+counts (reference: DrillSidewaysImpl)."""
+
+import pytest
+
+from nrtsearch_tpu.client import NrtsearchClient
+from nrtsearch_tpu.config import NrtsearchConfig
+from nrtsearch_tpu.gen import pb
+from nrtsearch_tpu.server.grpc_server import NrtsearchServer
+
+
+@pytest.fixture()
+def server(tmp_path):
+    srv = NrtsearchServer(NrtsearchConfig.from_dict(
+        {"stateDir": str(tmp_path / "s"), "indexDir": str(tmp_path / "i")}
+    ))
+    port = srv.start(0)
+    c = NrtsearchClient(f"localhost:{port}")
+    c.create_index("shop")
+    c.register_fields(pb.FieldDefRequest(indexName="shop", field=[
+        pb.Field(name="id", type=pb.FieldType._ID, store=True),
+        pb.Field(name="name", type=pb.FieldType.TEXT, search=True),
+        pb.Field(name="color", type=pb.FieldType.ATOM, storeDocValues=True),
+        pb.Field(name="size", type=pb.FieldType.ATOM, storeDocValues=True),
+    ]))
+    c.start_index(pb.StartIndexRequest(indexName="shop", mode=pb.Mode.STANDALONE))
+    rows = [
+        ("0", "shirt", "red", "S"),
+        ("1", "shirt", "red", "M"),
+        ("2", "shirt", "blue", "M"),
+        ("3", "shirt", "green", "L"),
+        ("4", "pants", "red", "M"),
+    ]
+    reqs = []
+    for i, n, col, sz in rows:
+        r = pb.AddDocumentRequest(indexName="shop")
+        r.fields["id"].value.append(i)
+        r.fields["name"].value.append(n)
+        r.fields["color"].value.append(col)
+        r.fields["size"].value.append(sz)
+        reqs.append(r)
+    c.add_documents(reqs)
+    c.refresh("shop")
+    yield c
+    c.close()
+    srv.stop()
+
+
+def test_drill_sideways(server):
+    # drill down: shirts filtered to color=red; color facet must count ALL
+    # shirt colors (sideways), size facet only red shirts (normal drill-down)
+    req = pb.SearchRequest(indexName="shop", topHits=10, retrieveFields=["id"])
+    bq = req.query.booleanQuery
+    c1 = bq.clauses.add()
+    c1.occur = pb.BooleanClauseOccur.MUST
+    c1.query.matchQuery.field = "name"
+    c1.query.matchQuery.query = "shirt"
+    c2 = bq.clauses.add()
+    c2.occur = pb.BooleanClauseOccur.FILTER
+    c2.query.termQuery.field = "color"
+    c2.query.termQuery.textValue = "red"
+    f_color = req.facets.add()
+    f_color.dim = "color"
+    f_color.topN = 10
+    f_size = req.facets.add()
+    f_size.dim = "size"
+    f_size.topN = 10
+    resp = server.search(req)
+
+    assert resp.totalHits.value == 2  # red shirts only
+    by_dim = {fr.dim: {lv.label: lv.value for lv in fr.labelValues}
+              for fr in resp.facetResult}
+    # sideways: all shirt colors visible despite the color filter
+    assert by_dim["color"] == {"red": 2, "blue": 1, "green": 1}
+    # size facet honors the color filter
+    assert by_dim["size"] == {"S": 1, "M": 1}
