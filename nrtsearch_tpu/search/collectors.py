@@ -127,6 +127,44 @@ def hit_count(matches: SegmentMatches) -> int:
                    zip(matches.searcher.segments, matches.masks)))
 
 
+def hierarchy_counts(
+    matches: SegmentMatches, field: str, path: list[str]
+) -> tuple[dict[str, int], int]:
+    """Hierarchical facet counts: children one level below ``path`` for
+    '/'-separated values (reference: taxonomy facets with
+    FacetHierarchyPath; HIERARCHY facet type).
+
+    Returns (child label -> doc count, total docs under path)."""
+    prefix = "/".join(path)
+    depth = len(path)
+    out: dict[str, int] = defaultdict(int)
+    total = 0
+    for seg, mask in zip(matches.searcher.segments, matches.masks):
+        it = _iter_field_values(seg, field)
+        if it is None:
+            continue
+        docs, vals, ord_terms = it
+        if ord_terms is None:
+            continue
+        hit = mask[: seg.num_docs][docs]
+        if not hit.any():
+            continue
+        # per-doc dedupe of child labels (a doc counts once per child)
+        seen: dict[int, set] = {}
+        for doc, v in zip(docs[hit], np.asarray(vals)[hit]):
+            parts = ord_terms[int(v)].split("/")
+            if depth and parts[: depth] != path:
+                continue
+            if len(parts) <= depth:
+                continue
+            seen.setdefault(int(doc), set()).add(parts[depth])
+        for doc, labels in seen.items():
+            total += 1
+            for label in labels:
+                out[label] += 1
+    return dict(out), total
+
+
 def numeric_range_counts(
     matches: SegmentMatches, field: str, ranges: list[dict]
 ) -> list[tuple[str, int]]:

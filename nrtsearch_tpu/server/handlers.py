@@ -748,6 +748,21 @@ class Handlers:
                     lv.value = count
                 fr.childCount = len(fr.labelValues)
                 continue
+            if facet.paths:
+                counts, under = coll.hierarchy_counts(
+                    facet_matches, facet.dim, list(facet.paths)
+                )
+                fr.path.extend(facet.paths)
+                fr.value = under
+                fr.childCount = len(counts)
+                top_n = facet.topN or 10
+                for label, count in sorted(
+                    counts.items(), key=lambda kv: (-kv[1], kv[0])
+                )[:top_n]:
+                    lv = fr.labelValues.add()
+                    lv.label = label
+                    lv.value = count
+                continue
             counts = coll.terms_counts(facet_matches, facet.dim)
             top_n = facet.topN or 10
             fr.childCount = len(counts)

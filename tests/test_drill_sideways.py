@@ -74,3 +74,58 @@ def test_drill_sideways(server):
     assert by_dim["color"] == {"red": 2, "blue": 1, "green": 1}
     # size facet honors the color filter
     assert by_dim["size"] == {"S": 1, "M": 1}
+
+
+def test_hierarchy_facet(tmp_path):
+    srv = NrtsearchServer(NrtsearchConfig.from_dict(
+        {"stateDir": str(tmp_path / "hs"), "indexDir": str(tmp_path / "hi")}
+    ))
+    port = srv.start(0)
+    c = NrtsearchClient(f"localhost:{port}")
+    try:
+        c.create_index("cat")
+        c.register_fields(pb.FieldDefRequest(indexName="cat", field=[
+            pb.Field(name="id", type=pb.FieldType._ID, store=True),
+            pb.Field(name="path", type=pb.FieldType.ATOM, storeDocValues=True,
+                     multiValued=True),
+        ]))
+        c.start_index(pb.StartIndexRequest(indexName="cat", mode=pb.Mode.STANDALONE))
+        rows = [
+            ("0", ["clothing/shirts/tees"]),
+            ("1", ["clothing/shirts/polos", "clothing/pants"]),
+            ("2", ["clothing/pants"]),
+            ("3", ["electronics/phones"]),
+        ]
+        reqs = []
+        for i, paths in rows:
+            r = pb.AddDocumentRequest(indexName="cat")
+            r.fields["id"].value.append(i)
+            for p in paths:
+                r.fields["path"].value.append(p)
+            reqs.append(r)
+        c.add_documents(reqs)
+        c.refresh("cat")
+
+        req = pb.SearchRequest(indexName="cat", topHits=1)
+        req.query.matchAllQuery.SetInParent()
+        f = req.facets.add()
+        f.dim = "path"
+        f.paths.append("clothing")
+        resp = c.search(req)
+        fr = resp.facetResult[0]
+        counts = {lv.label: lv.value for lv in fr.labelValues}
+        assert counts == {"shirts": 2, "pants": 2}
+        assert fr.value == 3  # docs under clothing/
+
+        # one level deeper
+        req2 = pb.SearchRequest(indexName="cat", topHits=1)
+        req2.query.matchAllQuery.SetInParent()
+        f2 = req2.facets.add()
+        f2.dim = "path"
+        f2.paths.extend(["clothing", "shirts"])
+        resp2 = c.search(req2)
+        counts2 = {lv.label: lv.value for lv in resp2.facetResult[0].labelValues}
+        assert counts2 == {"tees": 1, "polos": 1}
+    finally:
+        c.close()
+        srv.stop()
