@@ -26,7 +26,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", 32))
 TERMS_PER_QUERY = int(os.environ.get("BENCH_TERMS", 4))
 TOP_K = int(os.environ.get("BENCH_TOPK", 100))
 ITERS = int(os.environ.get("BENCH_ITERS", 20))
-CPU_ITERS = int(os.environ.get("BENCH_CPU_ITERS", 2))
+CPU_ITERS = int(os.environ.get("BENCH_CPU_ITERS", 1))
 
 
 def _timeit(run, iters):
