@@ -87,7 +87,9 @@ def plan_runs(
             rl <<= 1
         if not candidates:
             candidates = [rl]
-        run_len = min(candidates, key=width)
+        # tie-break toward the LARGEST run_len: equal merged width with longer
+        # pre-sorted runs means fewer merge levels (levels = log2(R))
+        run_len = min(candidates, key=lambda rl_: (width(rl_), -rl_))
 
     rows = []
     max_runs = 1
