@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-DOC_SENTINEL = np.int32(2**31 - 1)
+DOC_SENTINEL = np.int32(2**31 - 1)       # back padding (sorts last)
+DOC_SENTINEL_LOW = np.int32(-(2**31) + 1)  # front padding (sorts first)
 
 
 def plan_runs(
@@ -231,7 +232,7 @@ def segmented_scores(docs_sorted, contribs):
     seg_counts the number of entries in the segment (matched term count).
     """
     n = docs_sorted.shape[-1]
-    valid = docs_sorted != DOC_SENTINEL
+    valid = (docs_sorted != DOC_SENTINEL) & (docs_sorted != DOC_SENTINEL_LOW)
     prev = jnp.concatenate(
         [jnp.full_like(docs_sorted[..., :1], -1), docs_sorted[..., :-1]], axis=-1
     )
@@ -280,18 +281,19 @@ def merge_score_topk(
 
     def gather_runs(offs, lens, weights):
         def one_term(off, ln, w):
-            # dynamic_slice clamps at the array end; roll the window so that
-            # position p always corresponds to postings[off + p]
+            # dynamic_slice clamps at the array end: when clamped the run's
+            # real data starts at position shift. Front padding gets a LOW
+            # sentinel and back padding a HIGH one, keeping the run sorted
+            # without any roll (rolls cost two extra passes per run).
             p_total = post_docs.shape[0]
             start = jnp.minimum(off, p_total - run_len)
             shift = off - start
             docs = jax.lax.dynamic_slice(post_docs, (start,), (run_len,))
             imps = jax.lax.dynamic_slice(post_impacts, (start,), (run_len,))
-            docs = jnp.roll(docs, -shift)
-            imps = jnp.roll(imps, -shift)
             pos = jnp.arange(run_len, dtype=jnp.int32)
-            in_run = (pos < ln) & (w != 0.0)
-            docs = jnp.where(in_run, docs, DOC_SENTINEL)
+            in_run = (pos >= shift) & (pos < shift + ln) & (w != 0.0)
+            docs = jnp.where(pos < shift, DOC_SENTINEL_LOW,
+                             jnp.where(in_run, docs, DOC_SENTINEL))
             contribs = jnp.where(in_run, w * imps, 0.0)
             return docs, contribs
 
