@@ -459,7 +459,8 @@ class SegmentBuilder:
         offsets = np.zeros(len(post), dtype=np.int64)
         lengths = np.zeros(len(post), dtype=np.int32)
         total = sum(len(p) for p in post.values())
-        p_pad = pad_to_bucket(total)
+        # 8k slack so Pallas DMA gathers never clamp (GATHER_TILE contract)
+        p_pad = pad_to_bucket(total + 16384)
         doc_ids = np.zeros(p_pad, dtype=np.int32)
         freqs = np.zeros(p_pad, dtype=np.float32)
         pos_offsets = np.zeros(total + 1, dtype=np.int64)

@@ -220,8 +220,10 @@ class SyntheticCorpus:
         self.rng = rng
 
     def to_model(self) -> BatchedBM25:
+        from nrtsearch_tpu.ops.pallas_merge import GATHER_TILE
+
         d_pad = _pad_pow2(self.num_docs)
-        p_pad = _pad_pow2(len(self.post_docs))
+        p_pad = _pad_pow2(len(self.post_docs) + 2 * GATHER_TILE)
         doc_ids = np.zeros(p_pad, np.int32)
         doc_ids[: len(self.post_docs)] = self.post_docs
         freqs = np.zeros(p_pad, np.float32)

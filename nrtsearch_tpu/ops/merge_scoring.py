@@ -279,6 +279,16 @@ def merge_score_topk(
     of live matches are strictly positive.
     """
 
+    if use_pallas:
+        from nrtsearch_tpu.ops.pallas_merge import gather_runs_pallas
+
+        docs, contribs = gather_runs_pallas(
+            post_docs, post_impacts, term_offsets, term_lengths, term_weights,
+            run_len,
+        )
+        docs, contribs = merge_sorted_runs(docs, contribs, use_pallas=True)
+        return _finish(docs, contribs, n_terms, k, require_all_terms)
+
     def gather_runs(offs, lens, weights):
         def one_term(off, ln, w):
             # dynamic_slice clamps at the array end: when clamped the run's
@@ -302,8 +312,11 @@ def merge_score_topk(
     docs, contribs = jax.vmap(gather_runs)(term_offsets, term_lengths, term_weights)
     # [B, R, run_len] -> merged [B, R*run_len]
     docs, contribs = merge_sorted_runs(docs, contribs, use_pallas=use_pallas)
-    seg_scores, seg_counts, tail, valid = segmented_scores(docs, contribs)
+    return _finish(docs, contribs, n_terms, k, require_all_terms)
 
+
+def _finish(docs, contribs, n_terms, k: int, require_all_terms: bool):
+    seg_scores, seg_counts, tail, valid = segmented_scores(docs, contribs)
     ok = tail & valid & (seg_scores > 0.0)
     if require_all_terms:
         ok = ok & (seg_counts >= n_terms[:, None])

@@ -135,6 +135,113 @@ def near_stages(docs: jax.Array, contribs: jax.Array, d0: int):
     return out_docs.reshape(B, N), out_contribs.reshape(B, N)
 
 
+GATHER_TILE = 8192  # postings DMA chunk; postings arrays carry >= this slack
+
+
+_DMA_ROWS = 8  # row-start alignment for (8, 128)-tiled f32/i32 DMA
+
+
+def _realign(window, rows: int, span_rows: int, r0, c):
+    """Linear window [r0*128 + c, ... + rows*128) out of a (span_rows, 128)
+    buffer, via traced-shift rolls (arbitrary linear slicing is unsupported).
+    """
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (span_rows, 128), 1)
+    rr = pltpu.roll(window, 128 - c, axis=1)          # [r, j] = win[r, (j+c)%128]
+    rr_next = pltpu.roll(rr, span_rows - 1, axis=0)   # [r, j] = rr[r+1, j]
+    lane_aligned = jnp.where(lane_idx < 128 - c, rr, rr_next)
+    row_aligned = pltpu.roll(lane_aligned, span_rows - r0, axis=0)
+    return row_aligned[:rows, :]
+
+
+def _gather_kernel(offs_ref, lens_ref, wts_ref, docs_hbm, imps_hbm,
+                   docs_out, imps_out, d_s, i_s, sem_d, sem_i, *, gt: int):
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+    w = pl.program_id(2)
+    rows = gt // 128
+    span_rows = rows + _DMA_ROWS
+    off = offs_ref[b, r] + w * gt
+    # DMA an aligned row window, then realign in VMEM (postings offsets are
+    # arbitrary; HBM DMA starts must be tile-aligned)
+    row0 = pl.multiple_of((off // (128 * _DMA_ROWS)) * _DMA_ROWS, _DMA_ROWS)
+    shift = off - row0 * 128
+    r0 = shift // 128
+    c = shift % 128
+    cd = pltpu.make_async_copy(docs_hbm.at[pl.ds(row0, span_rows), :], d_s, sem_d)
+    cd.start()
+    ci = pltpu.make_async_copy(imps_hbm.at[pl.ds(row0, span_rows), :], i_s, sem_i)
+    ci.start()
+    ln = lens_ref[b, r]
+    wt = wts_ref[b, r]
+    pos = (
+        jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0) * 128
+        + jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+        + w * gt
+    )
+    valid = (pos < ln) & (wt != 0.0)
+    cd.wait()
+    ci.wait()
+    docs = _realign(d_s[:], rows, span_rows, r0, c)
+    imps = _realign(i_s[:], rows, span_rows, r0, c)
+    from nrtsearch_tpu.ops.merge_scoring import DOC_SENTINEL
+
+    docs_out[0] = jnp.where(valid, docs, DOC_SENTINEL)
+    imps_out[0] = jnp.where(valid, wt * imps, 0.0)
+
+
+def gather_runs_pallas(post_docs, post_impacts, offs, lens, weights, run_len: int):
+    """DMA-based postings-run gather: [B, R] run tables -> padded [B, R, run]
+    (docs with sentinels, weighted contribs).
+
+    The vmapped dynamic-slice formulation lowers to an XLA gather that runs
+    ~30x off bandwidth; here each (query, run, chunk) program issues one
+    contiguous async copy. Caller contract: the postings arrays carry at
+    least GATHER_TILE slack past the last valid entry (builders pad for it),
+    so chunk copies never clamp.
+    """
+    B, R = offs.shape
+    gt = min(GATHER_TILE, run_len)
+    W = run_len // gt
+    rows = gt // 128
+    span_rows = rows + _DMA_ROWS
+    P = post_docs.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, R, W),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, rows, 128),
+                lambda b, r, w, *refs: (b * R * W + r * W + w, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, rows, 128),
+                lambda b, r, w, *refs: (b * R * W + r * W + w, 0, 0),
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((span_rows, 128), jnp.int32),
+            pltpu.VMEM((span_rows, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    docs, imps = pl.pallas_call(
+        functools.partial(_gather_kernel, gt=gt),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B * R * W, rows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B * R * W, rows, 128), jnp.float32),
+        ],
+    )(offs.astype(jnp.int32), lens.astype(jnp.int32),
+      weights.astype(jnp.float32),
+      post_docs.reshape(P // 128, 128), post_impacts.reshape(P // 128, 128))
+    return docs.reshape(B, R, run_len), imps.reshape(B, R, run_len)
+
+
 def merge_level_pallas(docs: jax.Array, contribs: jax.Array, run_len: int):
     """Merge adjacent sorted runs of length run_len (after the caller's
     bitonic reversal): stages run_len, run_len/2, ..., 1."""

@@ -114,7 +114,7 @@ class DistributedBM25:
         p_local_max = int(np.bincount(post_shard, minlength=S).max()) if len(
             post_shard
         ) else 1
-        p_pad = _pad_pow2(p_local_max)
+        p_pad = _pad_pow2(p_local_max + 16384)
         post_docs = np.zeros((S, p_pad), np.int32)
         post_impacts = np.zeros((S, p_pad), np.float32)
         term_offsets = np.zeros((S, V), np.int64)
