@@ -81,14 +81,9 @@ def point_in_polygon_mask(
     return ((crossings % 2) == 1) & present
 
 
-def geo_radius_mask(
-    latlon: jax.Array,
-    present: jax.Array,
-    center_lat: float,
-    center_lon: float,
-    radius_meters: float,
-) -> jax.Array:
-    """Haversine distance filter (GeoRadiusQuery equivalent)."""
+def haversine_meters(latlon: jax.Array, center_lat: float, center_lon: float):
+    """Per-doc haversine distance (meters) from a [D, 2] lat/lon column to a
+    point (reference: geo/GeoUtils.arcDistance)."""
     r_earth = 6371008.7714  # mean earth radius, meters
     lat = jnp.deg2rad(latlon[:, 0])
     lon = jnp.deg2rad(latlon[:, 1])
@@ -97,5 +92,16 @@ def geo_radius_mask(
     dlat = lat - clat
     dlon = lon - clon
     a = jnp.sin(dlat / 2) ** 2 + jnp.cos(lat) * jnp.cos(clat) * jnp.sin(dlon / 2) ** 2
-    dist = 2 * r_earth * jnp.arcsin(jnp.sqrt(a))
+    return 2 * r_earth * jnp.arcsin(jnp.sqrt(a))
+
+
+def geo_radius_mask(
+    latlon: jax.Array,
+    present: jax.Array,
+    center_lat: float,
+    center_lon: float,
+    radius_meters: float,
+) -> jax.Array:
+    """Haversine distance filter (GeoRadiusQuery equivalent)."""
+    dist = haversine_meters(latlon, center_lat, center_lon)
     return (dist <= radius_meters) & present

@@ -14,6 +14,8 @@ collection statistics, and are computed on the host at plan time.
 
 from __future__ import annotations
 
+import functools
+import math
 from dataclasses import dataclass
 from typing import Optional, Sequence
 
@@ -136,6 +138,8 @@ def _eval_node_impl(node: qp.QueryNode, ctx: EvalContext):
         return _eval_phrase(node, ctx)
     if isinstance(node, qp.FunctionScoreNode):
         return _eval_function_score(node, ctx)
+    if isinstance(node, qp.MultiFunctionScoreNode):
+        return _eval_multi_function_score(node, ctx)
     if isinstance(node, qp.ConstantScoreNode):
         _, match = eval_node(node.filter or qp.MatchAllNode(), ctx)
         return _const_score(match, node.boost), match
@@ -674,6 +678,95 @@ def _eval_function_score(node: qp.FunctionScoreNode, ctx: EvalContext):
     new_scores = fn(_ScriptDocValues(ctx.segment), scores)
     new_scores = new_scores * np.float32(node.boost)
     return jnp.where(match, new_scores, 0.0), match
+
+
+def _decay_value(spec: qp.DecaySpec, ctx: EvalContext):
+    """Per-doc decay score from geo distance (reference:
+    query/multifunction/GeoPointDecayFilterFunction.java + the
+    Linear/Exponential/GuassianDecayFunction computeScore/computeScale
+    pair). Docs with no value score 0.0."""
+    if not (0.0 < spec.decay < 1.0):
+        raise ValueError(
+            f"decay rate should be between (0, 1) but is {spec.decay}"
+        )
+    dv = ctx.segment.doc_values.get(spec.field)
+    if dv is None or dv.kind != DocValueKind.LAT_LON:
+        raise ValueError(
+            f"{spec.field} should be a LAT_LON field to apply geoPoint decay"
+        )
+    dist = mask_ops.haversine_meters(dv.values, spec.origin[0], spec.origin[1])
+    delta = jnp.maximum(dist - np.float32(spec.offset), 0.0)
+    kind = spec.decay_type.replace("DECAY_TYPE_", "")
+    if kind == "LINEAR":
+        scale = spec.scale / (1.0 - spec.decay)
+        val = jnp.maximum((scale - delta) / scale, 0.0)
+    elif kind == "GUASSIAN":
+        scale = -(spec.scale**2) / (2.0 * math.log(spec.decay))
+        val = jnp.exp(-(delta**2) / (2.0 * scale))
+    elif kind == "EXPONENTIAL":
+        scale = math.log(spec.decay) / spec.scale
+        val = jnp.exp(scale * delta)
+    else:
+        raise ValueError(f"unsupported decay type: {spec.decay_type}")
+    return jnp.where(dv.present, val.astype(jnp.float32), 0.0)
+
+
+def _eval_multi_function_score(node: qp.MultiFunctionScoreNode, ctx: EvalContext):
+    """MultiFunctionScoreQuery: inner scores combined with weighted filter
+    functions (reference: query/multifunction/MultiFunctionScoreQuery.java,
+    computeFunctionScore + computeFinalScore + MinScoreWrapper)."""
+    from nrtsearch_tpu.script.expr import compile_expression
+
+    inner_scores, match = eval_node(node.query or qp.MatchAllNode(), ctx)
+    inner_scores = inner_scores * np.float32(node.boost)
+    scores = inner_scores
+    if node.functions:
+        gates, vals = [], []
+        for spec in node.functions:
+            if spec.filter is not None:
+                _, gate = eval_node(spec.filter, ctx)
+            else:
+                gate = jnp.ones_like(match)
+            if spec.decay is not None:
+                v = _decay_value(spec.decay, ctx)
+            elif spec.script is not None:
+                fn = compile_expression(spec.script)
+                v = fn(_ScriptDocValues(ctx.segment), inner_scores)
+            else:
+                v = jnp.ones_like(inner_scores)  # WeightFilterFunction
+            vals.append(v * np.float32(spec.weight))
+            gates.append(gate)
+        if node.score_mode == "SCORE_MODE_SUM":
+            total = functools.reduce(
+                jnp.add, (jnp.where(g, v, 0.0) for g, v in zip(gates, vals))
+            )
+            any_gate = functools.reduce(jnp.logical_or, gates)
+            # no function matched -> function score 1.0 (reference semantics)
+            fscore = jnp.where(any_gate, total, 1.0)
+        elif node.score_mode == "SCORE_MODE_MULTIPLY":
+            fscore = jnp.ones_like(inner_scores)
+            for g, v in zip(gates, vals):
+                fscore = fscore * jnp.where(g, v, 1.0)
+        else:
+            raise ValueError(f"unknown score mode: {node.score_mode}")
+        if node.boost_mode == "BOOST_MODE_SUM":
+            scores = inner_scores + fscore
+        elif node.boost_mode == "BOOST_MODE_REPLACE":
+            scores = fscore
+        elif node.boost_mode == "BOOST_MODE_MULTIPLY":
+            scores = inner_scores * fscore
+        else:
+            raise ValueError(f"unknown boost mode: {node.boost_mode}")
+    scores = jnp.where(match, scores, 0.0)
+    if node.min_score > 0.0 or node.min_excluded:
+        passed = (
+            scores > np.float32(node.min_score)
+            if node.min_excluded
+            else scores >= np.float32(node.min_score)
+        )
+        match = match & passed
+        scores = jnp.where(match, scores, 0.0)
+    return scores, match
 
 
 class _ScriptDocValues:

@@ -165,6 +165,45 @@ class FunctionScoreNode(QueryNode):
 
 
 @dataclass(frozen=True)
+class DecaySpec:
+    """Distance-decay scoring spec (reference:
+    query/multifunction/DecayFilterFunction.java + GeoPointDecayFilterFunction
+    .java). ``scale``/``offset`` are meters (parsed from "10", "5 km",
+    "7 mi"); origin is a (lat, lon) point."""
+
+    field: str
+    decay_type: str            # EXPONENTIAL | LINEAR | GUASSIAN
+    origin: tuple[float, float]
+    scale: float               # meters (user scale; adjusted per decay type at eval)
+    offset: float = 0.0
+    decay: float = 0.5
+
+
+@dataclass(frozen=True)
+class FilterFunctionSpec:
+    """One weighted scoring function, optionally gated by a filter query
+    (reference: query/multifunction/FilterFunction.java)."""
+
+    filter: Optional[QueryNode] = None
+    weight: float = 1.0
+    script: Optional[str] = None      # js-expression over doc values + _score
+    decay: Optional[DecaySpec] = None
+
+
+@dataclass(frozen=True)
+class MultiFunctionScoreNode(QueryNode):
+    """Combine inner-query scores with weighted filter functions (reference:
+    query/multifunction/MultiFunctionScoreQuery.java)."""
+
+    query: Optional[QueryNode] = None
+    functions: tuple[FilterFunctionSpec, ...] = ()
+    score_mode: str = "SCORE_MODE_MULTIPLY"
+    boost_mode: str = "BOOST_MODE_MULTIPLY"
+    min_score: float = 0.0
+    min_excluded: bool = False
+
+
+@dataclass(frozen=True)
 class GeoPolygonNode(QueryNode):
     """Docs whose LAT_LON point lies inside the polygon (GeoPointQuery)."""
 
@@ -209,11 +248,15 @@ def _parse_distance(s: Any) -> float:
     """'10km' / '500m' / '3mi' / number -> meters."""
     if isinstance(s, (int, float)):
         return float(s)
+    raw = s
     s = str(s).strip().lower()
-    for suffix, mult in (("km", 1000.0), ("mi", 1609.344), ("m", 1.0)):
-        if s.endswith(suffix):
-            return float(s[: -len(suffix)]) * mult
-    return float(s)
+    try:
+        for suffix, mult in (("km", 1000.0), ("mi", 1609.344), ("m", 1.0)):
+            if s.endswith(suffix):
+                return float(s[: -len(suffix)]) * mult
+        return float(s)
+    except ValueError:
+        raise ValueError(f"Invalid distance {raw!r}") from None
 
 
 def parse_query(q: dict) -> QueryNode:
@@ -373,6 +416,47 @@ def parse_query(q: dict) -> QueryNode:
             boost=boost,
             query=parse_query(f.get("query", {})),
             expression=(f.get("script") or {}).get("source", "_score"),
+        )
+    if "multiFunctionScoreQuery" in q:
+        m = q["multiFunctionScoreQuery"]
+        funcs = []
+        for f in m.get("functions", []):
+            decay = None
+            script = None
+            if "decayFunction" in f:
+                d = f["decayFunction"]
+                gp = d.get("geoPoint") or {}
+                decay = DecaySpec(
+                    field=d.get("fieldName", ""),
+                    decay_type=str(d.get("decayType", "DECAY_TYPE_EXPONENTIAL")),
+                    origin=(
+                        float(gp.get("latitude", 0.0)),
+                        float(gp.get("longitude", 0.0)),
+                    ),
+                    scale=_parse_distance(d.get("scale", "1")),
+                    offset=_parse_distance(d["offset"]) if d.get("offset") else 0.0,
+                    decay=float(d.get("decay", 0.5)),
+                )
+            elif "script" in f:
+                script = (f.get("script") or {}).get("source", "_score")
+            # proto3 zero weight means unspecified -> 1.0 (FilterFunction.build)
+            weight = float(f.get("weight", 0.0)) or 1.0
+            funcs.append(
+                FilterFunctionSpec(
+                    filter=parse_query(f["filter"]) if f.get("filter") else None,
+                    weight=weight,
+                    script=script,
+                    decay=decay,
+                )
+            )
+        return MultiFunctionScoreNode(
+            boost=boost,
+            query=parse_query(m.get("query", {})),
+            functions=tuple(funcs),
+            score_mode=str(m.get("scoreMode", "SCORE_MODE_MULTIPLY")),
+            boost_mode=str(m.get("boostMode", "BOOST_MODE_MULTIPLY")),
+            min_score=float(m.get("minScore", 0.0)),
+            min_excluded=bool(m.get("minExcluded", False)),
         )
     if "geoPointQuery" in q:
         g = q["geoPointQuery"]
