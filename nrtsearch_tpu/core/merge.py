@@ -101,6 +101,9 @@ def merge_segments(
                         out.append((int(new), dv.ord_terms[int(dv.host_values[old])]))
                     elif dv.kind == DocValueKind.LAT_LON:
                         out.append((int(new), tuple(dv.host_values[old])))
+                    elif dv.kind == DocValueKind.POLYGON:
+                        # geojson strings ride doc-indexed in ord_terms
+                        out.append((int(new), dv.ord_terms[old]))
                     else:
                         out.append((int(new), dv.host_values[old].item()))
         for fname, vc in seg.vectors.items():

@@ -364,6 +364,20 @@ class SegmentBuilder:
                 if fd.store:
                     stored_row[name] = [lat, lon]
                 continue
+            if fd.type == FieldType.POLYGON:
+                # one GeoJSON polygon per doc (reference:
+                # PolygonfieldDef.parseDocumentField rejects >1 value)
+                if len(values) > 1:
+                    raise ValueError("polygon length cannot be more than 1.")
+                import json as _pjson
+
+                from nrtsearch_tpu.schema.fields import parse_geojson_polygon
+
+                canonical, _rings = parse_geojson_polygon(values[0])
+                self._dv.setdefault(name, []).append((doc_id, canonical))
+                if fd.store:
+                    stored_row[name] = _pjson.loads(canonical)
+                continue
             parsed = [fd.parse_doc_value(v) for v in values]
             if fd.search and fd.is_text:
                 self._index_text(fd, doc_id, [str(v) for v in parsed])
@@ -519,6 +533,8 @@ class SegmentBuilder:
                 host_values=arr,
                 host_present=present.copy(),
             )
+        if kind == DocValueKind.POLYGON:
+            return self._pack_polygons(vals, capacity, present)
         if kind == DocValueKind.ORDINAL:
             ord_index: dict[str, int] = {}
             # assign ordinals in sorted term order (Lucene SortedDocValues
@@ -627,6 +643,52 @@ class SegmentBuilder:
 
         with jax.enable_x64():
             return jax.device_put(host.astype(np.float64))
+
+    def _pack_polygons(
+        self, vals: list, capacity: int, present: np.ndarray
+    ) -> DocValueColumn:
+        """POLYGON column: [capacity, V_pad, 2] float32 of ring-closed,
+        NaN-separated vertices (outer ring, then holes). The NaN separators
+        make ray-cast edge tests between rings and in the padding contribute
+        nothing, so point-containment is one vectorized parity count over the
+        whole column (ops/masks.doc_polygons_contain_point). Raw GeoJSON
+        strings ride doc-indexed in ord_terms for fetch.
+
+        Reference counterpart: field/PolygonfieldDef.java indexes
+        LatLonShape triangles; the TPU re-expression keeps the raw rings —
+        containment is data-parallel over docs, no BKD tree needed."""
+        from nrtsearch_tpu.schema.fields import parse_geojson_polygon
+
+        per_doc: dict[int, tuple[str, list]] = {}
+        for doc, geojson in vals:
+            per_doc[doc] = (geojson, parse_geojson_polygon(geojson)[1])
+
+        def _flat(rings):
+            pts: list[tuple[float, float]] = []
+            for ring in rings:
+                pts.extend(ring)
+                if ring[0] != ring[-1]:
+                    pts.append(ring[0])  # close the ring
+                pts.append((np.nan, np.nan))  # separator: no cross-ring edge
+            return pts
+
+        flats = {d: _flat(rings) for d, (_, rings) in per_doc.items()}
+        v_max = max((len(p) for p in flats.values()), default=1)
+        v_pad = pad_to_bucket(v_max, minimum=8)
+        arr = np.full((capacity, v_pad, 2), np.nan, dtype=np.float32)
+        geojsons = [""] * self.num_docs
+        for d, pts in flats.items():
+            arr[d, : len(pts)] = np.asarray(pts, dtype=np.float32)
+            present[d] = True
+            geojsons[d] = per_doc[d][0]
+        return DocValueColumn(
+            kind=DocValueKind.POLYGON,
+            values=_device_put(arr),
+            present=_device_put(present),
+            host_values=arr,
+            host_present=present.copy(),
+            ord_terms=geojsons,
+        )
 
     def _pack_vectors(self, fd: FieldDef, vals: list, capacity: int) -> VectorColumn:
         mat = np.zeros((capacity, fd.dims), dtype=np.float32)

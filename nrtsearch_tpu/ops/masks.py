@@ -81,6 +81,45 @@ def point_in_polygon_mask(
     return ((crossings % 2) == 1) & present
 
 
+def point_in_rings_mask(
+    latlon: jax.Array,    # f32 [D, 2]
+    present: jax.Array,
+    rings: jax.Array,     # f32 [V, 2] NaN-separated CLOSED rings (outer + holes)
+) -> jax.Array:
+    """Even-odd point-in-polygon over NaN-separated rings (GeoPolygonQuery
+    with holes). Ray-cast parity is counted over consecutive-vertex edges;
+    NaN separator/padding edges never satisfy the crossing condition, so one
+    parity sum covers the outer ring and all holes (a point inside a hole
+    crosses an even number of edges)."""
+    lat, lon = latlon[:, 0:1], latlon[:, 1:2]            # [D, 1]
+    y1, x1 = rings[:-1, 0][None, :], rings[:-1, 1][None, :]   # [1, V-1]
+    y2, x2 = rings[1:, 0][None, :], rings[1:, 1][None, :]
+    cond = (y1 > lat) != (y2 > lat)                      # False on NaN edges
+    denom = jnp.where(y2 - y1 == 0, 1e-12, y2 - y1)
+    x_int = x1 + (lat - y1) * (x2 - x1) / denom
+    crossings = jnp.sum(cond & (lon < x_int), axis=1)
+    return ((crossings % 2) == 1) & present
+
+
+def doc_polygons_contain_point(
+    verts: jax.Array,     # f32 [D, V, 2] NaN-separated closed rings per doc
+    present: jax.Array,   # bool [D]
+    lat: float,
+    lon: float,
+) -> jax.Array:
+    """Docs whose indexed POLYGON contains the query point (the reference's
+    GeoPointQuery against PolygonfieldDef: LatLonShape CONTAINS box query of
+    a single point, field/PolygonfieldDef.java getGeoPointQuery). One parity
+    count across all docs' edges — data-parallel, no tree."""
+    y1, x1 = verts[:, :-1, 0], verts[:, :-1, 1]          # [D, V-1]
+    y2, x2 = verts[:, 1:, 0], verts[:, 1:, 1]
+    cond = (y1 > lat) != (y2 > lat)                      # False on NaN edges
+    denom = jnp.where(y2 - y1 == 0, 1e-12, y2 - y1)
+    x_int = x1 + (lat - y1) * (x2 - x1) / denom
+    crossings = jnp.sum(cond & (lon < x_int), axis=1)
+    return ((crossings % 2) == 1) & present
+
+
 def haversine_meters(latlon: jax.Array, center_lat: float, center_lon: float):
     """Per-doc haversine distance (meters) from a [D, 2] lat/lon column to a
     point (reference: geo/GeoUtils.arcDistance)."""

@@ -152,11 +152,16 @@ def _eval_node_impl(node: qp.QueryNode, ctx: EvalContext):
     if isinstance(node, qp.CompletionQueryNode):
         return _eval_completion(node, ctx)
     if isinstance(node, qp.GeoPolygonNode):
+        return _eval_geo_polygon(node, ctx)
+    if isinstance(node, qp.PolygonContainsNode):
         dv = ctx.segment.doc_values.get(node.field)
-        if dv is None or dv.kind != DocValueKind.LAT_LON or len(node.points) < 3:
-            return _none(ctx)
-        poly = jnp.asarray(np.asarray(node.points, np.float32))
-        match = mask_ops.point_in_polygon_mask(dv.values, dv.present, poly)
+        if dv is None or dv.kind != DocValueKind.POLYGON:
+            raise ValueError(
+                f"{node.field} should be a POLYGON field for geoPointQuery"
+            )
+        match = mask_ops.doc_polygons_contain_point(
+            dv.values, dv.present, node.lat, node.lon
+        )
         return _const_score(match, node.boost), match
     raise NotImplementedError(f"query node not yet supported: {type(node).__name__}")
 
@@ -572,6 +577,33 @@ def _eval_geo_radius(node: qp.GeoRadiusNode, ctx: EvalContext):
     match = mask_ops.geo_radius_mask(
         dv.values, dv.present, node.lat, node.lon, node.radius_meters
     )
+    return _const_score(match, node.boost), match
+
+
+def _eval_geo_polygon(node: qp.GeoPolygonNode, ctx: EvalContext):
+    """LAT_LON points within any query polygon (with holes). Each polygon's
+    outer ring + holes become one NaN-separated closed-ring edge list; the
+    even-odd parity count excludes hole interiors (reference:
+    LatLonFieldDef.getGeoPolygonQuery -> LatLonPoint.newPolygonQuery)."""
+    dv = ctx.segment.doc_values.get(node.field)
+    if dv is None or dv.kind != DocValueKind.LAT_LON:
+        return _none(ctx)
+    match = None
+    for poly in node.polygons:
+        if len(poly.points) < 3:
+            continue
+        segs = []
+        for ring in (poly.points, *poly.holes):
+            pts = list(ring)
+            if pts[0] != pts[-1]:
+                pts.append(pts[0])  # close the ring
+            segs.append(np.asarray(pts, np.float32))
+            segs.append(np.full((1, 2), np.nan, np.float32))  # ring separator
+        rings = jnp.asarray(np.concatenate(segs, axis=0))
+        m = mask_ops.point_in_rings_mask(dv.values, dv.present, rings)
+        match = m if match is None else (match | m)
+    if match is None:
+        return _none(ctx)
     return _const_score(match, node.boost), match
 
 

@@ -204,11 +204,30 @@ class MultiFunctionScoreNode(QueryNode):
 
 
 @dataclass(frozen=True)
+class PolygonSpec:
+    """One query polygon: outer ring + holes, (lat, lon) points."""
+
+    points: tuple[tuple[float, float], ...] = ()
+    holes: tuple[tuple[tuple[float, float], ...], ...] = ()
+
+
+@dataclass(frozen=True)
 class GeoPolygonNode(QueryNode):
-    """Docs whose LAT_LON point lies inside the polygon (GeoPointQuery)."""
+    """Docs whose LAT_LON point lies inside any of the polygons
+    (reference: GeoPolygonQuery, search.proto message GeoPolygonQuery)."""
 
     field: str = ""
-    points: tuple[tuple[float, float], ...] = ()
+    polygons: tuple[PolygonSpec, ...] = ()
+
+
+@dataclass(frozen=True)
+class PolygonContainsNode(QueryNode):
+    """Docs whose indexed POLYGON field contains the query point
+    (reference: GeoPointQuery against PolygonfieldDef)."""
+
+    field: str = ""
+    lat: float = 0.0
+    lon: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -460,14 +479,34 @@ def parse_query(q: dict) -> QueryNode:
         )
     if "geoPointQuery" in q:
         g = q["geoPointQuery"]
-        return GeoPolygonNode(
+        pt = g.get("point") or {}
+        return PolygonContainsNode(
             boost=boost,
             field=g["field"],
-            points=tuple(
-                (float(p.get("latitude", 0)), float(p.get("longitude", 0)))
-                for p in g.get("points", [])
-            ),
+            lat=float(pt.get("latitude", 0.0)),
+            lon=float(pt.get("longitude", 0.0)),
         )
+    if "geoPolygonQuery" in q:
+        g = q["geoPolygonQuery"]
+
+        def _ring(points):
+            return tuple(
+                (float(p.get("latitude", 0)), float(p.get("longitude", 0)))
+                for p in points
+            )
+
+        polygons = tuple(
+            PolygonSpec(
+                points=_ring(poly.get("points", [])),
+                holes=tuple(
+                    _ring(h.get("points", [])) for h in poly.get("holes", [])
+                ),
+            )
+            for poly in g.get("polygons", [])
+        )
+        if not polygons:
+            raise ValueError("GeoPolygonQuery must contain at least one polygon")
+        return GeoPolygonNode(boost=boost, field=g["field"], polygons=polygons)
     if "completionQuery" in q:
         c = q["completionQuery"]
         return CompletionQueryNode(

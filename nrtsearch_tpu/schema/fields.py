@@ -35,6 +35,7 @@ class FieldType(str, Enum):
     DOUBLE = "DOUBLE"
     FLOAT = "FLOAT"
     LAT_LON = "LAT_LON"
+    POLYGON = "POLYGON"
     DATE_TIME = "DATE_TIME"
     ID = "_ID"
     VECTOR = "VECTOR"
@@ -52,6 +53,8 @@ class DocValueKind(str, Enum):
     ORDINAL = "ORDINAL"    # int32 ordinal column + host term dictionary
     VECTOR = "VECTOR"      # float32 [num_docs, dims] matrix
     LAT_LON = "LAT_LON"    # float64 [num_docs, 2]
+    POLYGON = "POLYGON"    # float32 [num_docs, V, 2] NaN-separated closed rings;
+                           # the raw GeoJSON strings ride in ord_terms (doc-indexed)
 
 
 @dataclass
@@ -127,6 +130,7 @@ class FieldDef:
             FieldType.FLOAT: DocValueKind.DOUBLE,
             FieldType.VECTOR: DocValueKind.VECTOR,
             FieldType.LAT_LON: DocValueKind.LAT_LON,
+            FieldType.POLYGON: DocValueKind.POLYGON,
             FieldType.CONTEXT_SUGGEST: DocValueKind.NONE,
             FieldType.OBJECT: DocValueKind.NONE,
             FieldType.VIRTUAL: DocValueKind.NONE,
@@ -162,8 +166,8 @@ class FieldDef:
             return 1 if str(value).lower() in ("true", "1", "yes") else 0
         if t == FieldType.DATE_TIME:
             return self._parse_datetime_millis(value)
-        if t == FieldType.LAT_LON:
-            return value  # parsed at the document level (pairs)
+        if t in (FieldType.LAT_LON, FieldType.POLYGON):
+            return value  # parsed at the document level
         return str(value)
 
     def parse_vector(self, value: Any) -> np.ndarray:
@@ -271,3 +275,44 @@ def create_field_def(name: str, spec: dict) -> FieldDef:
         # sorting requires a doc-values column, as in the reference
         fd.store_doc_values = True
     return fd
+
+
+def parse_geojson_polygon(value: Any) -> tuple[str, list[list[tuple[float, float]]]]:
+    """Parse a GeoJSON polygon into (canonical json string, rings).
+
+    Rings are lists of (lat, lon) pairs; the first ring is the outer shell,
+    the rest are holes. Accepts Polygon, single-polygon MultiPolygon, and
+    Feature wrappers — the subset Lucene's Polygon.fromGeoJSON handles for
+    the reference's POLYGON field (field/PolygonfieldDef.java:
+    parseDocumentField rejects multi-polygons too). GeoJSON coordinate order
+    is [lon, lat]."""
+    import json as _json
+
+    try:
+        obj = _json.loads(value) if isinstance(value, str) else value
+    except ValueError:
+        raise ValueError(f"Invalid geojson {value!r}") from None
+    if not isinstance(obj, dict):
+        raise ValueError(f"Invalid geojson {value!r}")
+    if obj.get("type") == "Feature":
+        obj = obj.get("geometry") or {}
+    t = obj.get("type")
+    if t == "Polygon":
+        polys = [obj.get("coordinates") or []]
+    elif t == "MultiPolygon":
+        polys = obj.get("coordinates") or []
+        if len(polys) > 1:
+            raise ValueError("Multipolygon not supported")
+    else:
+        raise ValueError(f"Invalid geojson type: {t!r}")
+    if not polys or not polys[0] or not polys[0][0]:
+        raise ValueError("Invalid geojson: polygon has no rings")
+    try:
+        rings = [
+            [(float(pt[1]), float(pt[0])) for pt in ring] for ring in polys[0]
+        ]
+    except (TypeError, IndexError, ValueError):
+        raise ValueError(f"Invalid geojson coordinates in {value!r}") from None
+    if any(len(r) < 3 for r in rings):
+        raise ValueError("Invalid geojson: ring needs at least 3 points")
+    return _json.dumps(obj), rings

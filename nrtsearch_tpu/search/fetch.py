@@ -55,6 +55,10 @@ def fetch_field_values(
             return [dv.ord_terms[int(dv.host_values[local])]]
         if dv.kind == DocValueKind.LAT_LON:
             return [tuple(dv.host_values[local])]
+        if dv.kind == DocValueKind.POLYGON:
+            import json as _json
+
+            return [_json.loads(dv.ord_terms[local])]
         return [dv.host_values[local].item()]
     vc = seg.vectors.get(field_name)
     if vc is not None:
@@ -125,6 +129,11 @@ def _set_field_value(fv, v: Any, fd: Optional[FieldDef], pb) -> None:
         if t == FieldType.LAT_LON and isinstance(v, (list, tuple)):
             fv.latLngValue.latitude = float(v[0])
             fv.latLngValue.longitude = float(v[1])
+            return
+        if t == FieldType.POLYGON and isinstance(v, dict):
+            # GeoJSON struct, like the reference's PolygonfieldDef
+            # getStoredFieldValue (structValue)
+            fv.structValue.update(v)
             return
         if t == FieldType.BOOLEAN:
             fv.booleanValue = str(v).lower() in ("true", "1")
