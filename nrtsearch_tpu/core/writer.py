@@ -37,6 +37,10 @@ class IndexWriter:
     ):
         self.field_defs = field_defs
         self.merge_factor = merge_factor
+        # tiered merge policy knobs (live settings segmentsPerTier /
+        # maxMergedSegmentMB; doc-count proxy for segment size)
+        self.segments_per_tier = merge_factor
+        self.max_merged_docs = 0  # 0 = unbounded
         self.max_buffer_docs = max_buffer_docs
         self.segments: list[Segment] = []
         self._builder = SegmentBuilder(field_defs)
@@ -206,10 +210,40 @@ class IndexWriter:
         self._pending_dv_updates = {}
 
     def _maybe_merge(self) -> None:
-        if len(self.segments) <= self.merge_factor:
-            return
-        merged, remap = merge_segments(self.segments, self.field_defs)
-        merged_ids = {s.seg_id for s in self.segments}
+        """Tiered merge policy (reference: Lucene TieredMergePolicy via
+        ImmutableIndexState segmentsPerTier/maxMergedSegmentMB settings).
+        While the segment count exceeds segments_per_tier, merge the group of
+        smallest similarly-sized segments — large segments are left alone
+        instead of being rewritten on every merge (the write-amplification
+        point of the tiered policy)."""
+        while True:
+            group = self._plan_tiered_merge()
+            if group is None:
+                return
+            self._merge_group(group)
+
+    def _plan_tiered_merge(self) -> Optional[list[Segment]]:
+        if len(self.segments) <= max(self.segments_per_tier, 1):
+            return None
+        by_size = sorted(self.segments, key=lambda s: s.live_doc_count)
+        group: list[Segment] = []
+        total = 0
+        for seg in by_size:
+            if len(group) >= max(self.segments_per_tier, 2):
+                break
+            if (
+                self.max_merged_docs
+                and group
+                and total + seg.live_doc_count > self.max_merged_docs
+            ):
+                break  # by_size is sorted: no later segment fits either
+            group.append(seg)
+            total += seg.live_doc_count
+        return group if len(group) >= 2 else None
+
+    def _merge_group(self, group: list[Segment]) -> None:
+        merged, remap = merge_segments(group, self.field_defs)
+        merged_ids = {s.seg_id for s in group}
         for id_value, (seg_id, local) in list(self._id_map.items()):
             if seg_id in merged_ids:
                 new_local = int(remap[seg_id][local])
@@ -217,7 +251,9 @@ class IndexWriter:
                     del self._id_map[id_value]
                 else:
                     self._id_map[id_value] = (merged.seg_id, new_local)
-        self.segments = [merged]
+        self.segments = [
+            s for s in self.segments if s.seg_id not in merged_ids
+        ] + [merged]
 
     # -- replication / restore -----------------------------------------------------
 

@@ -65,6 +65,9 @@ class Handlers:
             info = info.with_live_settings(updates)
             if not req.local:
                 self.gs.update_state(req.indexName, info)
+            rt = self.gs.runtimes.get(req.indexName)
+            if rt is not None:
+                rt.apply_live_settings(info.live_settings)
         resp = pb.LiveSettingsV2Response()
         _dict_to_pb(info.live_settings, resp.liveSettings)
         return resp
@@ -426,7 +429,7 @@ class Handlers:
             matches = coll.SegmentMatches(
                 searcher, [m for _, m in arrays], [s for s, _ in arrays]
             )
-            self._run_facets(req, resp, matches)
+            self._run_facets(req, resp, matches, searcher, td.hits, field_defs)
             self._run_collectors(req.collectors, resp.collectorResults, matches)
 
         # searchAfter state
@@ -728,12 +731,17 @@ class Handlers:
                     field_defs, pb,
                 )
 
-    def _run_facets(self, req, resp, matches) -> None:
+    def _run_facets(
+        self, req, resp, matches, searcher=None, ranked_hits=None, field_defs=None
+    ) -> None:
         # drill-sideways (reference: DrillSidewaysImpl): when the query ANDs
         # in FILTER clauses on a facet's own dimension, that dimension's
         # counts are computed with its own filter EXCLUDED
         sideways = self._drill_sideways_matches(req, matches)
         for facet in req.facets:
+            if facet.sampleTopDocs > 0 and ranked_hits is not None:
+                self._sampled_facet(facet, resp, searcher, ranked_hits, field_defs)
+                continue
             facet_matches = sideways.get(facet.dim, matches)
             fr = resp.facetResult.add()
             fr.name = facet.name or facet.dim
@@ -773,6 +781,45 @@ class Handlers:
                 lv = fr.labelValues.add()
                 lv.label = label
                 lv.value = count
+
+    def _sampled_facet(self, facet, resp, searcher, ranked_hits, field_defs) -> None:
+        """Facet counts over a sample of the top ranked docs (reference:
+        facet/FacetTopDocs.java facetTopDocsSample — only facets with
+        sampleTopDocs > 0; counts doc values of the first
+        min(len(topDocs), sampleTopDocs) hits)."""
+        from nrtsearch_tpu.search.fetch import fetch_field_values
+
+        fd = (field_defs or {}).get(facet.dim)
+        if fd is None:
+            raise ValueError(f"Sampling facet field must be indexable: {facet.dim}")
+        if not fd.store_doc_values:
+            raise ValueError(
+                f"Sampling facet field must have doc values enabled: {facet.dim}"
+            )
+        counts: dict[str, int] = {}
+        total_docs = 0
+        for hit in ranked_hits[: facet.sampleTopDocs]:
+            values = fetch_field_values(searcher, hit, facet.dim, field_defs)
+            if not values:
+                continue
+            for v in values:
+                key = str(v.item() if hasattr(v, "item") else v)
+                if isinstance(v, float) and v.is_integer():
+                    key = str(int(v))
+                counts[key] = counts.get(key, 0) + 1
+            total_docs += 1
+        fr = resp.facetResult.add()
+        fr.name = facet.name or facet.dim
+        fr.dim = facet.dim
+        fr.value = total_docs
+        fr.childCount = len(counts)
+        top_n = facet.topN or 10
+        for label, count in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :top_n
+        ]:
+            lv = fr.labelValues.add()
+            lv.label = label
+            lv.value = count
 
     def _drill_sideways_matches(self, req, matches) -> dict:
         """Per-facet-dimension match sets with that dim's own FILTER clauses

@@ -65,6 +65,7 @@ class IndexRuntime:
         self.field_defs = state_info.field_defs()
         merge_factor = int(state_info.settings.get("mergeFactor", 10))
         self.writer = IndexWriter(self.field_defs, merge_factor=merge_factor)
+        self.apply_live_settings(state_info.live_settings)
         self._version = 0
         self._gen = 0
         self.searcher = Searcher([], self.field_defs, version=0)
@@ -75,6 +76,19 @@ class IndexRuntime:
         self._stopped = threading.Event()
 
     # -- lifecycle --------------------------------------------------------------
+
+    def apply_live_settings(self, live_settings: dict) -> None:
+        """Push hot-updatable settings into the writer (reference:
+        ImmutableIndexState live settings drive TieredMergePolicy's
+        setSegmentsPerTier / setMaxMergedSegmentMB)."""
+        spt = int(
+            live_settings.get("segmentsPerTier", 0)
+            or self.state_info.settings.get("mergeFactor", 10)
+        )
+        self.writer.segments_per_tier = max(spt, 2)
+        mb = int(live_settings.get("maxMergedSegmentMB", 0) or 0)
+        # doc-count proxy for segment bytes (~1k docs per MB of typical text)
+        self.writer.max_merged_docs = mb * 1000 if mb > 0 else 0
 
     def start(self, restore: bool = False) -> None:
         with self._lock:

@@ -25,6 +25,8 @@ DEFAULT_LIVE_SETTINGS: dict[str, Any] = {
     "virtualShards": 1,
     "defaultSearchTimeoutSec": 0,
     "defaultTerminateAfter": 0,
+    "segmentsPerTier": 10,
+    "maxMergedSegmentMB": 0,
     "indexRamBufferSizeMB": 16,
 }
 

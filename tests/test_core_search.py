@@ -229,3 +229,44 @@ def test_function_score():
     prices = [10, 20, 30, 40, 50]
     for h in td.hits:
         assert h.score == pytest.approx(base[h.global_ord] * prices[h.global_ord], rel=1e-5)
+
+
+def test_tiered_merge_leaves_large_segments_alone():
+    # Tiered policy: one big segment + many small ones -> the small ones
+    # merge together, the big one is not rewritten (reference: Lucene
+    # TieredMergePolicy write-amplification behavior).
+    w = IndexWriter(FIELDS, merge_factor=100)
+    big = [
+        {"doc_id": str(i), "body": f"big segment doc {i}", "price": "1"}
+        for i in range(100, 150)
+    ]
+    w.add_documents(big)
+    w.refresh()
+    big_seg_id = w.segments[0].seg_id
+    w.segments_per_tier = 3
+    for i in range(5):  # five 1-doc segments
+        w.add_documents(
+            [{"doc_id": str(i), "body": f"small {i} quick", "price": "2"}]
+        )
+        w.refresh()
+    assert len(w.segments) <= 3
+    assert any(s.seg_id == big_seg_id for s in w.segments)  # untouched
+    searcher = Searcher(w.segments, FIELDS, version=1)
+    q = parse_query({"matchQuery": {"field": "body", "query": "quick"}})
+    assert searcher.search(q, top_hits=10).total_hits == 5
+
+
+def test_tiered_merge_respects_max_merged_docs():
+    w = IndexWriter(FIELDS, merge_factor=100)
+    w.segments_per_tier = 2
+    w.max_merged_docs = 3
+    for i in range(8):
+        w.add_documents(
+            [{"doc_id": str(i), "body": f"doc number {i}", "price": "1"}]
+        )
+        w.refresh()
+    # groups are capped at 3 docs, so no single mega-segment
+    assert all(s.live_doc_count <= 3 for s in w.segments)
+    searcher = Searcher(w.segments, FIELDS, version=1)
+    q = parse_query({"matchQuery": {"field": "body", "query": "doc"}})
+    assert searcher.search(q, top_hits=10).total_hits == 8

@@ -129,3 +129,39 @@ def test_hierarchy_facet(tmp_path):
     finally:
         c.close()
         srv.stop()
+
+
+def test_sampled_facet_top_docs(server):
+    # sampleTopDocs: counts over the top-N ranked docs only (reference:
+    # facet/FacetTopDocs.java). topHits=10 retrieves all 4 shirts; the
+    # sample is capped at 2 docs.
+    req = pb.SearchRequest(indexName="shop", topHits=10, retrieveFields=["id"])
+    req.query.matchQuery.field = "name"
+    req.query.matchQuery.query = "shirt"
+    f = req.facets.add()
+    f.dim = "color"
+    f.sampleTopDocs = 2
+    resp = server.search(req)
+    fr = resp.facetResult[0]
+    assert fr.value == 2  # sampled docs, not the full 4-shirt match set
+    assert sum(lv.value for lv in fr.labelValues) == 2
+    # sample larger than the hit window: falls back to all ranked hits
+    req.facets[0].sampleTopDocs = 100
+    fr = server.search(req).facetResult[0]
+    assert fr.value == 4
+    got = {lv.label: lv.value for lv in fr.labelValues}
+    assert got == {"red": 2, "blue": 1, "green": 1}
+
+
+def test_sampled_facet_requires_doc_values(server):
+    import grpc
+
+    req = pb.SearchRequest(indexName="shop", topHits=10)
+    req.query.matchQuery.field = "name"
+    req.query.matchQuery.query = "shirt"
+    f = req.facets.add()
+    f.dim = "name"  # TEXT without storeDocValues
+    f.sampleTopDocs = 2
+    with pytest.raises(grpc.RpcError) as ei:
+        server.search(req)
+    assert "doc values" in ei.value.details()
