@@ -11,7 +11,7 @@ device merge (sorted-run merge via XLA) is a later optimization.
 from __future__ import annotations
 
 import itertools
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -24,12 +24,20 @@ from nrtsearch_tpu.schema.fields import DocValueKind, FieldDef
 
 
 def merge_segments(
-    segments: Sequence[Segment], field_defs: dict[str, FieldDef]
+    segments: Sequence[Segment],
+    field_defs: dict[str, FieldDef],
+    index_sort: Optional[Sequence[tuple[str, bool, bool]]] = None,
 ) -> tuple[Segment, dict[str, np.ndarray]]:
     """Merge segments, dropping deleted docs.
 
     Returns (merged_segment, remap) where ``remap[seg_id][old_local] -> new
     local id or -1`` for deleted docs.
+
+    ``index_sort``: optional list of (field, reverse, missing_last) — the
+    merged segment's docs are laid out in this doc-value order (reference:
+    IndexSettings.indexSort -> IndexWriterConfig.setIndexSort; Lucene sorts
+    at flush and merge). Segments containing nested child docs are never
+    sorted (blocks must stay contiguous).
     """
     remap: dict[str, np.ndarray] = {}
     new_local = 0
@@ -39,6 +47,9 @@ def merge_segments(
         m[live_ids] = np.arange(new_local, new_local + len(live_ids))
         new_local += len(live_ids)
         remap[seg.seg_id] = m
+
+    if index_sort and not any(_has_nested_children(s) for s in segments):
+        _apply_index_sort(segments, remap, new_local, index_sort)
 
     builder = SegmentBuilder(field_defs)
     builder.num_docs = new_local
@@ -138,3 +149,56 @@ def merge_segments(
     merged = builder.flush(seg_id=f"seg_{next(_SEG_COUNTER)}_m")
     assert merged is not None
     return merged, remap
+
+
+def _has_nested_children(seg: Segment) -> bool:
+    parents = seg.parent_positions()
+    return parents is not None and len(parents) != seg.num_docs
+
+
+def _apply_index_sort(
+    segments: Sequence[Segment],
+    remap: dict[str, np.ndarray],
+    total: int,
+    index_sort: Sequence[tuple[str, bool, bool]],
+) -> None:
+    """Rewrite ``remap`` in place so new local ids follow the index sort.
+
+    Multi-key sort is a chain of stable single-key passes (last key first);
+    each pass orders by value with the key's reverse flag, then moves docs
+    missing the value to the front/back per missing_last — so missing
+    placement is direction-independent, matching SortField missing-value
+    semantics."""
+    # preliminary id -> (segment, old local)
+    origin: list[tuple[Segment, int]] = [None] * total  # type: ignore[list-item]
+    for seg in segments:
+        m = remap[seg.seg_id]
+        for old in np.nonzero(m >= 0)[0]:
+            origin[int(m[old])] = (seg, int(old))
+
+    order = list(range(total))
+    for field, reverse, missing_last in reversed(list(index_sort)):
+        keys: list = [None] * total
+        present = np.zeros(total, dtype=bool)
+        for i, (seg, old) in enumerate(origin):
+            dv = seg.doc_values.get(field)
+            if dv is None or not dv.host_present[old]:
+                continue
+            if dv.kind == DocValueKind.ORDINAL:
+                # per-segment ordinals are not comparable across segments
+                keys[i] = dv.ord_terms[int(dv.host_values[old])]
+            else:
+                keys[i] = dv.host_values[old].item()
+        present[[i for i in range(total) if keys[i] is not None]] = True
+        fallback = "" if any(isinstance(k, str) for k in keys if k is not None) else 0.0
+        order.sort(
+            key=lambda i: keys[i] if keys[i] is not None else fallback,
+            reverse=reverse,
+        )
+        order.sort(key=lambda i: (0 if present[i] else (1 if missing_last else -1)))
+    inv = np.empty(total, dtype=np.int64)
+    inv[np.asarray(order, dtype=np.int64)] = np.arange(total)
+    for seg in segments:
+        m = remap[seg.seg_id]
+        live = m >= 0
+        m[live] = inv[m[live]]

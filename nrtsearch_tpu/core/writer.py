@@ -41,6 +41,10 @@ class IndexWriter:
         # maxMergedSegmentMB; doc-count proxy for segment size)
         self.segments_per_tier = merge_factor
         self.max_merged_docs = 0  # 0 = unbounded
+        # index sort: list of (field, reverse, missing_last); docs within each
+        # flushed/merged segment are laid out in this doc-value order
+        # (reference: IndexSettings.indexSort -> IndexWriterConfig.setIndexSort)
+        self.index_sort: list[tuple[str, bool, bool]] = []
         self.max_buffer_docs = max_buffer_docs
         self.segments: list[Segment] = []
         self._builder = SegmentBuilder(field_defs)
@@ -169,6 +173,15 @@ class IndexWriter:
             return
         seg = self._builder.flush()
         assert seg is not None
+        if self.index_sort and seg.num_docs > 1:
+            # sort at flush time (Lucene sorts new segments at flush too):
+            # a single-segment "merge" re-packs docs in index-sort order
+            seg, remap = merge_segments([seg], self.field_defs, self.index_sort)
+            m = next(iter(remap.values()))
+            self._buffer_deleted = {int(m[d]) for d in self._buffer_deleted}
+            self._buffer_ids = {
+                k: int(m[v]) for k, v in self._buffer_ids.items()
+            }
         if self._buffer_deleted:
             seg = seg.with_deletes(np.asarray(sorted(self._buffer_deleted)))
         for id_value, local in self._buffer_ids.items():
@@ -242,7 +255,7 @@ class IndexWriter:
         return group if len(group) >= 2 else None
 
     def _merge_group(self, group: list[Segment]) -> None:
-        merged, remap = merge_segments(group, self.field_defs)
+        merged, remap = merge_segments(group, self.field_defs, self.index_sort)
         merged_ids = {s.seg_id for s in group}
         for id_value, (seg_id, local) in list(self._id_map.items()):
             if seg_id in merged_ids:

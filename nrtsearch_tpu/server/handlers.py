@@ -222,7 +222,9 @@ class Handlers:
             if len(rt.writer.segments) > max(req.maxNumSegments, 1):
                 from nrtsearch_tpu.core.merge import merge_segments
 
-                merged, _ = merge_segments(rt.writer.segments, rt.field_defs)
+                merged, _ = merge_segments(
+                    rt.writer.segments, rt.field_defs, rt.writer.index_sort
+                )
                 rt.writer.install_segments([merged])
             rt._version += 1
             rt._publish_searcher(rt.writer.segments)
@@ -1005,10 +1007,20 @@ class Handlers:
 
 
 def _dict_to_pb(d: dict, msg) -> None:
-    """Copy known scalar keys from a dict into a pb message (best-effort)."""
+    """Copy known keys from a proto-JSON-shaped dict into a pb message."""
+    from google.protobuf.json_format import ParseDict
+
     for field in msg.DESCRIPTOR.fields:
-        if field.name in d and d[field.name] is not None:
+        if field.name not in d or d[field.name] is None:
+            continue
+        value = d[field.name]
+        if field.type == field.TYPE_MESSAGE:
             try:
-                setattr(msg, field.name, type(getattr(msg, field.name))(d[field.name]))
-            except (TypeError, ValueError):
+                ParseDict(value, getattr(msg, field.name))
+            except Exception:
                 pass
+            continue
+        try:
+            setattr(msg, field.name, type(getattr(msg, field.name))(value))
+        except (TypeError, ValueError):
+            pass

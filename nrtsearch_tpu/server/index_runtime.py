@@ -39,6 +39,28 @@ from nrtsearch_tpu.remote.backend import RemoteBackend
 from nrtsearch_tpu.state.index_state import IndexStateInfo
 
 
+def _parse_index_sort(settings: dict, field_defs: dict) -> list:
+    """IndexSettings.indexSort -> [(field, reverse, missing_last)], with the
+    reference's validation (ImmutableIndexState.validateIndexSort: sortable
+    doc-value field required)."""
+    from nrtsearch_tpu.schema.fields import FieldType
+
+    spec = settings.get("indexSort") or {}
+    out = []
+    for st in spec.get("sortedFields", []):
+        name = st.get("fieldName", "")
+        fd = field_defs.get(name)
+        if fd is None:
+            raise ValueError(f"index sort field not registered: {name!r}")
+        if not fd.store_doc_values or fd.type in (
+            FieldType.LAT_LON, FieldType.POLYGON, FieldType.VECTOR,
+        ):
+            raise ValueError(f"field is not index-sortable: {name!r}")
+        missing_last = str(st.get("missingLast", "")).lower() in ("true", "1")
+        out.append((name, bool(st.get("reverse", False)), missing_last))
+    return out
+
+
 class IndexRuntime:
     """One started index on this node."""
 
@@ -65,6 +87,9 @@ class IndexRuntime:
         self.field_defs = state_info.field_defs()
         merge_factor = int(state_info.settings.get("mergeFactor", 10))
         self.writer = IndexWriter(self.field_defs, merge_factor=merge_factor)
+        self.writer.index_sort = _parse_index_sort(
+            state_info.settings, self.field_defs
+        )
         self.apply_live_settings(state_info.live_settings)
         self._version = 0
         self._gen = 0
