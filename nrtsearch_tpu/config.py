@@ -75,7 +75,11 @@ class NrtsearchConfig:
     warming_parallelism: int = 1
     warm_basic_query_only_perc: float = 0.0
     isolated_replica_polling_sec: float = 30.0
+    # FileCopyConfig (reference: config/FileCopyConfig.java)
     file_copy_chunk_size: int = 64 * 1024
+    acked_copy: bool = False
+    ack_every: int = 1000
+    max_in_flight: int = 2000
     raw: dict = field(default_factory=dict)
 
     @classmethod
@@ -108,6 +112,14 @@ class NrtsearchConfig:
             ),
             isolated_replica_polling_sec=float(
                 raw.get("isolatedReplica", {}).get("pollingIntervalSeconds", 30.0)
+            ),
+            file_copy_chunk_size=int(
+                raw.get("FileCopyConfig", {}).get("chunkSize", 64 * 1024)
+            ),
+            acked_copy=bool(raw.get("FileCopyConfig", {}).get("ackedCopy", False)),
+            ack_every=int(raw.get("FileCopyConfig", {}).get("ackEvery", 1000)),
+            max_in_flight=int(
+                raw.get("FileCopyConfig", {}).get("maxInFlight", 2000)
             ),
             raw=raw,
         )

@@ -83,6 +83,62 @@ class ReplicationClient:
         return call(pb.FileInfo(fileName=file_name, fpStart=fp_start,
                                 indexName=index_name))
 
+    def recv_raw_file_v2(self, index_name: str, file_name: str,
+                         ack_every: int = 1000, fp_start: int = 0):
+        """Acked file copy (reference: recvRawFileV2 + FileCopyConfig): yields
+        chunks while sending an ack upstream every ``ack_every`` chunks so the
+        sender's unacked in-flight window stays bounded."""
+        import queue
+
+        acks: "queue.Queue[Optional[int]]" = queue.Queue()
+
+        def requests():
+            yield pb.FileInfo(
+                fileName=file_name, fpStart=fp_start, indexName=index_name
+            )
+            while True:
+                a = acks.get()
+                if a is None:
+                    return
+                yield pb.FileInfo(
+                    fileName=file_name, indexName=index_name, ackSeqNum=a
+                )
+
+        call = self.channel.stream_stream(
+            f"/{_SERVICE}/recvRawFileV2",
+            request_serializer=pb.FileInfo.SerializeToString,
+            response_deserializer=pb.RawFileChunk.FromString,
+        )
+        resp = call(requests())
+        try:
+            n = 0
+            for chunk in resp:
+                if not chunk.ack:
+                    n += 1
+                    if n % ack_every == 0:
+                        acks.put(n)
+                yield chunk
+        finally:
+            acks.put(None)
+
+    def copy_files(self, index_name: str, index_id: str, primary_gen: int,
+                   file_names: list[str], timeout: Optional[float] = None):
+        """Merge pre-copy push: ask a replica to warm files ahead of the NRT
+        point (reference: ReplicationServerClient.copyFiles). Returns the
+        TransferStatus stream; drain it to completion."""
+        call = self.channel.unary_stream(
+            f"/{_SERVICE}/copyFiles",
+            request_serializer=pb.CopyFiles.SerializeToString,
+            response_deserializer=pb.TransferStatus.FromString,
+        )
+        return call(
+            pb.CopyFiles(
+                indexName=index_name, indexId=index_id,
+                primaryGen=primary_gen, fileNames=file_names,
+            ),
+            timeout=timeout,
+        )
+
     def write_nrt_point(self, index_name: str) -> pb.SearcherVersion:
         return self._u("writeNRTPoint", pb.IndexName, pb.SearcherVersion)(
             pb.IndexName(indexName=index_name)
@@ -120,6 +176,7 @@ class ReplicationService:
         self.replicas: dict[str, dict[tuple, _ReplicaConnection]] = {}
         self._lock = threading.Lock()
         self._primary_clients: dict[str, ReplicationClient] = {}  # replica role
+        self._warmed_files: dict[str, set] = {}  # merge pre-copy bookkeeping
 
     # -- primary-side RPCs --------------------------------------------------------
 
@@ -173,6 +230,74 @@ class ReplicationService:
                 yield pb.RawFileChunk(content=chunk, seqNum=seq)
         # trailing checksum footer (ack=True marks it)
         yield pb.RawFileChunk(content=b"", seqNum=crc, ack=True)
+
+    def recvRawFileV2(self, request_iterator, context):
+        """Acked raw-file stream (reference: recvRawFileV2 + the ackedCopy
+        FileCopyConfig): the sender stops when more than max_in_flight
+        unacked chunks are outstanding, resuming as acks arrive. The stream
+        ends with the same checksum footer chunk as recvRawFile."""
+        import zlib
+
+        req = next(request_iterator)
+        rt = self.gs.get_runtime(req.indexName)
+        cfg = getattr(self.gs, "config", None)
+        # window must exceed the client's ack interval or the copy deadlocks
+        max_in_flight = max(
+            int(getattr(cfg, "max_in_flight", 2000) or 2000),
+            int(getattr(cfg, "ack_every", 1000) or 1000) + 1,
+        )
+        path = Path(rt.index_dir) / req.fileName
+        if not path.exists():
+            context.abort(grpc.StatusCode.NOT_FOUND, f"no file {req.fileName!r}")
+        seq = 0
+        crc = 0
+        last_ack = 0
+        with open(path, "rb") as f:
+            if req.fpStart:
+                f.seek(req.fpStart)
+            while True:
+                chunk = f.read(CHUNK_SIZE)
+                if not chunk:
+                    break
+                seq += 1
+                crc = zlib.crc32(chunk, crc)
+                while seq - last_ack > max_in_flight:
+                    ack = next(request_iterator, None)
+                    if ack is None:
+                        return  # receiver went away
+                    last_ack = max(last_ack, ack.ackSeqNum)
+                yield pb.RawFileChunk(content=chunk, seqNum=seq)
+        yield pb.RawFileChunk(content=b"", seqNum=crc, ack=True)
+
+    def copyFiles(self, req: pb.CopyFiles, context):
+        """Replica-side merge pre-copy: fetch the named files from the primary
+        before the NRT point referencing them arrives (reference:
+        CopyFilesHandler + NRTReplicaNode.launchPreCopyFiles)."""
+        rt = self.gs.get_runtime(req.indexName)
+        if rt.mode != "REPLICA":
+            context.abort(
+                grpc.StatusCode.FAILED_PRECONDITION,
+                f"index {req.indexName!r} is not a replica",
+            )
+        self._check_index_id(rt, req.indexId, context)
+        client = self._primary_clients.get(req.indexName)
+        if client is None:
+            yield pb.TransferStatus(
+                code=pb.TransferStatusCode.FAILED, message="no primary connection"
+            )
+            return
+        yield pb.TransferStatus(code=pb.TransferStatusCode.ONGOING)
+        missing = [
+            f for f in req.fileNames if not (Path(rt.index_dir) / f).exists()
+        ]
+        try:
+            self._fetch_files(rt, client, req.indexName, missing)
+            yield pb.TransferStatus(code=pb.TransferStatusCode.DONE)
+        except Exception as e:
+            log.warning("merge precopy failed: %s", e)
+            yield pb.TransferStatus(
+                code=pb.TransferStatusCode.FAILED, message=str(e)
+            )
 
     def writeNRTPoint(self, req: pb.IndexName, context) -> pb.SearcherVersion:
         rt = self.gs.get_runtime(req.indexName)
@@ -233,29 +358,45 @@ class ReplicationService:
                           client: ReplicationClient) -> bool:
         state = client.recv_copy_state(index_name)
         point = NrtPointState.from_json(state.manifest)
+        return rt.install_point(
+            point,
+            file_fetcher=lambda files: self._fetch_files(
+                rt, client, index_name, files
+            ),
+        )
 
-        def fetch(files: list[str]) -> None:
-            import zlib
+    def _fetch_files(self, rt: IndexRuntime, client: ReplicationClient,
+                     index_name: str, files: list[str]) -> None:
+        """Copy files from the primary with footer checksum verification;
+        uses the acked (flow-controlled) stream when FileCopyConfig.ackedCopy
+        is on."""
+        import zlib
 
-            for name in files:
-                tmp = Path(rt.index_dir) / (name + ".tmp")
-                crc = 0
-                footer = None
-                with open(tmp, "wb") as f:
-                    for chunk in client.recv_raw_file(index_name, name):
-                        if chunk.ack:  # checksum footer
-                            footer = chunk.seqNum
-                            continue
-                        crc = zlib.crc32(chunk.content, crc)
-                        f.write(chunk.content)
-                if footer is not None and footer != crc:
-                    tmp.unlink(missing_ok=True)
-                    raise IOError(
-                        f"checksum mismatch copying {name!r}: {crc} != {footer}"
-                    )
-                tmp.replace(Path(rt.index_dir) / name)
-
-        return rt.install_point(point, file_fetcher=fetch)
+        cfg = getattr(self.gs, "config", None)
+        acked = bool(getattr(cfg, "acked_copy", False))
+        ack_every = int(getattr(cfg, "ack_every", 1000) or 1000)
+        for name in files:
+            tmp = Path(rt.index_dir) / (name + ".tmp")
+            crc = 0
+            footer = None
+            stream = (
+                client.recv_raw_file_v2(index_name, name, ack_every=ack_every)
+                if acked
+                else client.recv_raw_file(index_name, name)
+            )
+            with open(tmp, "wb") as f:
+                for chunk in stream:
+                    if chunk.ack:  # checksum footer
+                        footer = chunk.seqNum
+                        continue
+                    crc = zlib.crc32(chunk.content, crc)
+                    f.write(chunk.content)
+            if footer is not None and footer != crc:
+                tmp.unlink(missing_ok=True)
+                raise IOError(
+                    f"checksum mismatch copying {name!r}: {crc} != {footer}"
+                )
+            tmp.replace(Path(rt.index_dir) / name)
 
     # -- primary-side publish hook -----------------------------------------------------
 
@@ -264,6 +405,28 @@ class ReplicationService:
         rt = self.gs.runtimes.get(index_name)
         with self._lock:
             conns = list(self.replicas.get(index_name, {}).values())
+        # merge pre-copy (reference: NRTPrimaryNode.preCopyMergedSegmentFiles):
+        # push newly-merged segment files to replicas BEFORE publishing the
+        # point so the version switch doesn't stall on large file copies
+        warmed = self._warmed_files.setdefault(index_name, set())
+        warm = [f for f in point.files if "_m." in f and f not in warmed]
+        for conn in conns:
+            try:
+                if warm and rt is not None:
+                    for status in conn.client.copy_files(
+                        index_name, rt.state_info.index_id,
+                        point.primary_gen, warm, timeout=60,
+                    ):
+                        if status.code == pb.TransferStatusCode.FAILED:
+                            log.warning(
+                                "merge precopy to %s:%s failed: %s",
+                                conn.host, conn.port, status.message,
+                            )
+                            break
+            except grpc.RpcError as e:
+                log.warning("merge precopy to %s:%s error: %s",
+                            conn.host, conn.port, e.code())
+        warmed.update(warm)
         for conn in conns:
             try:
                 conn.client.new_nrt_point(
@@ -382,6 +545,16 @@ def make_replication_service(service: ReplicationService) -> grpc.GenericRpcHand
             service.recvRawFile,
             request_deserializer=pb.FileInfo.FromString,
             response_serializer=pb.RawFileChunk.SerializeToString,
+        ),
+        "recvRawFileV2": grpc.stream_stream_rpc_method_handler(
+            service.recvRawFileV2,
+            request_deserializer=pb.FileInfo.FromString,
+            response_serializer=pb.RawFileChunk.SerializeToString,
+        ),
+        "copyFiles": grpc.unary_stream_rpc_method_handler(
+            service.copyFiles,
+            request_deserializer=pb.CopyFiles.FromString,
+            response_serializer=pb.TransferStatus.SerializeToString,
         ),
     }
     return grpc.method_handlers_generic_handler(_SERVICE, handlers)

@@ -34,6 +34,9 @@ _ROUTES = {
     "deleteByQuery": (pb.DeleteByQueryRequest, "delete_by_query", ("POST",)),
     "delete": (pb.AddDocumentRequest, "delete", ("POST",)),
     "deleteAll": (pb.DeleteAllDocumentsRequest, "delete_all_raw", ("POST",)),
+    "liveSettingsV2": (pb.LiveSettingsV2Request, "live_settings_v2", ("POST",)),
+    "settingsV2": (pb.SettingsV2Request, "settings_v2", ("POST",)),
+    "forceMerge": (pb.ForceMergeRequest, "force_merge_raw", ("POST",)),
     "stats": (pb.StatsRequest, "stats_raw", ("POST", "GET")),
     "indices": (pb.IndicesRequest, "indices", ("GET", "POST")),
     "status": (pb.HealthCheckRequest, "status", ("GET", "POST")),
@@ -55,6 +58,9 @@ class _RawAdapters:
 
     def refresh_raw(self, req):
         return self.c.refresh(req.indexName)
+
+    def force_merge_raw(self, req):
+        return self.c.force_merge(req.indexName, max(req.maxNumSegments, 1))
 
     def commit_raw(self, req):
         return self.c.commit(req.indexName)

@@ -154,3 +154,89 @@ def test_dead_replica_pruned(cluster):
         p_client.refresh("idx")
         time.sleep(0.1)
     assert not svc.replicas.get("idx")
+
+
+@pytest.fixture()
+def acked_cluster(tmp_path):
+    # same cluster shape with acked (flow-controlled) file copy enabled and a
+    # tiny chunk window to force ack round-trips
+    state = str(tmp_path / "state")
+    primary = NrtsearchServer(NrtsearchConfig.from_dict(
+        {"stateDir": state, "indexDir": str(tmp_path / "p_index"),
+         "nodeName": "primary",
+         "FileCopyConfig": {"ackedCopy": True, "ackEvery": 2, "maxInFlight": 4}}
+    ))
+    p_port = primary.start(0)
+    p_client = NrtsearchClient(f"localhost:{p_port}")
+    p_client.create_index("idx")
+    p_client.register_fields(pb.FieldDefRequest(indexName="idx", field=FIELDS))
+    p_client.start_index(pb.StartIndexRequest(indexName="idx", mode=pb.Mode.PRIMARY,
+                                              primaryGen=1))
+    replica = NrtsearchServer(NrtsearchConfig.from_dict(
+        {"stateDir": state, "indexDir": str(tmp_path / "r_index"),
+         "nodeName": "replica",
+         "FileCopyConfig": {"ackedCopy": True, "ackEvery": 2, "maxInFlight": 4}}
+    ))
+    r_port = replica.start(0)
+    r_client = NrtsearchClient(f"localhost:{r_port}")
+    r_client.start_index(pb.StartIndexRequest(
+        indexName="idx", mode=pb.Mode.REPLICA,
+        primaryAddress=f"localhost:{primary.replication_port}",
+    ))
+    yield primary, p_client, replica, r_client
+    p_client.close()
+    r_client.close()
+    primary.stop()
+    replica.stop()
+
+
+def test_acked_copy_replication(acked_cluster):
+    primary, p_client, replica, r_client = acked_cluster
+    p_client.add_documents(
+        [_doc("idx", str(i), f"acked copy doc {i} " + "pad " * 50)
+         for i in range(50)]
+    )
+    p_client.refresh("idx")
+    assert _wait_docs(r_client, 50)
+    req = pb.SearchRequest(indexName="idx", topHits=10, retrieveFields=["doc_id"])
+    req.query.matchQuery.field = "body"
+    req.query.matchQuery.query = "acked"
+    assert r_client.search(req).totalHits.value == 50
+
+
+def test_merge_precopy_warms_replicas(cluster):
+    primary, p_client, replica, r_client = cluster
+    p_rt = primary.handlers.gs.get_runtime("idx")
+    p_rt.writer.segments_per_tier = 2
+    # several refreshes force tiered merges -> "_m." files in later points
+    for i in range(5):
+        p_client.add_documents([_doc("idx", str(i), f"warm doc {i}")])
+        p_client.refresh("idx")
+    assert _wait_docs(r_client, 5)
+    svc = primary.replication_service
+    warmed = svc._warmed_files.get("idx", set())
+    assert any("_m." in f for f in warmed)  # merged files were pre-copied
+    # warmed merged files really exist on the replica
+    r_rt = replica.handlers.gs.get_runtime("idx")
+    from pathlib import Path
+    for f in warmed:
+        assert (Path(r_rt.index_dir) / f).exists(), f
+
+
+def test_acked_copy_window_engages(acked_cluster, monkeypatch):
+    # shrink chunks so the file spans many chunks and the in-flight window
+    # (maxInFlight=4, ackEvery=2) actually throttles the sender
+    import nrtsearch_tpu.server.replication as repl
+
+    monkeypatch.setattr(repl, "CHUNK_SIZE", 1024)
+    primary, p_client, replica, r_client = acked_cluster
+    body = "window " * 400  # ~2.8KB per doc
+    p_client.add_documents(
+        [_doc("idx", str(i), f"{body} doc {i}") for i in range(60)]
+    )
+    p_client.refresh("idx")  # segment files span >> maxInFlight chunks
+    assert _wait_docs(r_client, 60, timeout=15.0)
+    req = pb.SearchRequest(indexName="idx", topHits=5)
+    req.query.matchQuery.field = "body"
+    req.query.matchQuery.query = "window"
+    assert r_client.search(req).totalHits.value == 60
