@@ -67,6 +67,10 @@ class Handlers:
                 self.gs.update_state(req.indexName, info)
             rt = self.gs.runtimes.get(req.indexName)
             if rt is not None:
+                # the runtime holds a state snapshot: swap it so readers of
+                # live settings (search defaults, refresh ticker, searcher
+                # pruning) see the update immediately
+                rt.state_info = info
                 rt.apply_live_settings(info.live_settings)
         resp = pb.LiveSettingsV2Response()
         _dict_to_pb(info.live_settings, resp.liveSettings)

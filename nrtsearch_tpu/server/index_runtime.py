@@ -95,6 +95,7 @@ class IndexRuntime:
         self._gen = 0
         self.searcher = Searcher([], self.field_defs, version=0)
         self._searchers_by_version: dict[int, Searcher] = {}
+        self._searcher_publish_time: dict[int, float] = {}
         self.start_time = time.time()
         self._refresh_thread: Optional[threading.Thread] = None
         self._poll_thread: Optional[threading.Thread] = None
@@ -218,10 +219,26 @@ class IndexRuntime:
     def _publish_searcher(self, segments) -> None:
         self.searcher = Searcher(segments, self.field_defs, version=self._version)
         self._searchers_by_version[self._version] = self.searcher
-        # prune old searcher versions (SearcherLifetimeManager pruning analogue)
-        if len(self._searchers_by_version) > 8:
-            for v in sorted(self._searchers_by_version)[:-8]:
+        self._searcher_publish_time[self._version] = time.time()
+        self._prune_searchers()
+
+    def _prune_searchers(self) -> None:
+        """Age-based pruning of pinned searcher versions (reference:
+        SearcherLifetimeManager.PruneByAge driven by the maxSearcherAgeSec
+        live setting, ShardState.SearcherPruningThread). The current searcher
+        is never pruned; a hard cap bounds memory if the age is set large."""
+        max_age = float(
+            self.state_info.live_settings.get("maxSearcherAgeSec", 60.0) or 60.0
+        )
+        now = time.time()
+        versions = sorted(self._searchers_by_version)
+        for v in versions:
+            if v == self._version:
+                continue
+            age = now - self._searcher_publish_time.get(v, now)
+            if age > max_age or len(self._searchers_by_version) > 64:
                 del self._searchers_by_version[v]
+                self._searcher_publish_time.pop(v, None)
 
     def acquire(self, version: Optional[int] = None) -> Searcher:
         if version is None:

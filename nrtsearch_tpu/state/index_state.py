@@ -27,6 +27,7 @@ DEFAULT_LIVE_SETTINGS: dict[str, Any] = {
     "defaultTerminateAfter": 0,
     "segmentsPerTier": 10,
     "maxMergedSegmentMB": 0,
+    "maxSearcherAgeSec": 60.0,
     "indexRamBufferSizeMB": 16,
 }
 

@@ -91,3 +91,48 @@ def test_match_query_fuzzy_params(server):
     # without fuzzy: no hits
     req.query.matchQuery.ClearField("fuzzyParams")
     assert server.search(req).totalHits.value == 0
+
+
+def test_searcher_version_age_pruning(tmp_path):
+    """Old pinned searcher versions are pruned by maxSearcherAgeSec
+    (reference: SearcherLifetimeManager.PruneByAge)."""
+    from nrtsearch_tpu.client import NrtsearchClient
+    from nrtsearch_tpu.config import NrtsearchConfig
+    from nrtsearch_tpu.server.grpc_server import NrtsearchServer
+
+    srv = NrtsearchServer(NrtsearchConfig.from_dict(
+        {"stateDir": str(tmp_path / "s"), "indexDir": str(tmp_path / "i")}
+    ))
+    port = srv.start(0)
+    c = NrtsearchClient(f"localhost:{port}")
+    try:
+        c.create_index("age")
+        c.register_fields(pb.FieldDefRequest(indexName="age", field=[
+            pb.Field(name="id", type=pb.FieldType._ID, store=True),
+            pb.Field(name="body", type=pb.FieldType.TEXT, search=True),
+        ]))
+        c.start_index(pb.StartIndexRequest(indexName="age", mode=pb.Mode.STANDALONE))
+        rt = srv.handlers.gs.get_runtime("age")
+        rt.state_info.live_settings["maxSearcherAgeSec"] = 0.05
+        for i in range(12):
+            r = pb.AddDocumentRequest(indexName="age")
+            r.fields["id"].value.append(str(i))
+            r.fields["body"].value.append(f"doc {i}")
+            c.add_documents([r])
+            c.refresh("age")
+        import time as _t
+
+        _t.sleep(0.1)
+        r = pb.AddDocumentRequest(indexName="age")
+        r.fields["id"].value.append("last")
+        r.fields["body"].value.append("doc last")
+        c.add_documents([r])
+        c.refresh("age")
+        # everything older than 50ms is pruned; current version survives
+        assert len(rt._searchers_by_version) <= 2
+        assert rt.searcher.version in rt._searchers_by_version
+        # acquire() of a pruned version falls back to the current searcher
+        assert rt.acquire(1).version == rt.searcher.version
+    finally:
+        c.close()
+        srv.stop()
