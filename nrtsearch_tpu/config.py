@@ -80,6 +80,8 @@ class NrtsearchConfig:
     acked_copy: bool = False
     ack_every: int = 1000
     max_in_flight: int = 2000
+    max_concurrent_copies: int = 0   # 0 = unbounded
+    max_copy_mb_per_sec: float = 0.0  # 0 = unlimited
     raw: dict = field(default_factory=dict)
 
     @classmethod
@@ -120,6 +122,12 @@ class NrtsearchConfig:
             ack_every=int(raw.get("FileCopyConfig", {}).get("ackEvery", 1000)),
             max_in_flight=int(
                 raw.get("FileCopyConfig", {}).get("maxInFlight", 2000)
+            ),
+            max_concurrent_copies=int(
+                raw.get("FileCopyConfig", {}).get("maxConcurrentCopies", 0)
+            ),
+            max_copy_mb_per_sec=float(
+                raw.get("FileCopyConfig", {}).get("maxCopyMBPerSec", 0.0)
             ),
             raw=raw,
         )

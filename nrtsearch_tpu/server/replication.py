@@ -177,6 +177,37 @@ class ReplicationService:
         self._lock = threading.Lock()
         self._primary_clients: dict[str, ReplicationClient] = {}  # replica role
         self._warmed_files: dict[str, set] = {}  # merge pre-copy bookkeeping
+        # copy bandwidth scheduling (reference: NrtCopyThread /
+        # ProportionalCopyThread bandwidth allocation): bound concurrent
+        # outbound file copies and pace bytes to maxCopyMBPerSec
+        cfg = getattr(global_state, "config", None)
+        max_copies = int(getattr(cfg, "max_concurrent_copies", 0) or 0)
+        self._copy_slots = (
+            threading.BoundedSemaphore(max_copies) if max_copies > 0 else None
+        )
+        self._copy_mb_per_sec = float(getattr(cfg, "max_copy_mb_per_sec", 0) or 0)
+
+    def _paced(self, chunks):
+        """Token-bucket pacing of an outbound chunk stream, gated on a
+        concurrency slot when maxConcurrentCopies is set."""
+        import time as _time
+
+        if self._copy_slots is not None:
+            self._copy_slots.acquire()
+        try:
+            start = _time.monotonic()
+            sent = 0
+            rate = self._copy_mb_per_sec * 1024 * 1024
+            for chunk in chunks:
+                yield chunk
+                if rate > 0:
+                    sent += len(chunk.content)
+                    ahead = sent / rate - (_time.monotonic() - start)
+                    if ahead > 0:
+                        _time.sleep(ahead)
+        finally:
+            if self._copy_slots is not None:
+                self._copy_slots.release()
 
     # -- primary-side RPCs --------------------------------------------------------
 
@@ -207,6 +238,9 @@ class ReplicationService:
         )
 
     def recvRawFile(self, req: pb.FileInfo, context):
+        yield from self._paced(self._recv_raw_file_impl(req, context))
+
+    def _recv_raw_file_impl(self, req: pb.FileInfo, context):
         """Stream one file in chunks, ending with a checksum footer chunk
         (ack=True, seqNum=CRC32) that the receiver verifies — the reference's
         CopyOneFile footer-checksum mechanism."""
@@ -232,6 +266,9 @@ class ReplicationService:
         yield pb.RawFileChunk(content=b"", seqNum=crc, ack=True)
 
     def recvRawFileV2(self, request_iterator, context):
+        yield from self._paced(self._recv_raw_file_v2_impl(request_iterator, context))
+
+    def _recv_raw_file_v2_impl(self, request_iterator, context):
         """Acked raw-file stream (reference: recvRawFileV2 + the ackedCopy
         FileCopyConfig): the sender stops when more than max_in_flight
         unacked chunks are outstanding, resuming as acks arrive. The stream

@@ -240,3 +240,43 @@ def test_acked_copy_window_engages(acked_cluster, monkeypatch):
     req.query.matchQuery.field = "body"
     req.query.matchQuery.query = "window"
     assert r_client.search(req).totalHits.value == 60
+
+
+def test_copy_bandwidth_pacing(tmp_path):
+    # maxCopyMBPerSec paces the outbound stream: a ~0.5MB copy at 1 MB/s
+    # must take >= ~0.3s (conservative vs the 0.5s theoretical floor)
+    state = str(tmp_path / "state")
+    primary = NrtsearchServer(NrtsearchConfig.from_dict(
+        {"stateDir": state, "indexDir": str(tmp_path / "p"), "nodeName": "primary",
+         "FileCopyConfig": {"maxCopyMBPerSec": 1.0, "maxConcurrentCopies": 2}}
+    ))
+    p_port = primary.start(0)
+    p_client = NrtsearchClient(f"localhost:{p_port}")
+    p_client.create_index("idx")
+    p_client.register_fields(pb.FieldDefRequest(indexName="idx", field=FIELDS))
+    p_client.start_index(pb.StartIndexRequest(indexName="idx", mode=pb.Mode.PRIMARY,
+                                              primaryGen=1))
+    replica = NrtsearchServer(NrtsearchConfig.from_dict(
+        {"stateDir": state, "indexDir": str(tmp_path / "r"), "nodeName": "replica"}
+    ))
+    r_port = replica.start(0)
+    r_client = NrtsearchClient(f"localhost:{r_port}")
+    r_client.start_index(pb.StartIndexRequest(
+        indexName="idx", mode=pb.Mode.REPLICA,
+        primaryAddress=f"localhost:{primary.replication_port}",
+    ))
+    try:
+        body = "bandwidth " * 120  # ~1.2KB/doc
+        t0 = time.time()
+        p_client.add_documents(
+            [_doc("idx", str(i), f"{body} {i}") for i in range(400)]
+        )
+        p_client.refresh("idx")
+        assert _wait_docs(r_client, 400, timeout=30.0)
+        elapsed = time.time() - t0
+        assert elapsed >= 0.3, f"copy not paced: {elapsed:.2f}s"
+    finally:
+        p_client.close()
+        r_client.close()
+        primary.stop()
+        replica.stop()
