@@ -202,9 +202,16 @@ class NrtsearchServer:
         # (NrtsearchServer.start:171-196)
         from nrtsearch_tpu.server.replication import make_replication_service
 
+        # raw-chunk compression (reference: LZ4/gzip stub options,
+        # NrtsearchServer.java:225-226; python grpc exposes gzip/deflate)
+        compression = {
+            "gzip": grpc.Compression.Gzip,
+            "deflate": grpc.Compression.Deflate,
+        }.get(str(self.config.get("compressionType", "")).lower())
         self.replication_server = grpc.server(
             futures.ThreadPoolExecutor(max_workers=4),
             options=[("grpc.max_send_message_length", 1024 * 1024 * 1024)],
+            compression=compression,
         )
         self.replication_server.add_generic_rpc_handlers(
             [make_replication_service(self.replication_service)]

@@ -34,11 +34,15 @@ CHUNK_SIZE = 256 * 1024
 class ReplicationClient:
     """Client to a node's ReplicationServer (ReplicationServerClient equiv)."""
 
-    def __init__(self, target: str):
+    def __init__(self, target: str, compression: Optional[str] = None):
         self.target = target
         self.channel = grpc.insecure_channel(
             target,
             options=[("grpc.max_receive_message_length", 1024 * 1024 * 1024)],
+            compression={
+                "gzip": grpc.Compression.Gzip,
+                "deflate": grpc.Compression.Deflate,
+            }.get(str(compression or "").lower()),
         )
 
     def close(self) -> None:
@@ -156,11 +160,12 @@ class ReplicationClient:
 
 
 class _ReplicaConnection:
-    def __init__(self, host: str, port: int, replica_id: int):
+    def __init__(self, host: str, port: int, replica_id: int,
+                 compression: Optional[str] = None):
         self.host = host
         self.port = port
         self.replica_id = replica_id
-        self.client = ReplicationClient(f"{host}:{port}")
+        self.client = ReplicationClient(f"{host}:{port}", compression=compression)
 
     @property
     def key(self) -> tuple:
@@ -186,6 +191,9 @@ class ReplicationService:
             threading.BoundedSemaphore(max_copies) if max_copies > 0 else None
         )
         self._copy_mb_per_sec = float(getattr(cfg, "max_copy_mb_per_sec", 0) or 0)
+        self._compression = (
+            cfg.get("compressionType", None) if cfg is not None else None
+        )
 
     def _paced(self, chunks):
         """Token-bucket pacing of an outbound chunk stream, gated on a
@@ -219,7 +227,10 @@ class ReplicationService:
                 f"index {req.indexName!r} is not a primary",
             )
         self._check_index_id(rt, req.indexId, context)
-        conn = _ReplicaConnection(req.hostName, req.port, req.replicaId)
+        conn = _ReplicaConnection(
+            req.hostName, req.port, req.replicaId,
+            compression=self._compression,
+        )
         with self._lock:
             self.replicas.setdefault(req.indexName, {})[conn.key] = conn
         log.info("replica registered: %s:%s for %s", req.hostName, req.port,
@@ -504,7 +515,7 @@ class ReplicationService:
         old = self._primary_clients.pop(index_name, None)
         if old is not None:
             old.close()
-        client = ReplicationClient(primary_address)
+        client = ReplicationClient(primary_address, compression=self._compression)
         self._primary_clients[index_name] = client
         client.add_replicas(
             index_name, rt.state_info.index_id, my_host, my_port, replica_id

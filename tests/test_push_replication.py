@@ -280,3 +280,40 @@ def test_copy_bandwidth_pacing(tmp_path):
         r_client.close()
         primary.stop()
         replica.stop()
+
+
+def test_compressed_replication(tmp_path):
+    # compressionType: gzip on both ends (reference: LZ4/gzip stub options)
+    state = str(tmp_path / "state")
+    cfg = {"compressionType": "gzip"}
+    primary = NrtsearchServer(NrtsearchConfig.from_dict(
+        {"stateDir": state, "indexDir": str(tmp_path / "p"),
+         "nodeName": "primary", **cfg}
+    ))
+    p_port = primary.start(0)
+    p_client = NrtsearchClient(f"localhost:{p_port}")
+    p_client.create_index("idx")
+    p_client.register_fields(pb.FieldDefRequest(indexName="idx", field=FIELDS))
+    p_client.start_index(pb.StartIndexRequest(indexName="idx", mode=pb.Mode.PRIMARY,
+                                              primaryGen=1))
+    replica = NrtsearchServer(NrtsearchConfig.from_dict(
+        {"stateDir": state, "indexDir": str(tmp_path / "r"),
+         "nodeName": "replica", **cfg}
+    ))
+    r_port = replica.start(0)
+    r_client = NrtsearchClient(f"localhost:{r_port}")
+    r_client.start_index(pb.StartIndexRequest(
+        indexName="idx", mode=pb.Mode.REPLICA,
+        primaryAddress=f"localhost:{primary.replication_port}",
+    ))
+    try:
+        p_client.add_documents(
+            [_doc("idx", str(i), "compressed " * 30) for i in range(40)]
+        )
+        p_client.refresh("idx")
+        assert _wait_docs(r_client, 40, timeout=15.0)
+    finally:
+        p_client.close()
+        r_client.close()
+        primary.stop()
+        replica.stop()
