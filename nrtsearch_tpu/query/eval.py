@@ -136,6 +136,11 @@ def _eval_node_impl(node: qp.QueryNode, ctx: EvalContext):
         return _eval_geo_radius(node, ctx)
     if isinstance(node, (qp.PhraseQueryNode, qp.MatchPhraseQueryNode)):
         return _eval_phrase(node, ctx)
+    if isinstance(node, qp.MatchPhrasePrefixQueryNode):
+        return _eval_phrase_prefix_impl(
+            ctx, node.field, node.query, node.slop, node.analyzer,
+            node.max_expansions, node.boost,
+        )
     if isinstance(node, qp.FunctionScoreNode):
         return _eval_function_score(node, ctx)
     if isinstance(node, qp.MultiFunctionScoreNode):
@@ -292,22 +297,65 @@ def _eval_term_in_set(node: qp.TermInSetNode, ctx: EvalContext):
 
 
 def _eval_multi_match(node: qp.MultiMatchQueryNode, ctx: EvalContext):
-    """Sum-of-field-scores multi-match (reference MatchQuery per field, SHOULD)."""
-    per_field = []
-    for f, fb in zip(node.fields, node.field_boosts or (1.0,) * len(node.fields)):
-        fd = _field(ctx, f)
-        terms = fd.query_terms(node.query)
-        per_field.append(
-            _text_clause(
-                ctx, f, terms, [fb] * len(terms), node.operator,
-                node.minimum_number_should_match, node.boost,
-            )
+    """Multi-field match (reference: query/QueryNodeMapper getMultiMatchQuery;
+    MatchType semantics from search.proto MultiMatchQuery).
+
+    BEST_FIELDS: dis-max over per-field match queries — best field's score
+    plus tieBreakerMultiplier times the rest. PHRASE_PREFIX: dis-max over
+    per-field MatchPhrasePrefix. CROSS_FIELDS: term-centric — every term is
+    scored against its best field, then summed (MatchCrossFieldsQuery's
+    blended-term behavior re-expressed per doc)."""
+    boosts = node.field_boosts or (1.0,) * len(node.fields)
+    if node.match_type == "CROSS_FIELDS":
+        fd0 = _field(ctx, node.fields[0])
+        terms = fd0.query_terms(node.query)
+        if not terms:
+            return _none(ctx)
+        term_score = None
+        term_match = []
+        for t in terms:
+            best = None
+            any_m = None
+            for f, fb in zip(node.fields, boosts):
+                s, m = _text_clause(ctx, f, [t], [fb], "SHOULD", 0, 1.0)
+                best = s if best is None else jnp.maximum(best, s)
+                any_m = m if any_m is None else (any_m | m)
+            term_score = best if term_score is None else term_score + best
+            term_match.append(any_m)
+        matched_n = sum(m.astype(jnp.int32) for m in term_match)
+        need = len(terms) if node.operator == "MUST" else max(
+            node.minimum_number_should_match, 1
         )
-    scores = sum(s for s, _ in per_field)
+        match = matched_n >= need
+        return jnp.where(match, term_score * np.float32(node.boost), 0.0), match
+
+    per_field = []
+    for f, fb in zip(node.fields, boosts):
+        if node.match_type == "PHRASE_PREFIX":
+            per_field.append(
+                _eval_phrase_prefix_impl(
+                    ctx, f, node.query, node.slop, None,
+                    node.max_expansions, fb,
+                )
+            )
+        else:  # BEST_FIELDS
+            fd = _field(ctx, f)
+            terms = fd.query_terms(node.query)
+            per_field.append(
+                _text_clause(
+                    ctx, f, terms, [fb] * len(terms), node.operator,
+                    node.minimum_number_should_match, 1.0,
+                )
+            )
+    total = sum(s for s, _ in per_field)
+    best = per_field[0][0]
+    for s, _ in per_field[1:]:
+        best = jnp.maximum(best, s)
+    scores = best + np.float32(node.tie_breaker) * (total - best)
     match = per_field[0][1]
     for _, m in per_field[1:]:
         match = match | m
-    return jnp.where(match, scores, 0.0), match
+    return jnp.where(match, scores * np.float32(node.boost), 0.0), match
 
 
 def _eval_boolean(node: qp.BooleanQueryNode, ctx: EvalContext):
@@ -658,6 +706,80 @@ def _eval_phrase(node, ctx: EvalContext):
             dl = doc_lens[doc]
             tf_norm = freq / (freq + ctx.k1 * (1 - ctx.b + ctx.b * dl / avgdl))
             scores_host[doc] = node.boost * sum_idf * tf_norm
+            match_host[doc] = True
+    import jax
+
+    return jax.device_put(scores_host), jax.device_put(match_host)
+
+
+def _eval_phrase_prefix_impl(
+    ctx: EvalContext, field: str, query: str, slop: int,
+    analyzer_name, max_expansions: int, boost: float,
+):
+    """Phrase with prefix-expanded last term (reference:
+    query/MatchPhrasePrefixQuery.java -> Lucene MultiPhrasePrefixQuery:
+    the last analyzed term expands to up to max_expansions index terms;
+    the phrase matches if any expansion completes it). Scored like a phrase
+    with the expansion set treated as one term (df = sum of expansion dfs,
+    capped at doc count)."""
+    seg = ctx.segment
+    fd = _field(ctx, field)
+    analyzer = (
+        get_analyzer(analyzer_name)
+        if analyzer_name
+        else (fd.search_analyzer or fd.index_analyzer or get_analyzer("standard"))
+    )
+    tokens = analyzer.analyze(query)
+    if not tokens:
+        return _none(ctx)
+    base_pos = tokens[0].position
+    terms = [t.text for t in tokens]
+    req_offsets = [t.position - base_pos for t in tokens]
+    tfi = seg.fields.get(field)
+    if tfi is None or tfi.positions is None:
+        return _none(ctx)
+    prefix = terms[-1]
+    expansions = sorted(t for t in tfi.terms if t.startswith(prefix))
+    expansions = expansions[: max(max_expansions, 1)]
+    if not expansions:
+        return _none(ctx)
+    fixed = terms[:-1]
+
+    # stage 1 (device): docs with all fixed terms AND any expansion
+    _, m_exp = _text_clause(
+        ctx, field, expansions, [0.0] * len(expansions), "SHOULD", 0, 0.0
+    )
+    if fixed:
+        _, m_fixed = _text_clause(
+            ctx, field, fixed, [0.0] * len(fixed), "MUST", 0, 0.0
+        )
+        cand_mask = m_fixed & m_exp
+    else:
+        cand_mask = m_exp
+    cand_ids = np.nonzero(np.asarray(cand_mask)[: seg.num_docs])[0]
+
+    dc = ctx.stats.doc_count(field)
+    df_exp = min(
+        sum(ctx.stats.doc_freq(field, t) for t in expansions), max(dc, 1)
+    )
+    sum_idf = sum(
+        bm25_ops.lucene_idf(dc, ctx.stats.doc_freq(field, t)) for t in set(fixed)
+    ) + bm25_ops.lucene_idf(dc, df_exp)
+    avgdl = ctx.stats.avgdl(field)
+    doc_lens = np.asarray(tfi.doc_lens)
+    scores_host = np.zeros(seg.capacity, np.float32)
+    match_host = np.zeros(seg.capacity, bool)
+    for doc in cand_ids:
+        plists = [tfi.positions_of(t, int(doc)) for t in fixed]
+        exp_lists = [tfi.positions_of(t, int(doc)) for t in expansions]
+        exp_pos = np.unique(
+            np.concatenate(exp_lists) if exp_lists else np.empty(0, np.int32)
+        )
+        freq = _phrase_freq(plists + [exp_pos], req_offsets, slop)
+        if freq > 0:
+            dl = doc_lens[doc]
+            tf_norm = freq / (freq + ctx.k1 * (1 - ctx.b + ctx.b * dl / avgdl))
+            scores_host[doc] = boost * sum_idf * tf_norm
             match_host[doc] = True
     import jax
 

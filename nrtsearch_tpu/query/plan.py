@@ -65,6 +65,25 @@ class MultiMatchQueryNode(QueryNode):
     field_boosts: tuple[float, ...] = ()
     operator: str = "SHOULD"
     minimum_number_should_match: int = 0
+    # reference MultiMatchQuery.MatchType: BEST_FIELDS (dis-max, default),
+    # PHRASE_PREFIX (per-field MatchPhrasePrefix, dis-max), CROSS_FIELDS
+    # (term-centric best-field scoring)
+    match_type: str = "BEST_FIELDS"
+    tie_breaker: float = 0.0
+    slop: int = 0
+    max_expansions: int = 50
+
+
+@dataclass(frozen=True)
+class MatchPhrasePrefixQueryNode(QueryNode):
+    """Phrase whose last analyzed term matches by prefix (reference:
+    query/MatchPhrasePrefixQuery.java -> Lucene MultiPhrasePrefixQuery)."""
+
+    field: str = ""
+    query: str = ""
+    slop: int = 0
+    analyzer: Optional[str] = None
+    max_expansions: int = 50
 
 
 @dataclass(frozen=True)
@@ -343,6 +362,20 @@ def parse_query(q: dict) -> QueryNode:
             field_boosts=boosts,
             operator="MUST" if m.get("operator") == "MUST" else "SHOULD",
             minimum_number_should_match=int(m.get("minimumNumberShouldMatch", 0)),
+            match_type=str(m.get("type", "BEST_FIELDS")),
+            tie_breaker=float(m.get("tieBreakerMultiplier", 0.0)),
+            slop=int(m.get("slop", 0)),
+            max_expansions=int(m.get("maxExpansions", 0) or 50),
+        )
+    if "matchPhrasePrefixQuery" in q:
+        m = q["matchPhrasePrefixQuery"]
+        return MatchPhrasePrefixQueryNode(
+            boost=boost,
+            field=m["field"],
+            query=m.get("query", ""),
+            slop=int(m.get("slop", 0)),
+            analyzer=_analyzer_name(m.get("analyzer")),
+            max_expansions=int(m.get("maxExpansions", 0) or 50),
         )
     if "phraseQuery" in q:
         p = q["phraseQuery"]

@@ -52,11 +52,11 @@ def test_drill_sideways(server):
     req = pb.SearchRequest(indexName="shop", topHits=10, retrieveFields=["id"])
     bq = req.query.booleanQuery
     c1 = bq.clauses.add()
-    c1.occur = pb.BooleanClauseOccur.MUST
+    c1.occur = pb.BooleanClause.MUST
     c1.query.matchQuery.field = "name"
     c1.query.matchQuery.query = "shirt"
     c2 = bq.clauses.add()
-    c2.occur = pb.BooleanClauseOccur.FILTER
+    c2.occur = pb.BooleanClause.FILTER
     c2.query.termQuery.field = "color"
     c2.query.termQuery.textValue = "red"
     f_color = req.facets.add()

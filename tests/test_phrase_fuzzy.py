@@ -134,3 +134,100 @@ def test_phrase_survives_merge():
     td = s.search(q, 10)
     ids = sorted(s.segments[h.segment_idx].stored[h.local_id]["doc_id"] for h in td.hits)
     assert ids == ["0", "2"]
+
+
+def test_match_phrase_prefix(searcher):
+    # "quick bro" -> last term expands by prefix to "brown"
+    q = parse_query(
+        {"matchPhrasePrefixQuery": {"field": "body", "query": "quick bro"}}
+    )
+    td = searcher.search(q, 10)
+    assert sorted(h.global_ord for h in td.hits) == [0, 2]
+    # full-word prefix also matches
+    q2 = parse_query(
+        {"matchPhrasePrefixQuery": {"field": "body", "query": "quick brown"}}
+    )
+    assert sorted(h.global_ord for h in searcher.search(q2, 10).hits) == [0, 2]
+    # non-matching prefix
+    q3 = parse_query(
+        {"matchPhrasePrefixQuery": {"field": "body", "query": "quick zzz"}}
+    )
+    assert searcher.search(q3, 10).total_hits == 0
+
+
+def test_match_phrase_prefix_single_term(searcher):
+    q = parse_query({"matchPhrasePrefixQuery": {"field": "body", "query": "jum"}})
+    td = searcher.search(q, 10)
+    assert [h.global_ord for h in td.hits] == [0]
+
+
+def test_match_phrase_prefix_max_expansions(searcher):
+    # cap expansions to 1: the sorted first expansion of "q" is "quick";
+    # phrase "brown q" with slop still behaves sanely
+    q = parse_query(
+        {"matchPhrasePrefixQuery": {"field": "body", "query": "brown fo",
+                                    "maxExpansions": 1}}
+    )
+    td = searcher.search(q, 10)
+    assert sorted(h.global_ord for h in td.hits) == [0, 2]
+
+
+MM_FIELDS = {
+    "doc_id": create_field_def("doc_id", {"type": "_ID", "store": True}),
+    "title": create_field_def("title", {"type": "TEXT", "search": True}),
+    "body": create_field_def("body", {"type": "TEXT", "search": True}),
+}
+MM_DOCS = [
+    {"doc_id": "0", "title": "quick fox", "body": "lazy dog"},
+    {"doc_id": "1", "title": "slow fox", "body": "quick cat runs"},
+    {"doc_id": "2", "title": "quick", "body": "quick"},
+    {"doc_id": "3", "title": "nothing here", "body": "irrelevant"},
+]
+
+
+@pytest.fixture(scope="module")
+def mm_searcher():
+    w = IndexWriter(MM_FIELDS)
+    w.add_documents(MM_DOCS)
+    return Searcher(w.refresh(), MM_FIELDS, version=1)
+
+
+def test_multi_match_best_fields_dismax(mm_searcher):
+    # BEST_FIELDS default: score = best field only (tieBreaker 0)
+    q = parse_query({"multiMatchQuery": {
+        "fields": ["title", "body"], "query": "quick"}})
+    td = mm_searcher.search(q, 10)
+    ids = {h.global_ord for h in td.hits}
+    assert ids == {0, 1, 2}
+    # with tieBreaker 1.0 scores become sum of both fields: doc 2 (matches
+    # in both fields) must gain relative to tieBreaker 0
+    q_tb = parse_query({"multiMatchQuery": {
+        "fields": ["title", "body"], "query": "quick",
+        "tieBreakerMultiplier": 1.0}})
+    td_tb = mm_searcher.search(q_tb, 10)
+    s0 = {h.global_ord: h.score for h in td.hits}
+    s1 = {h.global_ord: h.score for h in td_tb.hits}
+    assert s1[2] > s0[2]
+    assert s1[0] == pytest.approx(s0[0])  # single-field match unchanged
+
+
+def test_multi_match_cross_fields(mm_searcher):
+    # CROSS_FIELDS + MUST: every term must match in SOME field
+    q = parse_query({"multiMatchQuery": {
+        "fields": ["title", "body"], "query": "quick dog",
+        "type": "CROSS_FIELDS", "operator": "MUST"}})
+    td = mm_searcher.search(q, 10)
+    assert [h.global_ord for h in td.hits] == [0]  # quick@title + dog@body
+    # SHOULD: any term matching suffices
+    q2 = parse_query({"multiMatchQuery": {
+        "fields": ["title", "body"], "query": "quick dog",
+        "type": "CROSS_FIELDS"}})
+    assert {h.global_ord for h in mm_searcher.search(q2, 10).hits} == {0, 1, 2}
+
+
+def test_multi_match_phrase_prefix_type(mm_searcher):
+    q = parse_query({"multiMatchQuery": {
+        "fields": ["title", "body"], "query": "quick ca",
+        "type": "PHRASE_PREFIX"}})
+    td = mm_searcher.search(q, 10)
+    assert [h.global_ord for h in td.hits] == [1]  # "quick cat" in body
