@@ -148,6 +148,24 @@ def _eval_node_impl(node: qp.QueryNode, ctx: EvalContext):
     if isinstance(node, qp.ConstantScoreNode):
         _, match = eval_node(node.filter or qp.MatchAllNode(), ctx)
         return _const_score(match, node.boost), match
+    if isinstance(node, qp.DisjunctionMaxNode):
+        return _eval_dismax(node, ctx)
+    if isinstance(node, qp.MinScoreNode):
+        scores, match = eval_node(node.query or qp.MatchAllNode(), ctx)
+        match = match & (scores >= np.float32(node.min_score))
+        return jnp.where(match, scores * np.float32(node.boost), 0.0), match
+    if isinstance(node, qp.FunctionFilterNode):
+        from nrtsearch_tpu.script.expr import compile_expression
+
+        fn = compile_expression(node.expression)
+        vals = fn(
+            _ScriptDocValues(ctx.segment),
+            jnp.zeros(ctx.segment.capacity, jnp.float32),
+        )
+        match = (vals > 0.0) & ctx.segment.live
+        return jnp.where(match, vals * np.float32(node.boost), 0.0), match
+    if isinstance(node, qp.ExactVectorQueryNode):
+        return _eval_exact_vector(node, ctx)
     if isinstance(node, qp.FuzzyQueryNode):
         return _eval_fuzzy(node, ctx)
     if isinstance(node, qp.WildcardQueryNode):
@@ -355,6 +373,44 @@ def _eval_multi_match(node: qp.MultiMatchQueryNode, ctx: EvalContext):
     match = per_field[0][1]
     for _, m in per_field[1:]:
         match = match | m
+    return jnp.where(match, scores * np.float32(node.boost), 0.0), match
+
+
+def _eval_dismax(node: qp.DisjunctionMaxNode, ctx: EvalContext):
+    """Lucene DisjunctionMaxQuery: best disjunct + tieBreaker * others
+    (non-matching disjuncts score 0, so max/sum over them is safe)."""
+    if not node.disjuncts:
+        return _none(ctx)
+    pairs = [eval_node(d, ctx) for d in node.disjuncts]
+    best = pairs[0][0]
+    total = pairs[0][0]
+    match = pairs[0][1]
+    for s, m in pairs[1:]:
+        best = jnp.maximum(best, s)
+        total = total + s
+        match = match | m
+    scores = best + np.float32(node.tie_breaker) * (total - best)
+    return jnp.where(match, scores * np.float32(node.boost), 0.0), match
+
+
+def _eval_exact_vector(node: qp.ExactVectorQueryNode, ctx: EvalContext):
+    """Exact brute-force vector similarity over the whole segment
+    (reference: query/vector/ExactVectorQuery.java; one MXU matmul here)."""
+    from nrtsearch_tpu.ops.knn import _scores as knn_scores
+
+    vc = ctx.segment.vectors.get(node.field)
+    fd = ctx.field_defs.get(node.field)
+    if vc is None or fd is None:
+        raise ValueError(f"{node.field} is not a VECTOR field")
+    dims = int(np.asarray(vc.values).shape[1])
+    if len(node.query_vector) != dims:
+        raise ValueError(
+            f"query vector dimension {len(node.query_vector)} != field dims {dims}"
+        )
+    q = jnp.asarray(np.asarray(node.query_vector, np.float32))[None, :]
+    sq = jnp.sum(vc.values * vc.values, axis=1)
+    scores = knn_scores(q, vc.values, sq, fd.similarity or "l2_norm")[0]
+    match = vc.present & ctx.segment.live
     return jnp.where(match, scores * np.float32(node.boost), 0.0), match
 
 

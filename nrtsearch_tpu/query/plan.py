@@ -143,6 +143,38 @@ class ConstantScoreNode(QueryNode):
 
 
 @dataclass(frozen=True)
+class DisjunctionMaxNode(QueryNode):
+    """Best disjunct's score + tieBreaker * the rest (Lucene DisMaxQuery)."""
+
+    disjuncts: tuple[QueryNode, ...] = ()
+    tie_breaker: float = 0.0
+
+
+@dataclass(frozen=True)
+class MinScoreNode(QueryNode):
+    """Docs whose inner score is >= min_score (reference: MinScoreQuery)."""
+
+    query: Optional[QueryNode] = None
+    min_score: float = 0.0
+
+
+@dataclass(frozen=True)
+class FunctionFilterNode(QueryNode):
+    """Docs with a positive script score (reference: FunctionFilterQuery)."""
+
+    expression: str = "0"
+
+
+@dataclass(frozen=True)
+class ExactVectorQueryNode(QueryNode):
+    """Exact vector-similarity scoring of every doc with the field
+    (reference: query/vector/ExactVectorQuery.java)."""
+
+    field: str = ""
+    query_vector: tuple[float, ...] = ()
+
+
+@dataclass(frozen=True)
 class GeoBoundingBoxNode(QueryNode):
     field: str = ""
     min_lat: float = -90.0
@@ -468,6 +500,33 @@ def parse_query(q: dict) -> QueryNode:
             boost=boost,
             query=parse_query(f.get("query", {})),
             expression=(f.get("script") or {}).get("source", "_score"),
+        )
+    if "disjunctionMaxQuery" in q:
+        d = q["disjunctionMaxQuery"]
+        return DisjunctionMaxNode(
+            boost=boost,
+            disjuncts=tuple(parse_query(sub) for sub in d.get("disjuncts", [])),
+            tie_breaker=float(d.get("tieBreakerMultiplier", 0.0)),
+        )
+    if "minScoreQuery" in q:
+        m = q["minScoreQuery"]
+        return MinScoreNode(
+            boost=boost,
+            query=parse_query(m.get("query", {})),
+            min_score=float(m.get("minScore", 0.0)),
+        )
+    if "functionFilterQuery" in q:
+        f = q["functionFilterQuery"]
+        return FunctionFilterNode(
+            boost=boost,
+            expression=(f.get("script") or {}).get("source", "0"),
+        )
+    if "exactVectorQuery" in q:
+        e = q["exactVectorQuery"]
+        return ExactVectorQueryNode(
+            boost=boost,
+            field=e["field"],
+            query_vector=tuple(float(x) for x in e.get("queryFloatVector", [])),
         )
     if "multiFunctionScoreQuery" in q:
         m = q["multiFunctionScoreQuery"]

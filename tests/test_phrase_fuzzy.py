@@ -231,3 +231,73 @@ def test_multi_match_phrase_prefix_type(mm_searcher):
         "type": "PHRASE_PREFIX"}})
     td = mm_searcher.search(q, 10)
     assert [h.global_ord for h in td.hits] == [1]  # "quick cat" in body
+
+
+def test_disjunction_max(mm_searcher):
+    q = parse_query({"disjunctionMaxQuery": {"disjuncts": [
+        {"matchQuery": {"field": "title", "query": "quick"}},
+        {"matchQuery": {"field": "body", "query": "quick"}},
+    ]}})
+    td = mm_searcher.search(q, 10)
+    assert {h.global_ord for h in td.hits} == {0, 1, 2}
+    # tieBreaker adds the non-best disjunct: doc 2 (both fields) gains
+    q_tb = parse_query({"disjunctionMaxQuery": {"disjuncts": [
+        {"matchQuery": {"field": "title", "query": "quick"}},
+        {"matchQuery": {"field": "body", "query": "quick"}},
+    ], "tieBreakerMultiplier": 0.5}})
+    s0 = {h.global_ord: h.score for h in td.hits}
+    s1 = {h.global_ord: h.score for h in mm_searcher.search(q_tb, 10).hits}
+    assert s1[2] > s0[2]
+    assert s1[0] == pytest.approx(s0[0])
+
+
+def test_min_score_query(mm_searcher):
+    base = parse_query({"matchQuery": {"field": "title", "query": "quick fox"}})
+    td = mm_searcher.search(base, 10)
+    scores = sorted((h.score for h in td.hits), reverse=True)
+    assert len(scores) >= 2
+    cutoff = (scores[0] + scores[1]) / 2
+    q = parse_query({"minScoreQuery": {
+        "query": {"matchQuery": {"field": "title", "query": "quick fox"}},
+        "minScore": cutoff}})
+    td2 = mm_searcher.search(q, 10)
+    assert len(td2.hits) == sum(1 for s in scores if s >= cutoff)
+
+
+VEC_FIELDS = {
+    "doc_id": create_field_def("doc_id", {"type": "_ID", "store": True}),
+    "price": create_field_def("price", {"type": "FLOAT", "storeDocValues": True}),
+    "v": create_field_def("v", {"type": "VECTOR", "vectorDimensions": 2,
+                                "vectorSimilarity": "l2_norm"}),
+}
+
+
+@pytest.fixture(scope="module")
+def vec_searcher():
+    w = IndexWriter(VEC_FIELDS)
+    w.add_documents([
+        {"doc_id": "0", "price": "5", "v": [1.0, 0.0]},
+        {"doc_id": "1", "price": "0", "v": [0.0, 1.0]},
+        {"doc_id": "2", "price": "2", "v": [0.9, 0.1]},
+    ])
+    return Searcher(w.refresh(), VEC_FIELDS, version=1)
+
+
+def test_exact_vector_query(vec_searcher):
+    q = parse_query({"exactVectorQuery": {"field": "v",
+                                          "queryFloatVector": [1.0, 0.0]}})
+    td = vec_searcher.search(q, 10)
+    assert [h.global_ord for h in td.hits] == [0, 2, 1]  # by l2 similarity
+    with pytest.raises(ValueError):
+        vec_searcher.search(parse_query(
+            {"exactVectorQuery": {"field": "v", "queryFloatVector": [1.0]}}), 10)
+
+
+def test_function_filter_query(vec_searcher):
+    q = parse_query({"functionFilterQuery": {"script": {"source": "price - 1"}}})
+    td = vec_searcher.search(q, 10)
+    # only docs with price - 1 > 0 match; score is the function value
+    assert {h.global_ord for h in td.hits} == {0, 2}
+    s = {h.global_ord: h.score for h in td.hits}
+    assert s[0] == pytest.approx(4.0)
+    assert s[2] == pytest.approx(1.0)
