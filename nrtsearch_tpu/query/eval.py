@@ -166,6 +166,8 @@ def _eval_node_impl(node: qp.QueryNode, ctx: EvalContext):
         return jnp.where(match, vals * np.float32(node.boost), 0.0), match
     if isinstance(node, qp.ExactVectorQueryNode):
         return _eval_exact_vector(node, ctx)
+    if isinstance(node, qp.SpanNearNode):
+        return _eval_span_near(node, ctx)
     if isinstance(node, qp.FuzzyQueryNode):
         return _eval_fuzzy(node, ctx)
     if isinstance(node, qp.WildcardQueryNode):
@@ -836,6 +838,115 @@ def _eval_phrase_prefix_impl(
             dl = doc_lens[doc]
             tf_norm = freq / (freq + ctx.k1 * (1 - ctx.b + ctx.b * dl / avgdl))
             scores_host[doc] = boost * sum_idf * tf_norm
+            match_host[doc] = True
+    import jax
+
+    return jax.device_put(scores_host), jax.device_put(match_host)
+
+
+def _span_clause_terms(clause: qp.SpanClause, tfi) -> list[str]:
+    """Expand one span clause against the segment's term dictionary."""
+    if clause.kind == "term":
+        return [clause.text] if clause.text in tfi.terms else []
+    if clause.kind == "prefix":
+        out = [t for t in tfi.terms if t.startswith(clause.text)]
+    elif clause.kind == "wildcard":
+        import fnmatch
+
+        out = [t for t in tfi.terms if fnmatch.fnmatchcase(t, clause.text)]
+    elif clause.kind == "fuzzy":
+        out = _fuzzy_expand(
+            tfi.terms, clause.text, clause.max_edits,
+            clause.prefix_length, clause.max_expansions,
+        )
+    else:
+        raise ValueError(f"unknown span clause kind: {clause.kind!r}")
+    return out[: clause.max_expansions]
+
+
+def _span_near_freq(
+    plists: list[np.ndarray], slop: int, in_order: bool
+) -> int:
+    """Count span-near matches: one position per clause with
+    (max - min) - (n - 1) <= slop, increasing when in_order (the
+    single-position-width case of Lucene SpanNearQuery matching)."""
+    n = len(plists)
+    if any(len(p) == 0 for p in plists):
+        return 0
+    if n == 1:
+        return len(plists[0])
+    count = 0
+    for p0 in plists[0]:
+        lo, hi = int(p0), int(p0)
+        ok = True
+        prev = int(p0)
+        for plist in plists[1:]:
+            if in_order:
+                i = int(np.searchsorted(plist, prev + 1))
+                if i >= len(plist):
+                    ok = False
+                    break
+                pos = int(plist[i])
+            else:
+                # nearest position to the current window
+                i = int(np.searchsorted(plist, prev))
+                cands = []
+                if i < len(plist):
+                    cands.append(int(plist[i]))
+                if i > 0:
+                    cands.append(int(plist[i - 1]))
+                pos = min(cands, key=lambda c: abs(c - prev))
+            lo, hi = min(lo, pos), max(hi, pos)
+            prev = pos
+            if (hi - lo) - (n - 1) > slop:
+                ok = False
+                break
+        if ok:
+            count += 1
+    return count
+
+
+def _eval_span_near(node: qp.SpanNearNode, ctx: EvalContext):
+    """SpanNearQuery: device AND-candidate recall over per-clause term sets,
+    host position verification (reference: QueryNodeMapper span handling ->
+    Lucene SpanNearQuery). Scored like a phrase: summed clause idfs with a
+    BM25 tf-norm on the span frequency."""
+    seg = ctx.segment
+    field = node.clauses[0].field
+    tfi = seg.fields.get(field)
+    if tfi is None or tfi.positions is None:
+        return _none(ctx)
+    clause_terms = [_span_clause_terms(c, tfi) for c in node.clauses]
+    if any(not terms for terms in clause_terms):
+        return _none(ctx)
+
+    # stage 1: docs matching some term of EVERY clause
+    cand_mask = None
+    for terms in clause_terms:
+        _, m = _text_clause(ctx, field, terms, [0.0] * len(terms), "SHOULD", 0, 0.0)
+        cand_mask = m if cand_mask is None else (cand_mask & m)
+    cand_ids = np.nonzero(np.asarray(cand_mask)[: seg.num_docs])[0]
+
+    dc = ctx.stats.doc_count(field)
+    sum_idf = 0.0
+    for terms in clause_terms:
+        df = min(sum(ctx.stats.doc_freq(field, t) for t in terms), max(dc, 1))
+        sum_idf += bm25_ops.lucene_idf(dc, df)
+    avgdl = ctx.stats.avgdl(field)
+    doc_lens = np.asarray(tfi.doc_lens)
+    scores_host = np.zeros(seg.capacity, np.float32)
+    match_host = np.zeros(seg.capacity, bool)
+    for doc in cand_ids:
+        plists = []
+        for terms in clause_terms:
+            pls = [tfi.positions_of(t, int(doc)) for t in terms]
+            merged = np.unique(np.concatenate(pls)) if pls else np.empty(0, np.int32)
+            plists.append(merged)
+        freq = _span_near_freq(plists, node.slop, node.in_order)
+        if freq > 0:
+            dl = doc_lens[doc]
+            tf_norm = freq / (freq + ctx.k1 * (1 - ctx.b + ctx.b * dl / avgdl))
+            scores_host[doc] = node.boost * sum_idf * tf_norm
             match_host[doc] = True
     import jax
 

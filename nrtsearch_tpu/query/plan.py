@@ -143,6 +143,32 @@ class ConstantScoreNode(QueryNode):
 
 
 @dataclass(frozen=True)
+class SpanClause:
+    """One span source: a literal term or a multi-term expansion.
+
+    ``kind`` is "term" (text is the term) or one of "prefix" / "wildcard" /
+    "fuzzy" (text is the pattern; expanded against the segment's term
+    dictionary at eval time)."""
+
+    kind: str
+    field: str
+    text: str
+    max_edits: int = 2        # fuzzy
+    prefix_length: int = 0    # fuzzy
+    max_expansions: int = 50
+
+
+@dataclass(frozen=True)
+class SpanNearNode(QueryNode):
+    """Clause spans within ``slop`` positions, optionally in order
+    (reference: search.proto SpanNearQuery -> Lucene SpanNearQuery)."""
+
+    clauses: tuple[SpanClause, ...] = ()
+    slop: int = 0
+    in_order: bool = False
+
+
+@dataclass(frozen=True)
 class DisjunctionMaxNode(QueryNode):
     """Best disjunct's score + tieBreaker * the rest (Lucene DisMaxQuery)."""
 
@@ -501,6 +527,8 @@ def parse_query(q: dict) -> QueryNode:
             query=parse_query(f.get("query", {})),
             expression=(f.get("script") or {}).get("source", "_score"),
         )
+    if "spanQuery" in q:
+        return _parse_span(q["spanQuery"], boost)
     if "disjunctionMaxQuery" in q:
         d = q["disjunctionMaxQuery"]
         return DisjunctionMaxNode(
@@ -625,6 +653,55 @@ def parse_query(q: dict) -> QueryNode:
             filter=parse_query(kq["filter"]) if kq.get("filter") else None,
         )
     raise ValueError(f"unsupported query: {sorted(q.keys())}")
+
+
+def _parse_span_clause(sq: dict) -> SpanClause:
+    if "spanTermQuery" in sq:
+        t = sq["spanTermQuery"]
+        return SpanClause("term", t.get("field", ""), t.get("textValue", ""))
+    if "spanMultiTermQuery" in sq:
+        w = sq["spanMultiTermQuery"]
+        if "prefixQuery" in w:
+            p = w["prefixQuery"]
+            return SpanClause(
+                "prefix", p["field"], p.get("prefix", ""),
+                max_expansions=int(p.get("maxExpansions", 0) or 50),
+            )
+        if "wildcardQuery" in w:
+            p = w["wildcardQuery"]
+            return SpanClause(
+                "wildcard", p["field"], p.get("pattern", ""),
+                max_expansions=int(p.get("maxExpansions", 0) or 50),
+            )
+        if "fuzzyQuery" in w:
+            p = w["fuzzyQuery"]
+            return SpanClause(
+                "fuzzy", p["field"], p.get("text", ""),
+                max_edits=int(p.get("maxEdits", 0) or 2),
+                prefix_length=int(p.get("prefixLength", 0)),
+                max_expansions=int(p.get("maxExpansions", 0) or 50),
+            )
+        raise ValueError("spanMultiTermQuery requires a wrapped query")
+    if "spanNearQuery" in sq:
+        raise ValueError("nested spanNearQuery clauses are not supported yet")
+    raise ValueError("empty spanQuery")
+
+
+def _parse_span(sq: dict, boost: float) -> QueryNode:
+    if "spanNearQuery" in sq:
+        n = sq["spanNearQuery"]
+        clauses = tuple(_parse_span_clause(c) for c in n.get("clauses", []))
+        if not clauses:
+            raise ValueError("spanNearQuery requires at least one clause")
+        fields = {c.field for c in clauses}
+        if len(fields) > 1:
+            raise ValueError(f"span clauses must share one field, got {fields}")
+        return SpanNearNode(
+            boost=boost, clauses=clauses,
+            slop=int(n.get("slop", 0)), in_order=bool(n.get("inOrder", False)),
+        )
+    # a bare term / multi-term span is a one-clause near
+    return SpanNearNode(boost=boost, clauses=(_parse_span_clause(sq),))
 
 
 def _analyzer_name(a: Any) -> Optional[str]:

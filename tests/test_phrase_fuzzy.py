@@ -301,3 +301,65 @@ def test_function_filter_query(vec_searcher):
     s = {h.global_ord: h.score for h in td.hits}
     assert s[0] == pytest.approx(4.0)
     assert s[2] == pytest.approx(1.0)
+
+
+def test_span_near_in_order(searcher):
+    # "quick ... fox" within 1 intervening position, in order:
+    # doc 0 "quick brown fox" (gap 1), doc 1 "quick fox" (gap 0),
+    # doc 2 has both "quick fox appears" and "quick brown fox"
+    q = parse_query({"spanQuery": {"spanNearQuery": {
+        "clauses": [
+            {"spanTermQuery": {"field": "body", "textValue": "quick"}},
+            {"spanTermQuery": {"field": "body", "textValue": "fox"}},
+        ], "slop": 1, "inOrder": True}}})
+    td = searcher.search(q, 10)
+    assert sorted(h.global_ord for h in td.hits) == [0, 1, 2]
+    # slop 0: only adjacent "quick fox"
+    q0 = parse_query({"spanQuery": {"spanNearQuery": {
+        "clauses": [
+            {"spanTermQuery": {"field": "body", "textValue": "quick"}},
+            {"spanTermQuery": {"field": "body", "textValue": "fox"}},
+        ], "slop": 0, "inOrder": True}}})
+    assert sorted(h.global_ord for h in searcher.search(q0, 10).hits) == [1, 2]
+
+
+def test_span_near_unordered(searcher):
+    # unordered: "fox quick" also matches (doc 2 "brown quick fox": fox
+    # after quick; reversed order pair in doc 1 "quick fox runs")
+    q = parse_query({"spanQuery": {"spanNearQuery": {
+        "clauses": [
+            {"spanTermQuery": {"field": "body", "textValue": "fox"}},
+            {"spanTermQuery": {"field": "body", "textValue": "quick"}},
+        ], "slop": 0, "inOrder": False}}})
+    td = searcher.search(q, 10)
+    assert 1 in {h.global_ord for h in td.hits}
+
+
+def test_span_multi_term_prefix(searcher):
+    # prefix span: "qui*" near "dog" within 2 -> doc 1 "quick fox runs but
+    # brown dog": quick..dog distance is 5 -> no; use doc 0 "fox jumps":
+    q = parse_query({"spanQuery": {"spanNearQuery": {
+        "clauses": [
+            {"spanMultiTermQuery": {"prefixQuery": {"field": "body", "prefix": "bro"}}},
+            {"spanTermQuery": {"field": "body", "textValue": "fox"}},
+        ], "slop": 0, "inOrder": True}}})
+    td = searcher.search(q, 10)
+    # "brown fox" adjacent: docs 0 and 2
+    assert sorted(h.global_ord for h in td.hits) == [0, 2]
+
+
+def test_span_bare_term(searcher):
+    q = parse_query({"spanQuery": {"spanTermQuery": {"field": "body",
+                                                     "textValue": "turtle"}}})
+    assert searcher.search(q, 10).total_hits == 0
+    q2 = parse_query({"spanQuery": {"spanTermQuery": {"field": "body",
+                                                      "textValue": "dog"}}})
+    assert {h.global_ord for h in searcher.search(q2, 10).hits} == {1}
+
+
+def test_span_mixed_fields_rejected():
+    with pytest.raises(ValueError):
+        parse_query({"spanQuery": {"spanNearQuery": {"clauses": [
+            {"spanTermQuery": {"field": "body", "textValue": "a"}},
+            {"spanTermQuery": {"field": "tags", "textValue": "b"}},
+        ]}}})
