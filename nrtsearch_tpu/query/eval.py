@@ -168,6 +168,12 @@ def _eval_node_impl(node: qp.QueryNode, ctx: EvalContext):
         return _eval_exact_vector(node, ctx)
     if isinstance(node, qp.SpanNearNode):
         return _eval_span_near(node, ctx)
+    if isinstance(node, qp.ResolvedJoinNode):
+        return _eval_resolved_join(node, ctx)
+    if isinstance(node, qp.CrossIndexQueryNode):
+        raise ValueError(
+            "CrossIndexQuery requires server global state (unresolved node)"
+        )
     if isinstance(node, qp.FuzzyQueryNode):
         return _eval_fuzzy(node, ctx)
     if isinstance(node, qp.WildcardQueryNode):
@@ -376,6 +382,64 @@ def _eval_multi_match(node: qp.MultiMatchQueryNode, ctx: EvalContext):
     for _, m in per_field[1:]:
         match = match | m
     return jnp.where(match, scores * np.float32(node.boost), 0.0), match
+
+
+def _eval_resolved_join(node: qp.ResolvedJoinNode, ctx: EvalContext):
+    """Join-value matching with per-value aggregated scores (the to-side of
+    Lucene JoinUtil.createJoinQuery; the from-side search already ran in the
+    handler). A doc matches if its field value is in the join set; score is
+    the value's aggregate (max across a multi-valued doc's matches)."""
+    import jax
+
+    dv = ctx.segment.doc_values.get(node.field)
+    if dv is None or not node.values:
+        return _none(ctx)
+    D = ctx.segment.capacity
+    n = ctx.segment.num_docs
+    scores_host = np.zeros(D, np.float32)
+    match_host = np.zeros(D, bool)
+    if dv.mv_offsets is not None:
+        val_score = {v: float(s) for v, s in zip(node.values, node.value_scores)}
+        for d in range(n):
+            lo, hi = int(dv.mv_offsets[d]), int(dv.mv_offsets[d + 1])
+            best = None
+            for raw in dv.mv_values[lo:hi]:
+                key = dv.ord_terms[int(raw)] if dv.ord_terms else raw.item()
+                s = val_score.get(key)
+                if s is not None:
+                    best = s if best is None else max(best, s)
+            if best is not None:
+                match_host[d] = True
+                scores_host[d] = best
+    elif dv.kind == DocValueKind.ORDINAL:
+        per_ord = np.zeros(max(len(dv.ord_terms or []), 1), np.float32)
+        has_ord = np.zeros(max(len(dv.ord_terms or []), 1), bool)
+        for v, s in zip(node.values, node.value_scores):
+            o = (dv.ord_index or {}).get(str(v))
+            if o is not None:
+                has_ord[o] = True
+                per_ord[o] = s
+        hv = dv.host_values[:n]
+        pres = dv.host_present[:n] & (hv >= 0)
+        safe = np.clip(hv, 0, len(has_ord) - 1)
+        sel = pres & has_ord[safe]
+        match_host[:n] = sel
+        scores_host[:n][sel] = per_ord[safe[sel]]
+    else:
+        try:
+            vs = np.asarray(node.values, dtype=dv.host_values.dtype)
+        except (TypeError, ValueError):
+            return _none(ctx)
+        order = np.argsort(vs, kind="stable")
+        svals = vs[order]
+        sscores = np.asarray(node.value_scores, np.float32)[order]
+        hv = dv.host_values[:n]
+        idx = np.clip(np.searchsorted(svals, hv), 0, len(svals) - 1)
+        sel = dv.host_present[:n] & (svals[idx] == hv)
+        match_host[:n] = sel
+        scores_host[:n][sel] = sscores[idx[sel]]
+    scores_host *= np.float32(node.boost)
+    return jax.device_put(scores_host), jax.device_put(match_host)
 
 
 def _eval_dismax(node: qp.DisjunctionMaxNode, ctx: EvalContext):

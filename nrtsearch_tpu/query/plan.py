@@ -143,6 +143,31 @@ class ConstantScoreNode(QueryNode):
 
 
 @dataclass(frozen=True)
+class CrossIndexQueryNode(QueryNode):
+    """Join against another index (reference: CrossIndexQuery ->
+    JoinUtil.createJoinQuery). Resolved by the server into a
+    ResolvedJoinNode before evaluation (needs global state)."""
+
+    index: str = ""
+    primary_field: str = ""
+    secondary_field: str = ""
+    query: Optional[QueryNode] = None
+    score_mode: str = "JOIN_SCORE_UNSET"
+    max_terms: int = 0
+
+
+@dataclass(frozen=True)
+class ResolvedJoinNode(QueryNode):
+    """CrossIndexQueryNode after the secondary-index search: join values of
+    ``field`` with their aggregated scores."""
+
+    field: str = ""
+    values: tuple = ()          # join values (str or number)
+    value_scores: tuple = ()    # aggregated score per value (parallel)
+    constant_score: bool = False  # JOIN_SCORE_NONE
+
+
+@dataclass(frozen=True)
 class SpanClause:
     """One span source: a literal term or a multi-term expansion.
 
@@ -529,6 +554,25 @@ def parse_query(q: dict) -> QueryNode:
         )
     if "spanQuery" in q:
         return _parse_span(q["spanQuery"], boost)
+    if "crossIndexQuery" in q:
+        x = q["crossIndexQuery"]
+        if not x.get("index"):
+            raise ValueError("CrossIndexQuery.index must not be empty")
+        if not x.get("primaryField"):
+            raise ValueError("CrossIndexQuery.primary_field must not be empty")
+        if not x.get("secondaryField"):
+            raise ValueError("CrossIndexQuery.secondary_field must not be empty")
+        if "query" not in x:
+            raise ValueError("CrossIndexQuery.query must be set")
+        return CrossIndexQueryNode(
+            boost=boost,
+            index=x["index"],
+            primary_field=x["primaryField"],
+            secondary_field=x["secondaryField"],
+            query=parse_query(x["query"]),
+            score_mode=str(x.get("scoreMode", "JOIN_SCORE_UNSET")),
+            max_terms=int(x.get("maxTerms", 0)),
+        )
     if "disjunctionMaxQuery" in q:
         d = q["disjunctionMaxQuery"]
         return DisjunctionMaxNode(

@@ -309,6 +309,7 @@ class Handlers:
             ]
             node = parse_query_text(req.queryText, default_fields or ["*"])
             has_query = True
+        node = self._resolve_cross_index(node)
 
         sort = None
         if req.HasField("querySort") and req.querySort.fields.sortedFields:
@@ -826,6 +827,79 @@ class Handlers:
             lv = fr.labelValues.add()
             lv.label = label
             lv.value = count
+
+    def _resolve_cross_index(self, node):
+        """Resolve CrossIndexQueryNodes by searching the secondary index and
+        rewriting to ResolvedJoinNodes (reference: QueryNodeMapper
+        getCrossIndexQuery -> JoinUtil.createJoinQuery, where the from-side
+        search happens at query-build time). Walks the plan tree."""
+        import dataclasses
+
+        from nrtsearch_tpu.query import plan as qp
+
+        if isinstance(node, qp.CrossIndexQueryNode):
+            rt2 = self.gs.get_runtime(node.index)
+            if node.secondary_field not in rt2.field_defs:
+                raise ValueError(
+                    f"unknown secondary field: {node.secondary_field!r}"
+                )
+            inner = self._resolve_cross_index(node.query or qp.MatchAllNode())
+            td = rt2.searcher.search(inner, top_hits=1_000_000)
+            # aggregate secondary-side scores per join value
+            agg: dict = {}
+            from nrtsearch_tpu.search.fetch import fetch_field_values
+
+            for hit in td.hits:
+                vals = fetch_field_values(
+                    rt2.searcher, hit, node.secondary_field, rt2.field_defs
+                )
+                for v in vals or []:
+                    v = v.item() if hasattr(v, "item") else v
+                    agg.setdefault(v, []).append(hit.score)
+            mode = node.score_mode
+            items = list(agg.items())
+            if node.max_terms > 0:
+                items = items[: node.max_terms]
+            values, value_scores = [], []
+            for v, ss in items:
+                values.append(v)
+                if mode == "JOIN_SCORE_AVG":
+                    value_scores.append(sum(ss) / len(ss))
+                elif mode == "JOIN_SCORE_MAX":
+                    value_scores.append(max(ss))
+                elif mode == "JOIN_SCORE_MIN":
+                    value_scores.append(min(ss))
+                elif mode == "JOIN_SCORE_TOTAL":
+                    value_scores.append(sum(ss))
+                else:  # UNSET / NONE: constant score
+                    value_scores.append(1.0)
+            return qp.ResolvedJoinNode(
+                boost=node.boost,
+                field=node.primary_field,
+                values=tuple(values),
+                value_scores=tuple(value_scores),
+                constant_score=mode in ("JOIN_SCORE_UNSET", "JOIN_SCORE_NONE"),
+            )
+        # recurse into children (frozen dataclasses)
+        changed = {}
+        for f in dataclasses.fields(node):
+            v = getattr(node, f.name)
+            if isinstance(v, qp.QueryNode):
+                nv = self._resolve_cross_index(v)
+                if nv is not v:
+                    changed[f.name] = nv
+            elif isinstance(v, tuple) and v and isinstance(
+                v[0], (qp.QueryNode, qp.BooleanClause)
+            ):
+                nv = tuple(
+                    dataclasses.replace(c, node=self._resolve_cross_index(c.node))
+                    if isinstance(c, qp.BooleanClause)
+                    else self._resolve_cross_index(c)
+                    for c in v
+                )
+                if nv != v:
+                    changed[f.name] = nv
+        return dataclasses.replace(node, **changed) if changed else node
 
     def _drill_sideways_matches(self, req, matches) -> dict:
         """Per-facet-dimension match sets with that dim's own FILTER clauses
