@@ -51,6 +51,36 @@ def segment_file_names(seg_id: str, del_gen: int = 0) -> list[str]:
     ]
 
 
+# (path, size, mtime_ns) -> (length, crc32). Segment files are immutable, so
+# metadata computed once per file stays valid; the stat key invalidates the
+# entry if a file is ever replaced in place.
+_FILE_META_CACHE: dict[tuple, tuple[int, int]] = {}
+
+
+def file_metadata(directory: str | Path, name: str) -> tuple[int, int]:
+    """(length, crc32) of one index file — the FileMetaData analogue the
+    reference carries in CopyState (luceneserver.proto:1211) so receivers can
+    detect name-reuse/truncation instead of trusting file names."""
+    import zlib
+
+    path = Path(directory) / name
+    st = path.stat()
+    key = (str(path), st.st_size, st.st_mtime_ns)
+    hit = _FILE_META_CACHE.get(key)
+    if hit is not None:
+        return hit
+    crc = 0
+    with open(path, "rb") as f:
+        while True:
+            chunk = f.read(1 << 20)
+            if not chunk:
+                break
+            crc = zlib.crc32(chunk, crc)
+    meta = (st.st_size, crc)
+    _FILE_META_CACHE[key] = meta
+    return meta
+
+
 def save_segment(seg: Segment, directory: str | Path) -> list[str]:
     """Write one segment's files; returns the file names written.
 

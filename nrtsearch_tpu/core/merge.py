@@ -18,7 +18,7 @@ import numpy as np
 from nrtsearch_tpu.core.segment import (
     Segment,
     SegmentBuilder,
-    _SEG_COUNTER,
+    new_seg_id,
 )
 from nrtsearch_tpu.schema.fields import DocValueKind, FieldDef
 
@@ -146,7 +146,7 @@ def merge_segments(
         for term in post:
             post[term].sort(key=lambda p: p[0])
 
-    merged = builder.flush(seg_id=f"seg_{next(_SEG_COUNTER)}_m")
+    merged = builder.flush(seg_id=new_seg_id("_m"))
     assert merged is not None
     return merged, remap
 

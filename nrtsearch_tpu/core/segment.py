@@ -23,6 +23,7 @@ with device arrays laid out for batched XLA/Pallas execution:
 from __future__ import annotations
 
 import itertools
+import uuid
 from dataclasses import dataclass, field as dc_field
 from typing import Any, Iterable, Optional
 
@@ -32,6 +33,18 @@ from nrtsearch_tpu.schema.fields import DocValueKind, FieldDef, FieldType
 from nrtsearch_tpu.utils.smallfloat import quantize_length
 
 _SEG_COUNTER = itertools.count()
+# Per-process random token baked into every segment id. Counters restart at 0
+# on process launch; without this a restarted primary would mint a seg id that
+# collides with files already on disk / replicas (save_segment skips existing
+# base files), silently serving stale segment bytes. Unique-by-construction
+# ids replace the reference's FileMetaData length+checksum comparison as the
+# first line of defense (point-state file metadata is the second).
+_SEG_TOKEN = uuid.uuid4().hex[:8]
+
+
+def new_seg_id(suffix: str = "") -> str:
+    """Globally unique segment id: seg_<process-token>_<n>[suffix]."""
+    return f"seg_{_SEG_TOKEN}_{next(_SEG_COUNTER)}{suffix}"
 
 
 def pad_to_bucket(n: int, minimum: int = 128) -> int:
@@ -207,7 +220,7 @@ class Segment:
                 host_present=present,
             )
         return dataclasses.replace(
-            self, doc_values=new_dv, seg_id=f"seg_{next(_SEG_COUNTER)}_dv"
+            self, doc_values=new_dv, seg_id=new_seg_id("_dv")
         )
 
     def with_deletes(self, deleted_local_ids: np.ndarray) -> "Segment":
@@ -434,7 +447,7 @@ class SegmentBuilder:
     def flush(self, seg_id: Optional[str] = None) -> Optional[Segment]:
         if self.num_docs == 0:
             return None
-        seg_id = seg_id or f"seg_{next(_SEG_COUNTER)}"
+        seg_id = seg_id or new_seg_id()
         capacity = pad_to_bucket(self.num_docs)
         fields = {
             name: self._pack_text_field(name, post, capacity)

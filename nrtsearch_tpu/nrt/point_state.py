@@ -5,6 +5,10 @@ version/gen, serialized SegmentInfos, primaryGen, primaryId). Here the
 SegmentInfos analogue is the (seg_id, del_gen) list; files are the
 packed-array files from core/directory.py (immutable base files plus the
 small per-del-gen live mask, like Lucene's .liv files).
+
+``file_meta`` carries per-file (length, crc32) like the reference's
+NrtFileMetaData, so a receiver can detect stale bytes under a reused name or
+a truncated copy instead of trusting file names alone.
 """
 
 from __future__ import annotations
@@ -24,6 +28,9 @@ class NrtPointState:
     primary_id: str              # ephemeral primary instance id
     segments: list[tuple[str, int]]  # (seg_id, del_gen)
     files: list[str] = field(default_factory=list)
+    # file name -> (length, crc32); empty for points written before this
+    # field existed (verification is skipped for those files)
+    file_meta: dict[str, tuple[int, int]] = field(default_factory=dict)
 
     def __post_init__(self):
         self.segments = [(s, int(d)) for s, d in self.segments]
@@ -31,6 +38,9 @@ class NrtPointState:
             self.files = [
                 f for sid, dgen in self.segments for f in segment_file_names(sid, dgen)
             ]
+        self.file_meta = {
+            n: (int(length), int(crc)) for n, (length, crc) in self.file_meta.items()
+        }
 
     @property
     def seg_ids(self) -> list[str]:
@@ -45,6 +55,7 @@ class NrtPointState:
                 "primaryId": self.primary_id,
                 "segments": [[s, d] for s, d in self.segments],
                 "files": self.files,
+                "fileMeta": {n: [l, c] for n, (l, c) in self.file_meta.items()},
             }
         )
 
@@ -58,6 +69,7 @@ class NrtPointState:
             primary_id=d.get("primaryId", ""),
             segments=[(s, dg) for s, dg in d["segments"]],
             files=d.get("files", []),
+            file_meta={n: (l, c) for n, (l, c) in d.get("fileMeta", {}).items()},
         )
 
     @staticmethod

@@ -160,7 +160,16 @@ def _gather_kernel(offs_ref, lens_ref, wts_ref, docs_hbm, imps_hbm,
     w = pl.program_id(2)
     rows = gt // 128
     span_rows = rows + _DMA_ROWS
-    off = offs_ref[b, r] + w * gt
+    ln = lens_ref[b, r]
+    # Clamp the chunk's data offset inside the run: a chunk fully past the
+    # run's valid length (w*gt >= ln, possible because runs are padded to a
+    # power-of-two run_len that may exceed the builder's DMA slack) would
+    # otherwise DMA up to run_len past the last posting — out of bounds.
+    # Clamped chunks read in-bounds bytes that the logical-position mask
+    # below discards entirely; partially-valid tail chunks are unaffected
+    # (w*gt < ln keeps the true offset) and stay within the builder's
+    # GATHER_TILE + alignment slack.
+    off = offs_ref[b, r] + jnp.minimum(w * gt, jnp.maximum(ln - 1, 0))
     # DMA an aligned row window, then realign in VMEM (postings offsets are
     # arbitrary; HBM DMA starts must be tile-aligned)
     row0 = pl.multiple_of((off // (128 * _DMA_ROWS)) * _DMA_ROWS, _DMA_ROWS)
@@ -171,7 +180,6 @@ def _gather_kernel(offs_ref, lens_ref, wts_ref, docs_hbm, imps_hbm,
     cd.start()
     ci = pltpu.make_async_copy(imps_hbm.at[pl.ds(row0, span_rows), :], i_s, sem_i)
     ci.start()
-    ln = lens_ref[b, r]
     wt = wts_ref[b, r]
     pos = (
         jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0) * 128
@@ -196,8 +204,9 @@ def gather_runs_pallas(post_docs, post_impacts, offs, lens, weights, run_len: in
     The vmapped dynamic-slice formulation lowers to an XLA gather that runs
     ~30x off bandwidth; here each (query, run, chunk) program issues one
     contiguous async copy. Caller contract: the postings arrays carry at
-    least GATHER_TILE slack past the last valid entry (builders pad for it),
-    so chunk copies never clamp.
+    least GATHER_TILE + DMA-alignment slack past the last valid entry
+    (builders pad 16384); chunks beyond a run's valid length are clamped
+    inside the kernel so no DMA ever reads past that slack.
     """
     B, R = offs.shape
     gt = min(GATHER_TILE, run_len)

@@ -259,19 +259,23 @@ class IndexRuntime:
 
     def current_point(self) -> NrtPointState:
         """The current searchable point (persisting segment files first)."""
+        from nrtsearch_tpu.core.directory import file_metadata
+
         with self._lock:
             segments = self.writer.segments
+            names: list[str] = []
             for seg in segments:
-                commit_file_names_for(
+                names.extend(commit_file_names_for(
                     seg, self.index_dir, self.remote, self.service_name,
                     self.state_info.index_id,
-                )
+                ))
             return NrtPointState(
                 version=self._version,
                 gen=self._gen,
                 primary_gen=self.primary_gen,
                 primary_id=self.primary_id,
                 segments=[(s.seg_id, s.del_gen) for s in segments],
+                file_meta={n: file_metadata(self.index_dir, n) for n in names},
             )
 
     def _publish_nrt_point(self) -> None:
@@ -312,7 +316,8 @@ class IndexRuntime:
             if new_primary:
                 self.primary_gen = point.primary_gen
             missing = [
-                f for f in point.files if not (self.index_dir / f).exists()
+                f for f in point.files
+                if not self._file_matches_point(f, point)
             ]
             if missing:
                 if file_fetcher is not None:
@@ -321,6 +326,13 @@ class IndexRuntime:
                     self.remote.download_index_files(
                         self.service_name, self.state_info.index_id,
                         self.index_dir, missing,
+                    )
+                bad = [
+                    f for f in missing if not self._file_matches_point(f, point)
+                ]
+                if bad:
+                    raise IOError(
+                        f"fetched files failed length/crc verification: {bad}"
                     )
             segments = [
                 load_segment(sid, self.index_dir, del_gen)
@@ -331,6 +343,25 @@ class IndexRuntime:
             self._gen = point.gen
             self._publish_searcher(segments)
             return True
+
+    def _file_matches_point(self, name: str, point: NrtPointState) -> bool:
+        """True if a local file exists AND matches the point's per-file
+        length+crc metadata (the reference compares FileMetaData before
+        reusing a local file, CopyState.fileMetadata). A mismatched file —
+        e.g. a stale file under a reused name, or a truncated copy — is
+        deleted so the fetcher re-copies it."""
+        from nrtsearch_tpu.core.directory import file_metadata
+
+        path = self.index_dir / name
+        if not path.exists():
+            return False
+        expected = point.file_meta.get(name)
+        if expected is None:  # point predates file metadata; trust the name
+            return True
+        if file_metadata(self.index_dir, name) == tuple(expected):
+            return True
+        path.unlink(missing_ok=True)
+        return False
 
     def sync_from_remote(self) -> bool:
         if self.remote is None:

@@ -98,7 +98,8 @@ class ReplicationClient:
 
         def requests():
             yield pb.FileInfo(
-                fileName=file_name, fpStart=fp_start, indexName=index_name
+                fileName=file_name, fpStart=fp_start, indexName=index_name,
+                ackEvery=ack_every,
             )
             while True:
                 a = acks.get()
@@ -289,10 +290,16 @@ class ReplicationService:
         req = next(request_iterator)
         rt = self.gs.get_runtime(req.indexName)
         cfg = getattr(self.gs, "config", None)
-        # window must exceed the client's ack interval or the copy deadlocks
+        # the window must exceed the RECEIVER's ack interval or the copy
+        # deadlocks (sender waits for an ack the client will never send).
+        # The receiver declares its cadence in the initial FileInfo.ackEvery;
+        # fall back to this node's config only for old clients that omit it.
+        receiver_ack_every = int(
+            req.ackEvery or getattr(cfg, "ack_every", 1000) or 1000
+        )
         max_in_flight = max(
             int(getattr(cfg, "max_in_flight", 2000) or 2000),
-            int(getattr(cfg, "ack_every", 1000) or 1000) + 1,
+            receiver_ack_every + 1,
         )
         path = Path(rt.index_dir) / req.fileName
         if not path.exists():
@@ -439,7 +446,13 @@ class ReplicationService:
                         continue
                     crc = zlib.crc32(chunk.content, crc)
                     f.write(chunk.content)
-            if footer is not None and footer != crc:
+            if footer is None:
+                # a clean stream end without the checksum footer means the
+                # sender bailed early (e.g. receiver presumed gone) — never
+                # install a possibly-truncated file
+                tmp.unlink(missing_ok=True)
+                raise IOError(f"copy of {name!r} ended without checksum footer")
+            if footer != crc:
                 tmp.unlink(missing_ok=True)
                 raise IOError(
                     f"checksum mismatch copying {name!r}: {crc} != {footer}"

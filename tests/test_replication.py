@@ -148,3 +148,59 @@ def test_replica_poll_thread(tmp_path, remote):
     assert replica.searcher.num_docs == 3
     primary.stop()
     replica.stop()
+
+
+def test_point_carries_file_metadata(tmp_path, remote):
+    """NrtPointState carries per-file (length, crc32), like the reference's
+    NrtFileMetaData in CopyState (luceneserver.proto:1211)."""
+    primary = make_primary(tmp_path, remote)
+    primary.add_documents(DOCS)
+    primary.refresh()
+    point = primary.current_point()
+    assert point.files and set(point.file_meta) == set(point.files)
+    for name, (length, crc) in point.file_meta.items():
+        assert length == (tmp_path / "primary" / name).stat().st_size
+    # round-trips through JSON
+    from nrtsearch_tpu.nrt.point_state import NrtPointState
+
+    again = NrtPointState.from_json(point.to_json())
+    assert again.file_meta == point.file_meta
+    primary.stop()
+
+
+def test_stale_file_under_reused_name_is_recopied(tmp_path, remote):
+    """A local file whose bytes don't match the point's length+crc must be
+    re-fetched, not trusted by name (the round-1 advisor's stale-seg_0
+    scenario: counter reuse after a primary restart)."""
+    primary = make_primary(tmp_path, remote)
+    primary.add_documents(DOCS)
+    primary.refresh()
+    replica = make_replica(tmp_path, remote)
+    replica.start()
+    assert replica.sync_from_remote()
+
+    # corrupt one replica-side segment file in place (stale-byte stand-in),
+    # then force a reinstall of the same point under a new primary gen
+    point = primary.current_point()
+    victim = next(f for f in point.files if f.endswith(".arrays.npz"))
+    path = tmp_path / "replica" / victim
+    good = path.read_bytes()
+    path.write_bytes(good[: len(good) // 2])  # truncated/stale bytes
+
+    point.primary_gen += 1  # force the replica to accept the point again
+    assert replica.install_point(point)
+    assert path.read_bytes() == good  # re-downloaded, not trusted
+    q = parse_query({"matchQuery": {"field": "body", "query": "replication"}})
+    assert replica.searcher.search(q, 5).total_hits == 1
+    primary.stop()
+    replica.stop()
+
+
+def test_seg_ids_are_process_unique():
+    from nrtsearch_tpu.core.segment import new_seg_id
+
+    a, b = new_seg_id(), new_seg_id()
+    assert a != b
+    # the per-process random token guards against cross-restart collisions
+    token_a = a.split("_")[1]
+    assert len(token_a) == 8
