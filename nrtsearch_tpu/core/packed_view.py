@@ -1,0 +1,345 @@
+"""Packed multi-segment field view: one device program for any segment count.
+
+Round 1 scored each segment with its own kernel dispatch, so a 10-segment
+index paid 10x the dispatch floor per query. This view concatenates every
+segment's postings for one field into a single flat device array with doc ids
+rebased to GLOBAL ords — runs from different segments are just more sorted
+runs in the same bitonic merge (ops/merge_scoring.py), so one
+``merge_score_topk`` call scores the whole index for a whole query batch.
+This is the TPU re-expression of the reference's segment-slice fan-out
+(MyIndexSearcher.java:79,117): where Lucene co-schedules segments onto a
+thread pool, we co-schedule them into one XLA program.
+
+The view also carries **block-max metadata** (the Lucene impacts/BlockMaxWAND
+analogue, consumed at MyIndexSearcher recall): per 512-entry postings block,
+the min/max doc ord and max BM25 impact. At query time a host-side pruning
+pass drops whole doc-ord windows that provably cannot reach the current top-k
+lower bound:
+
+  theta  = max_t w_t * kth_largest_impact(t)   (exact lower bound: the k docs
+           achieving term t's top-k impacts have true scores >= those
+           contributions, so the true k-th best score >= theta)
+  UB(w)  = sum_t w_t * max_impact_t(window w)  (upper bound on any doc in w)
+  prune window w iff UB(w) < theta
+
+Pruned windows shrink the postings runs fed to the kernel — the kernel itself
+is unchanged and surviving docs' scores are bit-identical to the unpruned
+program (dropped docs provably rank below the true k-th hit). Matching
+Lucene's WAND contract, total hit counts become lower bounds when pruning
+fires (relation GREATER_THAN_OR_EQUAL_TO).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Optional, Sequence
+
+import numpy as np
+
+from nrtsearch_tpu.ops.bm25 import lucene_idf
+
+BLOCK = 512                      # postings entries per block-max block
+PRUNE_MIN_POSTINGS = 1 << 17     # don't bother pruning small queries
+PRUNE_WINDOWS = 2048             # target number of doc-ord windows
+# keep margin against f32 accumulation noise in the kernel's cumsum
+_PRUNE_EPS = 1e-4
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One fast-path text query: analyzed terms against one field."""
+
+    field: str
+    terms: tuple[str, ...]
+    require_all: bool = False
+    boost: float = 1.0
+
+
+@dataclass
+class FastResult:
+    scores: np.ndarray   # [k] f32, -inf padded
+    docs: np.ndarray     # [k] global ords
+    total_hits: int
+    pruned: bool         # block-max pruning fired: total_hits is a lower bound
+
+
+class PackedFieldView:
+    """All live segments' postings for one field, packed for fused search."""
+
+    def __init__(self, searcher, field: str):
+        import jax
+        import jax.numpy as jnp
+
+        from nrtsearch_tpu.ops.bm25 import precompute_impacts
+        from nrtsearch_tpu.ops.pallas_merge import GATHER_TILE
+
+        self.field = field
+        fd = searcher.field_defs[field]
+        self.k1 = float(fd.sim_k1)
+        self.b = float(fd.sim_b)
+        self.avgdl = float(searcher.stats.avgdl(field))
+        self.doc_count = int(searcher.stats.doc_count(field))
+        self.stats = searcher.stats
+        self.max_doc = int(searcher.max_doc)
+
+        parts_ids, parts_imp = [], []
+        host_ids_parts, host_imp_parts = [], []
+        # (segment_idx, tfi, pack_offset) for term lookups
+        self.seg_entries: list[tuple[int, object, int]] = []
+        cursor = 0
+        for idx, seg in enumerate(searcher.segments):
+            tfi = seg.fields.get(field)
+            if tfi is None or tfi.postings_len == 0:
+                continue
+            base = int(searcher.bases[idx])
+            pl = tfi.postings_len
+            imp = precompute_impacts(
+                tfi.doc_ids, tfi.freqs, tfi.doc_lens, seg.live,
+                jnp.float32(self.k1), jnp.float32(self.b),
+                jnp.float32(self.avgdl),
+            )
+            parts_ids.append(tfi.doc_ids[:pl] + np.int32(base))
+            parts_imp.append(imp[:pl])
+            # host mirrors for block metadata + theta (live-folded like the
+            # device impacts, so pruning bounds match kernel scores exactly)
+            hd = tfi.host_doc_ids
+            hf = tfi.host_freqs
+            dl = np.asarray(tfi.doc_lens)
+            him = hf / (hf + self.k1 * (1.0 - self.b + self.b * dl[hd] / self.avgdl))
+            him = np.where(seg.host_live[hd], him, 0.0).astype(np.float32)
+            host_ids_parts.append(hd.astype(np.int64) + base)
+            host_imp_parts.append(him)
+            self.seg_entries.append((idx, tfi, cursor))
+            cursor += pl
+        self.total_len = cursor
+        if cursor == 0:
+            self.doc_ids = None
+            self.impacts = None
+            self.host_impacts = np.empty(0, np.float32)
+            self.blk_min = np.empty(0, np.int64)
+            self.blk_max = np.empty(0, np.int64)
+            self.blk_imp = np.empty(0, np.float32)
+        else:
+            p_pad = _pow2(cursor + 2 * GATHER_TILE)
+            pad = p_pad - cursor
+            parts_ids.append(jnp.zeros(pad, jnp.int32))
+            parts_imp.append(jnp.zeros(pad, jnp.float32))
+            self.doc_ids = jnp.concatenate(parts_ids)
+            self.impacts = jnp.concatenate(parts_imp)
+            self.host_impacts = np.concatenate(host_imp_parts)
+            host_ids = np.concatenate(host_ids_parts)
+            bounds = np.arange(0, cursor, BLOCK)
+            self.blk_min = np.minimum.reduceat(host_ids, bounds)
+            self.blk_max = np.maximum.reduceat(host_ids, bounds)
+            self.blk_imp = np.maximum.reduceat(self.host_impacts, bounds)
+        # doc-ord window width for pruning (power of two)
+        self.window_width = _pow2(max(-(-max(self.max_doc, 1) // PRUNE_WINDOWS), 64))
+        self.n_windows = -(-max(self.max_doc, 1) // self.window_width)
+        self._theta_cache: dict[tuple[str, int], float] = {}
+        try:
+            self.use_pallas = jax.devices()[0].platform == "tpu"
+        except Exception:
+            self.use_pallas = False
+
+    # -- term plumbing ---------------------------------------------------------
+
+    def term_entries(
+        self, terms: Sequence[str], boost: float = 1.0
+    ) -> list[tuple[str, float, list[tuple[int, int]]]]:
+        """Per term: (term, idf*boost weight, [(packed_off, len), ...])."""
+        out = []
+        for term in terms:
+            df = self.stats.doc_freq(self.field, term)
+            w = lucene_idf(self.doc_count, df) * boost if df else 0.0
+            runs = []
+            if w:
+                for _, tfi, pack_off in self.seg_entries:
+                    off, ln = tfi.lookup(term)
+                    if ln:
+                        runs.append((pack_off + off, ln))
+            out.append((term, w, runs))
+        return out
+
+    def kth_impact(self, term: str, k: int) -> float:
+        """The k-th largest live impact of a term (0.0 if df < k). Bucketed
+        cache key so repeated ks share entries."""
+        kb = _pow2(max(k, 1))
+        key = (term, kb)
+        hit = self._theta_cache.get(key)
+        if hit is not None:
+            return hit
+        pieces = []
+        for _, tfi, pack_off in self.seg_entries:
+            off, ln = tfi.lookup(term)
+            if ln:
+                pieces.append(self.host_impacts[pack_off + off : pack_off + off + ln])
+        if not pieces:
+            self._theta_cache[key] = 0.0
+            return 0.0
+        imps = np.concatenate(pieces) if len(pieces) > 1 else pieces[0]
+        if len(imps) < kb:
+            val = 0.0
+        else:
+            val = float(np.partition(imps, len(imps) - kb)[len(imps) - kb])
+        self._theta_cache[key] = val
+        return val
+
+    # -- block-max pruning -------------------------------------------------------
+
+    def prune_entries(
+        self,
+        entries: list[tuple[str, float, list[tuple[int, int]]]],
+        k: int,
+    ) -> tuple[list[tuple[int, int, float]], bool]:
+        """Drop postings blocks in doc-ord windows that provably cannot reach
+        the top-k lower bound. Returns (flat run list, pruned?)."""
+        flat_all = [
+            (off, ln, w) for _, w, runs in entries for off, ln in runs
+        ]
+        total = sum(ln for _, ln, _ in flat_all)
+        if total < PRUNE_MIN_POSTINGS:
+            return flat_all, False
+        theta = max(
+            (w * self.kth_impact(term, k) for term, w, _ in entries if w),
+            default=0.0,
+        )
+        if theta <= 0.0:
+            return flat_all, False
+
+        W = self.n_windows
+        width = self.window_width
+        ub = np.zeros(W + 1, np.float64)  # +1 slack for max-ord edge
+        term_blocks = []  # (w, blocks, wlo, whi, [(off, ln)])
+        for _, w, runs in entries:
+            if not w or not runs:
+                continue
+            wmax = np.zeros(W + 1, np.float32)
+            blocks_list, wlo_list, whi_list = [], [], []
+            for off, ln in runs:
+                b0, b1 = off // BLOCK, (off + ln - 1) // BLOCK
+                blocks = np.arange(b0, b1 + 1)
+                wlo = (self.blk_min[blocks] // width).astype(np.int64)
+                whi = (self.blk_max[blocks] // width).astype(np.int64)
+                imp = self.blk_imp[blocks]
+                same = wlo == whi
+                np.maximum.at(wmax, wlo[same], imp[same])
+                for j in np.nonzero(~same)[0]:
+                    lo, hi = int(wlo[j]), int(whi[j])
+                    np.maximum.at(
+                        wmax, np.arange(lo, hi + 1),
+                        np.full(hi - lo + 1, imp[j], np.float32),
+                    )
+                blocks_list.append(blocks)
+                wlo_list.append(wlo)
+                whi_list.append(whi)
+            ub += w * wmax.astype(np.float64)
+            term_blocks.append((w, runs, blocks_list, wlo_list, whi_list))
+
+        keep = ub >= theta * (1.0 - _PRUNE_EPS)
+        if keep.all():
+            return flat_all, False
+        cum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+
+        out: list[tuple[int, int, float]] = []
+        for w, runs, blocks_list, wlo_list, whi_list in term_blocks:
+            for (off, ln), blocks, wlo, whi in zip(
+                runs, blocks_list, wlo_list, whi_list
+            ):
+                alive = (cum[whi + 1] - cum[wlo]) > 0
+                if alive.all():
+                    out.append((off, ln, w))
+                    continue
+                idx = np.nonzero(alive)[0]
+                if len(idx) == 0:
+                    continue
+                # merge consecutive alive blocks into contiguous sub-runs
+                splits = np.nonzero(np.diff(idx) > 1)[0] + 1
+                for group in np.split(idx, splits):
+                    gb0 = int(blocks[group[0]]) * BLOCK
+                    gb1 = (int(blocks[group[-1]]) + 1) * BLOCK
+                    o2 = max(off, gb0)
+                    e2 = min(off + ln, gb1)
+                    if e2 > o2:
+                        out.append((o2, e2 - o2, w))
+        return out, True
+
+    # -- fused batched search -----------------------------------------------------
+
+    def search_batch(
+        self,
+        specs: Sequence[QuerySpec],
+        k: int,
+        prune: bool = True,
+    ) -> list[FastResult]:
+        """Score a batch of fast-path queries in ONE kernel dispatch."""
+        import jax.numpy as jnp
+
+        from nrtsearch_tpu.ops.merge_scoring import merge_score_topk, plan_run_lists
+
+        B = len(specs)
+        empty = FastResult(
+            np.full(k, -np.inf, np.float32), np.zeros(k, np.int64), 0, False
+        )
+        if self.total_len == 0:
+            return [empty] * B
+        rows: list[list[tuple[int, int, float]]] = []
+        # per-query matched-term floor: MUST queries need all their terms,
+        # SHOULD queries need >= 1 — so one require_all_terms=True dispatch
+        # covers mixed batches (count >= 1 IS disjunction semantics)
+        n_terms = np.ones(B, np.int32)
+        pruned_flags = [False] * B
+        dead = [False] * B
+        for qi, spec in enumerate(specs):
+            entries = self.term_entries(spec.terms, spec.boost)
+            if spec.require_all:
+                n_terms[qi] = len(spec.terms)
+                if any(not runs for _, _, runs in entries):
+                    dead[qi] = True   # a required term matches nothing
+                    rows.append([])
+                    continue
+            if prune and not spec.require_all:
+                # theta is only a valid lower bound for pure disjunctions:
+                # for MUST queries the top single-term docs may not match all
+                # terms, so conjunctions run unpruned (they're cheap anyway)
+                flat, was_pruned = self.prune_entries(entries, k)
+                pruned_flags[qi] = was_pruned
+            else:
+                flat = [
+                    (off, ln, w) for _, w, runs in entries for off, ln in runs
+                ]
+            rows.append(flat)
+        if all(not r for r in rows):
+            return [empty] * B
+        offs, lens, weights, run_len = plan_run_lists(
+            rows, max_run=int(self.doc_ids.shape[0])
+        )
+        scores, docs, hits = merge_score_topk(
+            self.doc_ids, self.impacts,
+            jnp.asarray(offs), jnp.asarray(lens), jnp.asarray(weights),
+            jnp.asarray(n_terms),
+            run_len=run_len, k=min(k, max(self.max_doc, 1)),
+            require_all_terms=True,
+            use_pallas=self.use_pallas,
+        )
+        scores = np.asarray(scores)
+        docs = np.asarray(docs)
+        hits = np.asarray(hits)
+        out = []
+        kk = scores.shape[1]
+        for qi, spec in enumerate(specs):
+            if dead[qi] or not rows[qi]:
+                out.append(empty)
+                continue
+            s, d, h = scores[qi], docs[qi], int(hits[qi])
+            if kk < k:
+                s = np.concatenate([s, np.full(k - kk, -np.inf, np.float32)])
+                d = np.concatenate([d, np.zeros(k - kk, d.dtype)])
+            out.append(FastResult(s, d.astype(np.int64), h, pruned_flags[qi]))
+        return out
+
+
+def _pow2(n: int, minimum: int = 1) -> int:
+    b = minimum
+    while b < n:
+        b <<= 1
+    return b

@@ -157,25 +157,26 @@ class Searcher:
             td.relation = "GREATER_THAN_OR_EQUAL_TO"
         return (td, arrays) if return_arrays else td
 
-    def _fast_text_search(self, node: qp.QueryNode, top_hits: int):
-        """Scatter-free path for plain text queries (the dominant query type).
-
-        Match/term queries with default scoring route through the fused
-        merge-scoring kernel (ops/merge_scoring.py) instead of the dense
-        scatter evaluator — the same program the flagship bench runs. Returns
-        None when the query shape isn't eligible (caller falls back)."""
-        from nrtsearch_tpu.ops.bm25 import lucene_idf
-        from nrtsearch_tpu.ops.merge_scoring import merge_score_topk, plan_runs
+    def fast_query_spec(self, node: qp.QueryNode):
+        """Compile a query node to a fast-path QuerySpec, or None if the shape
+        needs the general evaluator. Shared by single search and the serving
+        micro-batcher (server/batcher.py)."""
+        from nrtsearch_tpu.analysis import get_analyzer
+        from nrtsearch_tpu.core.packed_view import QuerySpec
 
         if isinstance(node, qp.MatchQueryNode):
             if node.minimum_number_should_match > 1 or node.fuzzy_max_edits:
                 return None
             fd = self.field_defs.get(node.field)
-            if fd is None or node.analyzer is not None:
+            if fd is None or not fd.is_text or not fd.search:
                 return None
-            if fd.index_analyzer is not None or fd.search_analyzer is not None:
-                return None
-            terms = fd.query_terms(node.query)
+            if node.analyzer is not None:
+                try:
+                    terms = get_analyzer(node.analyzer).terms(node.query)
+                except KeyError:
+                    return None
+            else:
+                terms = fd.query_terms(node.query)
             require_all = node.operator == "MUST"
         elif isinstance(node, qp.TermQueryNode) and node.text is not None:
             fd = self.field_defs.get(node.field)
@@ -185,95 +186,74 @@ class Searcher:
             require_all = True
         else:
             return None
-        if not terms or len(terms) > 16:
+        if not terms or len(terms) > 32:
             return None
-        fd = self.field_defs.get(node.field)
-        if fd.sim_k1 != 1.2 or fd.sim_b != 0.75:
-            return None  # non-default similarity: use the general evaluator
-
         # nested children need the root-filtered general path
         for seg in self.segments:
             parents = seg.parent_positions()
             if parents is not None and len(parents) != seg.num_docs:
                 return None
+        return QuerySpec(
+            field=node.field, terms=tuple(terms), require_all=require_all,
+            boost=float(node.boost),
+        )
 
-        dc = self.stats.doc_count(node.field)
-        hits: list[Hit] = []
-        total = 0
-        import jax.numpy as jnp
+    def packed_view(self, field: str):
+        """The packed multi-segment view for one field, cached on this
+        immutable searcher snapshot (core/packed_view.py)."""
+        from nrtsearch_tpu.core.packed_view import PackedFieldView
 
-        for idx, seg in enumerate(self.segments):
-            tfi = seg.fields.get(node.field)
-            if tfi is None:
-                continue
-            model = self._flagship_view(idx, node.field)
-            offs = np.zeros((1, len(terms)), np.int64)
-            lens = np.zeros((1, len(terms)), np.int32)
-            weights = np.zeros((1, len(terms)), np.float32)
-            for ti, term in enumerate(terms):
-                off, ln = tfi.lookup(term)
-                df = self.stats.doc_freq(node.field, term)
-                offs[0, ti], lens[0, ti] = off, ln
-                weights[0, ti] = (
-                    lucene_idf(dc, df) * node.boost if df else 0.0
-                )
-            if require_all and any(
-                self.stats.doc_freq(node.field, t) == 0 for t in terms
-            ):
-                continue  # a missing required term matches nothing
-            r_offs, r_lens, r_w, run_len = plan_runs(
-                offs, lens, weights, max_run=int(tfi.doc_ids.shape[0])
-            )
-            scores, docs, th = merge_score_topk(
-                model["doc_ids"], model["impacts"],
-                jnp.asarray(r_offs), jnp.asarray(r_lens), jnp.asarray(r_w),
-                jnp.asarray(np.asarray([len(terms)], np.int32)),
-                run_len=run_len, k=min(top_hits, seg.capacity),
-                require_all_terms=require_all,
-                use_pallas=model["use_pallas"],
-            )
-            scores = np.asarray(scores[0])
-            docs = np.asarray(docs[0])
-            total += int(np.asarray(th[0]))
-            base = int(self.bases[idx])
-            for s, d in zip(scores, docs):
-                if s == -np.inf:
-                    break
-                hits.append(Hit(idx, int(d), base + int(d), float(s)))
-        hits.sort(key=lambda h: (-h.score, h.global_ord))
-        return TopDocs(hits[:top_hits], total)
-
-    def _flagship_view(self, seg_idx: int, field: str) -> dict:
-        """Per-(segment, field) packed view with live-folded impacts, cached
-        on this immutable searcher snapshot."""
-        cache = getattr(self, "_flagship_cache", None)
+        cache = getattr(self, "_packed_views", None)
         if cache is None:
             cache = {}
-            self._flagship_cache = cache
-        key = (seg_idx, field)
-        if key not in cache:
-            import jax
-            import jax.numpy as jnp
+            self._packed_views = cache
+        if field not in cache:
+            cache[field] = PackedFieldView(self, field)
+        return cache[field]
 
-            from nrtsearch_tpu.ops.bm25 import precompute_impacts
+    def warm(self, fields: Sequence[str]) -> None:
+        """Eagerly build packed views (called at refresh so the first query
+        after an NRT point doesn't pay the pack + compile)."""
+        for f in fields:
+            if self.field_defs.get(f) is not None and any(
+                f in seg.fields for seg in self.segments
+            ):
+                self.packed_view(f)
 
-            seg = self.segments[seg_idx]
-            tfi = seg.fields[field]
-            avgdl = self.stats.avgdl(field)
-            impacts = precompute_impacts(
-                tfi.doc_ids, tfi.freqs, tfi.doc_lens, seg.live,
-                jnp.float32(1.2), jnp.float32(0.75), jnp.float32(avgdl),
-            )
-            try:
-                use_pallas = jax.devices()[0].platform == "tpu"
-            except Exception:
-                use_pallas = False
-            cache[key] = {
-                "doc_ids": tfi.doc_ids,
-                "impacts": impacts,
-                "use_pallas": use_pallas,
-            }
-        return cache[key]
+    def _fast_text_search(self, node: qp.QueryNode, top_hits: int):
+        """Scatter-free path for plain text queries (the dominant query type).
+
+        All segments are co-scheduled into ONE fused kernel dispatch over the
+        packed view — global-ord postings runs from every segment merge in
+        the same bitonic network (reference contrast: MyIndexSearcher fans
+        segment slices to a thread pool). Returns None when the query shape
+        isn't eligible (caller falls back)."""
+        spec = self.fast_query_spec(node)
+        if spec is None:
+            return None
+        results = self.fast_search_batch([spec], top_hits)
+        return results[0]
+
+    def fast_search_batch(self, specs, top_hits: int) -> list[TopDocs]:
+        """Batched fast path: N queries against one field in one dispatch."""
+        view = self.packed_view(specs[0].field)
+        out = []
+        for res in view.search_batch(specs, top_hits):
+            hits: list[Hit] = []
+            for s, d in zip(res.scores, res.docs):
+                if s == -np.inf:
+                    break
+                seg_idx = int(np.searchsorted(self.bases, d, side="right")) - 1
+                local = int(d) - int(self.bases[seg_idx])
+                hits.append(Hit(seg_idx, local, int(d), float(s)))
+            td = TopDocs(hits[:top_hits], res.total_hits)
+            if res.pruned:
+                # block-max pruning skipped provably non-competitive blocks:
+                # top-k is exact but the hit count is a lower bound (Lucene
+                # reports the same relation under WAND)
+                td.relation = "GREATER_THAN_OR_EQUAL_TO"
+            out.append(td)
+        return out
 
     def knn_search(
         self,

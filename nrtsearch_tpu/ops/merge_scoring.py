@@ -57,21 +57,42 @@ def plan_runs(
     Returns (run_offs [B, R], run_lens [B, R], run_weights [B, R], run_len).
     """
     B, T = lens.shape
-    max_df = max(int(lens.max()), 1)
+    rows = []
+    for b in range(B):
+        row = []
+        for t in range(T):
+            ln = int(lens[b, t])
+            if ln > 0 and weights[b, t] != 0.0:
+                row.append((int(offs[b, t]), ln, float(weights[b, t])))
+        rows.append(row)
+    return plan_run_lists(
+        rows, min_run=min_run, force_run_len=force_run_len, max_run=max_run
+    )
+
+
+def plan_run_lists(
+    rows: list[list[tuple[int, int, float]]],  # per-query [(off, len, weight)]
+    *,
+    min_run: int = 1024,
+    force_run_len: int = 0,
+    max_run: int = 0,
+    min_runs_pow2: int = 2,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Plan arbitrary per-query run lists (e.g. block-max-pruned sub-runs)
+    into the kernel's padded [B, R] tables with one shared power-of-two
+    run_len. See plan_runs for the width-minimization rationale."""
+    B = len(rows)
+    max_df = max((ln for row in rows for _, ln, _ in row), default=1)
 
     # pick the run_len minimizing merged width N = R * run_len, where both R
     # and run_len round up to powers of two (double rounding makes naive
     # target-based choices backfire; include the no-split option)
     def width(rl: int) -> int:
         max_runs = 1
-        for b in range(B):
-            runs = 0
-            for t in range(T):
-                ln = int(lens[b, t])
-                if ln > 0 and weights[b, t] != 0.0:
-                    runs += -(-ln // rl)
+        for row in rows:
+            runs = sum(-(-ln // rl) for _, ln, _ in row)
             max_runs = max(max_runs, runs)
-        return _pow2(max_runs, 2) * rl
+        return _pow2(max_runs, min_runs_pow2) * rl
 
     if max_run:
         min_run = min(min_run, max_run)
@@ -92,25 +113,20 @@ def plan_runs(
         # pre-sorted runs means fewer merge levels (levels = log2(R))
         run_len = min(candidates, key=lambda rl_: (width(rl_), -rl_))
 
-    rows = []
+    chunked = []
     max_runs = 1
-    for b in range(B):
+    for row in rows:
         runs = []
-        for t in range(T):
-            ln = int(lens[b, t])
-            if ln <= 0 or weights[b, t] == 0.0:
-                continue
-            off = int(offs[b, t])
-            w = float(weights[b, t])
+        for off, ln, w in row:
             for start in range(0, ln, run_len):
                 runs.append((off + start, min(run_len, ln - start), w))
-        rows.append(runs)
+        chunked.append(runs)
         max_runs = max(max_runs, len(runs))
-    R = _pow2(max_runs, 2)
+    R = _pow2(max_runs, min_runs_pow2)
     out_offs = np.zeros((B, R), np.int32)
     out_lens = np.zeros((B, R), np.int32)
     out_w = np.zeros((B, R), np.float32)
-    for b, runs in enumerate(rows):
+    for b, runs in enumerate(chunked):
         for i, (o, ln, w) in enumerate(runs):
             out_offs[b, i] = o
             out_lens[b, i] = ln
@@ -224,24 +240,56 @@ def merge_sorted_runs(docs, *payloads, use_pallas: bool = False):
     return (docs, *payloads)
 
 
-def segmented_scores(docs_sorted, contribs):
+def segmented_scores(docs_sorted, contribs, max_seg: int = 0):
     """Per-doc segment sums over a doc-sorted stream.
 
     Returns (seg_scores, seg_counts, is_tail, valid): seg_scores[i] holds the
     full per-doc sum at each segment's *tail* position (garbage elsewhere),
     seg_counts the number of entries in the segment (matched term count).
+
+    ``max_seg`` is the maximum entries one doc can have — the number of runs
+    (each run holds a doc at most once). When given, sums use a
+    bounded-distance segmented scan: log2(max_seg) shifted adds whose partial
+    sums never exceed one doc's score. The unbounded formulation (a global
+    f32 cumsum + boundary differences) loses ~ulp(prefix) per doc — at
+    10M-entry streams that's absolute error ~1e-2 on scores of ~10, killing
+    Lucene top-k parity; the scan keeps error at ~ulp(score).
     """
     n = docs_sorted.shape[-1]
     valid = (docs_sorted != DOC_SENTINEL) & (docs_sorted != DOC_SENTINEL_LOW)
-    prev = jnp.concatenate(
-        [jnp.full_like(docs_sorted[..., :1], -1), docs_sorted[..., :-1]], axis=-1
-    )
-    head = docs_sorted != prev
     nxt = jnp.concatenate(
         [docs_sorted[..., 1:], jnp.full_like(docs_sorted[..., :1], -2)], axis=-1
     )
     tail = docs_sorted != nxt
 
+    if max_seg and max_seg < n:
+        # segmented inclusive scan: equal doc ids are contiguous, so
+        # docs[i] == docs[i-d] implies no segment boundary in between
+        seg_scores = contribs
+        seg_counts = valid.astype(jnp.int32)
+        d = 1
+        while d < max_seg:
+            same = docs_sorted == jnp.concatenate(
+                [jnp.full_like(docs_sorted[..., :d], -1), docs_sorted[..., :-d]],
+                axis=-1,
+            )
+            shifted_s = jnp.concatenate(
+                [jnp.zeros_like(seg_scores[..., :d]), seg_scores[..., :-d]],
+                axis=-1,
+            )
+            shifted_c = jnp.concatenate(
+                [jnp.zeros_like(seg_counts[..., :d]), seg_counts[..., :-d]],
+                axis=-1,
+            )
+            seg_scores = seg_scores + jnp.where(same, shifted_s, 0.0)
+            seg_counts = seg_counts + jnp.where(same, shifted_c, 0)
+            d <<= 1
+        return seg_scores, seg_counts, tail, valid
+
+    prev = jnp.concatenate(
+        [jnp.full_like(docs_sorted[..., :1], -1), docs_sorted[..., :-1]], axis=-1
+    )
+    head = docs_sorted != prev
     cs = jnp.cumsum(contribs, axis=-1)
     cnt = jnp.cumsum(valid.astype(jnp.int32), axis=-1)
     # cumsum value just before each segment's head, propagated forward
@@ -287,7 +335,10 @@ def merge_score_topk(
             run_len,
         )
         docs, contribs = merge_sorted_runs(docs, contribs, use_pallas=True)
-        return _finish(docs, contribs, n_terms, k, require_all_terms)
+        return _finish(
+            docs, contribs, n_terms, k, require_all_terms,
+            max_seg=term_offsets.shape[1],
+        )
 
     def gather_runs(offs, lens, weights):
         def one_term(off, ln, w):
@@ -312,11 +363,15 @@ def merge_score_topk(
     docs, contribs = jax.vmap(gather_runs)(term_offsets, term_lengths, term_weights)
     # [B, R, run_len] -> merged [B, R*run_len]
     docs, contribs = merge_sorted_runs(docs, contribs, use_pallas=use_pallas)
-    return _finish(docs, contribs, n_terms, k, require_all_terms)
+    return _finish(
+        docs, contribs, n_terms, k, require_all_terms,
+        max_seg=term_offsets.shape[1],
+    )
 
 
-def _finish(docs, contribs, n_terms, k: int, require_all_terms: bool):
-    seg_scores, seg_counts, tail, valid = segmented_scores(docs, contribs)
+def _finish(docs, contribs, n_terms, k: int, require_all_terms: bool,
+            max_seg: int = 0):
+    seg_scores, seg_counts, tail, valid = segmented_scores(docs, contribs, max_seg)
     ok = tail & valid & (seg_scores > 0.0)
     if require_all_terms:
         ok = ok & (seg_counts >= n_terms[:, None])

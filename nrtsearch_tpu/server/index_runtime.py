@@ -221,6 +221,27 @@ class IndexRuntime:
         self._searchers_by_version[self._version] = self.searcher
         self._searcher_publish_time[self._version] = time.time()
         self._prune_searchers()
+        self._warm_packed_views(self.searcher)
+
+    def _warm_packed_views(self, searcher: Searcher) -> None:
+        """Eagerly pack per-field device views off the refresh path so the
+        first query after an NRT point doesn't pay the pack + compile
+        (round-1 weakness: lazy per-(segment, field) precompute spiked
+        first-query latency after every refresh)."""
+        fields = [
+            name for name, fd in self.field_defs.items()
+            if getattr(fd, "search", False) and getattr(fd, "is_text", False)
+        ]
+        if not fields or not searcher.segments:
+            return
+
+        def warm():
+            try:
+                searcher.warm(fields)
+            except Exception:
+                pass
+
+        threading.Thread(target=warm, daemon=True).start()
 
     def _prune_searchers(self) -> None:
         """Age-based pruning of pinned searcher versions (reference:
