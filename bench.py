@@ -1,15 +1,16 @@
-"""Benchmark: batched BM25 retrieval QPS/chip + p99 latency.
+"""Benchmark: batched BM25 retrieval QPS/chip + latency vs an honest CPU baseline.
 
-Measures the flagship fused retrieval step (postings gather -> BM25 -> mask ->
-top-k, models/flagship.py) on the default accelerator against a synthetic
-Zipf corpus, and compares against the same engine running on the CPU host —
-the stand-in for the reference's CPU replica (BASELINE.md target: ≥5× QPS/chip
-vs a CPU replica at p99 < 20 ms; MS MARCO-scale parity runs land in later
-rounds with real datasets).
+Measures the flagship fused retrieval step (postings gather -> BM25 -> merge ->
+top-k, models/flagship.py) with block-max pruning (core/packed_view.py) on the
+default accelerator against a synthetic Zipf corpus, and compares against a
+TUNED CPU BM25: scipy CSR term-at-a-time (C-speed sparse row gathers + axpy,
+the vectorized equivalent of Lucene's scoring loop without skipping), measured
+single-core and scaled by CPU_REPLICA_CORES (assuming perfect scaling — a
+deliberately generous stand-in for "a CPU replica", BASELINE.md config #2).
 
 Prints ONE JSON line:
   {"metric": "bm25_qps_per_chip", "value": <qps>, "unit": "qps",
-   "vs_baseline": <tpu_qps / cpu_qps>, ...extras}
+   "vs_baseline": <tpu_qps / cpu_replica_qps>, ...extras}
 """
 
 from __future__ import annotations
@@ -26,7 +27,9 @@ BATCH = int(os.environ.get("BENCH_BATCH", 32))
 TERMS_PER_QUERY = int(os.environ.get("BENCH_TERMS", 4))
 TOP_K = int(os.environ.get("BENCH_TOPK", 100))
 ITERS = int(os.environ.get("BENCH_ITERS", 20))
-CPU_ITERS = int(os.environ.get("BENCH_CPU_ITERS", 1))
+CPU_QUERIES = int(os.environ.get("BENCH_CPU_QUERIES", 32))
+CPU_REPLICA_CORES = int(os.environ.get("BENCH_CPU_REPLICA_CORES", 32))
+SINGLE_ITERS = int(os.environ.get("BENCH_SINGLE_ITERS", 30))
 
 
 def _timeit(run, iters):
@@ -42,9 +45,55 @@ def _timeit(run, iters):
     return total, p50, p99
 
 
+def cpu_bm25_topk(corpus, queries, k):
+    """Tuned CPU BM25: CSR impact matrix, term-at-a-time weighted row sums
+    (scipy C loops), argpartition top-k. Returns a closure running one query
+    round-robin (the honest 'CPU replica core' baseline)."""
+    import numpy as np
+    from scipy.sparse import csr_matrix
+
+    from nrtsearch_tpu.ops.bm25 import lucene_idf
+
+    k1, b = 1.2, 0.75
+    avgdl = float(corpus.doc_lens.sum() / max(corpus.num_docs, 1))
+    dl = corpus.doc_lens[corpus.post_docs]
+    data = (
+        corpus.post_freqs
+        / (corpus.post_freqs + k1 * (1.0 - b + b * dl / avgdl))
+    ).astype(np.float32)
+    indptr = np.zeros(corpus.vocab_size + 1, np.int64)
+    indptr[1:] = corpus.term_offsets + corpus.term_lengths
+    np.maximum.accumulate(indptr, out=indptr)  # zero-df terms inherit prior
+    M = csr_matrix(
+        (data, corpus.post_docs, indptr),
+        shape=(corpus.vocab_size, corpus.num_docs),
+    )
+    compiled = []
+    for qterms in queries:
+        tids = np.array([int(t) for t in qterms], np.int64)
+        ws = np.array(
+            [
+                lucene_idf(corpus.num_docs, int(corpus.term_lengths[t]))
+                for t in tids
+            ],
+            np.float32,
+        )
+        compiled.append((tids, ws))
+    state = {"i": 0}
+
+    def run():
+        tids, ws = compiled[state["i"] % len(compiled)]
+        state["i"] += 1
+        scores = M[tids].T.dot(ws)  # dense [D] f32, C-speed
+        top = np.argpartition(scores, -k)[-k:]
+        top = top[np.argsort(-scores[top], kind="stable")]
+        return top
+
+    return run
+
+
 def main() -> None:
-    global T0
-    T0 = time.perf_counter()
+    t_0 = time.perf_counter()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -52,87 +101,99 @@ def main() -> None:
     from nrtsearch_tpu.models.flagship import SyntheticCorpus, bm25_search_step
 
     def log(msg):
-        print(f"[bench +{time.perf_counter()-T0:.0f}s] {msg}", file=sys.stderr)
+        print(f"[bench +{time.perf_counter()-t_0:.0f}s] {msg}", file=sys.stderr)
 
     log("building corpus")
     corpus = SyntheticCorpus(NUM_DOCS, VOCAB, AVG_LEN, seed=42)
     log("corpus built; packing to device")
     model = corpus.to_model()
+    accel = jax.devices()[0]
+    on_tpu = accel.platform == "tpu"
 
-    # pre-compile a fixed set of query batches (steady-state serving shape),
-    # planned jointly so every batch shares one (run_len, R) compiled program
-    log("compiling query batches")
-    batches = model.compile_query_batches(
-        [corpus.sample_queries(BATCH, TERMS_PER_QUERY) for _ in range(8)],
-        TERMS_PER_QUERY,
+    # fixed query sets (steady-state serving shape): batch sets + singles,
+    # compiled through the block-max pruner with one shared program shape
+    query_sets = [corpus.sample_queries(BATCH, TERMS_PER_QUERY) for _ in range(8)]
+    singles = [corpus.sample_queries(1, TERMS_PER_QUERY) for _ in range(8)]
+    log("pruning + compiling query batches")
+    batches, prune_stats = model.compile_pruned_batches(query_sets, TOP_K)
+    single_batches, _ = model.compile_pruned_batches(singles, TOP_K)
+    log(
+        f"block-max pruning kept {prune_stats['kept_frac']:.3f} of "
+        f"{prune_stats['postings_before']} postings"
     )
-    run_len = batches[0].run_len
 
-    def make_runner(device):
-        post_docs = jax.device_put(model.doc_ids, device)
-        impacts = jax.device_put(model.impacts, device)
-        batch_dev = [
+    def make_runner(batch_list):
+        run_len = batch_list[0].run_len
+        dev = [
             (
-                jax.device_put(jnp.asarray(b.term_offsets), device),
-                jax.device_put(jnp.asarray(b.term_lengths), device),
-                jax.device_put(jnp.asarray(b.term_weights), device),
-                jax.device_put(jnp.asarray(b.n_terms), device),
+                jnp.asarray(b.term_offsets), jnp.asarray(b.term_lengths),
+                jnp.asarray(b.term_weights), jnp.asarray(b.n_terms),
             )
-            for b in batches
+            for b in batch_list
         ]
         state = {"i": 0}
 
         def run():
-            offs, lens, weights, n_terms = batch_dev[state["i"] % len(batch_dev)]
+            offs, lens, weights, n_terms = dev[state["i"] % len(dev)]
             state["i"] += 1
             out = bm25_search_step(
-                post_docs, impacts, offs, lens, weights, n_terms,
-                run_len=run_len, k=TOP_K, use_pallas=device.platform == "tpu",
+                model.doc_ids, model.impacts, offs, lens, weights, n_terms,
+                run_len=run_len, k=TOP_K, use_pallas=on_tpu,
             )
-            # force real completion: block_until_ready is unreliable through
-            # the axon tunnel, so read back one element
+            # force completion: block_until_ready is unreliable through the
+            # axon tunnel, so read back one element
             _ = np.asarray(out[0][0, 0])
 
         return run
 
-    accel = jax.devices()[0]
-    run_accel = make_runner(accel)
-    log("compiling accel program")
-    run_accel()  # compile
-    run_accel()
-    log("timing accel")
-    total, p50, p99 = _timeit(run_accel, ITERS)
+    run_batch = make_runner(batches)
+    log("compiling batch program")
+    run_batch()
+    run_batch()
+    log("timing batch path")
+    total, p50, p99 = _timeit(run_batch, ITERS)
     qps = BATCH * ITERS / total
-    log(f"accel done: {qps:.1f} qps")
+    log(f"batch-{BATCH}: {qps:.1f} qps (p50 {p50*1e3:.1f} ms/batch)")
 
-    cpu_qps = None
-    try:
-        cpu = jax.devices("cpu")[0]
-        if cpu != accel:
-            run_cpu = make_runner(cpu)
-            log("compiling cpu baseline")
-            run_cpu()  # compile
-            log("timing cpu baseline")
-            cpu_total, _, _ = _timeit(run_cpu, CPU_ITERS)
-            cpu_qps = BATCH * CPU_ITERS / cpu_total
-            log(f"cpu done: {cpu_qps:.2f} qps")
-    except Exception as e:  # no cpu backend available
-        print(f"cpu baseline unavailable: {e}", file=sys.stderr)
+    run_single = make_runner(single_batches)
+    log("compiling single-query program")
+    run_single()
+    run_single()
+    log("timing single-query latency")
+    _, sp50, sp99 = _timeit(run_single, SINGLE_ITERS)
+    log(f"batch-1: p50 {sp50*1e3:.1f} ms, p99 {sp99*1e3:.1f} ms")
 
-    vs_baseline = (qps / cpu_qps) if cpu_qps else 0.0
+    log("building cpu baseline (scipy CSR term-at-a-time)")
+    cpu_queries = [q for qs in query_sets for q in qs][:CPU_QUERIES]
+    cpu_run = cpu_bm25_topk(corpus, cpu_queries, TOP_K)
+    cpu_run()  # warm caches
+    log("timing cpu baseline")
+    cpu_total, cpu_p50, _ = _timeit(cpu_run, CPU_QUERIES)
+    cpu_qps_core = CPU_QUERIES / cpu_total
+    cpu_replica_qps = cpu_qps_core * CPU_REPLICA_CORES
+    log(
+        f"cpu: {cpu_qps_core:.1f} qps/core (p50 {cpu_p50*1e3:.1f} ms) -> "
+        f"{cpu_replica_qps:.1f} qps assuming {CPU_REPLICA_CORES}-core replica"
+    )
+
     print(
         json.dumps(
             {
                 "metric": "bm25_qps_per_chip",
                 "value": round(qps, 2),
                 "unit": "qps",
-                "vs_baseline": round(vs_baseline, 3),
+                "vs_baseline": round(qps / cpu_replica_qps, 3),
                 "p50_ms": round(p50 * 1e3, 3),
                 "p99_ms": round(p99 * 1e3, 3),
+                "p50_single_query_ms": round(sp50 * 1e3, 3),
+                "p99_single_query_ms": round(sp99 * 1e3, 3),
                 "batch": BATCH,
                 "top_k": TOP_K,
                 "num_docs": NUM_DOCS,
-                "cpu_qps": round(cpu_qps, 2) if cpu_qps else None,
+                "prune_kept_frac": round(prune_stats["kept_frac"], 4),
+                "cpu_qps_per_core": round(cpu_qps_core, 2),
+                "cpu_replica_cores_assumed": CPU_REPLICA_CORES,
+                "cpu_replica_qps": round(cpu_replica_qps, 2),
                 "device": str(accel),
             }
         )

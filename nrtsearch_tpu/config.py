@@ -82,6 +82,12 @@ class NrtsearchConfig:
     max_in_flight: int = 2000
     max_concurrent_copies: int = 0   # 0 = unbounded
     max_copy_mb_per_sec: float = 0.0  # 0 = unlimited
+    # serving micro-batching: coalesce concurrent eligible text queries into
+    # one fused device dispatch (TPU-first addition; no reference analogue --
+    # Lucene parallelizes WITHIN one query, the TPU wins by batching ACROSS)
+    micro_batch_enabled: bool = True
+    micro_batch_window_ms: float = 1.0
+    micro_batch_max: int = 64
     raw: dict = field(default_factory=dict)
 
     @classmethod
@@ -129,6 +135,13 @@ class NrtsearchConfig:
             max_copy_mb_per_sec=float(
                 raw.get("FileCopyConfig", {}).get("maxCopyMBPerSec", 0.0)
             ),
+            micro_batch_enabled=bool(
+                raw.get("microBatch", {}).get("enabled", True)
+            ),
+            micro_batch_window_ms=float(
+                raw.get("microBatch", {}).get("windowMs", 1.0)
+            ),
+            micro_batch_max=int(raw.get("microBatch", {}).get("maxSize", 64)),
             raw=raw,
         )
 

@@ -63,136 +63,57 @@ class FastResult:
     pruned: bool         # block-max pruning fired: total_hits is a lower bound
 
 
-class PackedFieldView:
-    """All live segments' postings for one field, packed for fused search."""
+class BlockMaxPruner:
+    """Block-max metadata + the window-pruning pass over one flat postings
+    space (global-ord doc ids). Shared by the serving packed view and the
+    bench/flagship model (models/flagship.py)."""
 
-    def __init__(self, searcher, field: str):
-        import jax
-        import jax.numpy as jnp
-
-        from nrtsearch_tpu.ops.bm25 import precompute_impacts
-        from nrtsearch_tpu.ops.pallas_merge import GATHER_TILE
-
-        self.field = field
-        fd = searcher.field_defs[field]
-        self.k1 = float(fd.sim_k1)
-        self.b = float(fd.sim_b)
-        self.avgdl = float(searcher.stats.avgdl(field))
-        self.doc_count = int(searcher.stats.doc_count(field))
-        self.stats = searcher.stats
-        self.max_doc = int(searcher.max_doc)
-
-        parts_ids, parts_imp = [], []
-        host_ids_parts, host_imp_parts = [], []
-        # (segment_idx, tfi, pack_offset) for term lookups
-        self.seg_entries: list[tuple[int, object, int]] = []
-        cursor = 0
-        for idx, seg in enumerate(searcher.segments):
-            tfi = seg.fields.get(field)
-            if tfi is None or tfi.postings_len == 0:
-                continue
-            base = int(searcher.bases[idx])
-            pl = tfi.postings_len
-            imp = precompute_impacts(
-                tfi.doc_ids, tfi.freqs, tfi.doc_lens, seg.live,
-                jnp.float32(self.k1), jnp.float32(self.b),
-                jnp.float32(self.avgdl),
-            )
-            parts_ids.append(tfi.doc_ids[:pl] + np.int32(base))
-            parts_imp.append(imp[:pl])
-            # host mirrors for block metadata + theta (live-folded like the
-            # device impacts, so pruning bounds match kernel scores exactly)
-            hd = tfi.host_doc_ids
-            hf = tfi.host_freqs
-            dl = np.asarray(tfi.doc_lens)
-            him = hf / (hf + self.k1 * (1.0 - self.b + self.b * dl[hd] / self.avgdl))
-            him = np.where(seg.host_live[hd], him, 0.0).astype(np.float32)
-            host_ids_parts.append(hd.astype(np.int64) + base)
-            host_imp_parts.append(him)
-            self.seg_entries.append((idx, tfi, cursor))
-            cursor += pl
-        self.total_len = cursor
-        if cursor == 0:
-            self.doc_ids = None
-            self.impacts = None
-            self.host_impacts = np.empty(0, np.float32)
+    def __init__(self, host_ids: np.ndarray, host_impacts: np.ndarray,
+                 max_doc: int):
+        self.host_impacts = host_impacts
+        total = len(host_ids)
+        if total:
+            bounds = np.arange(0, total, BLOCK)
+            self.blk_min = np.minimum.reduceat(host_ids, bounds)
+            self.blk_max = np.maximum.reduceat(host_ids, bounds)
+            self.blk_imp = np.maximum.reduceat(host_impacts, bounds)
+        else:
             self.blk_min = np.empty(0, np.int64)
             self.blk_max = np.empty(0, np.int64)
             self.blk_imp = np.empty(0, np.float32)
-        else:
-            p_pad = _pow2(cursor + 2 * GATHER_TILE)
-            pad = p_pad - cursor
-            parts_ids.append(jnp.zeros(pad, jnp.int32))
-            parts_imp.append(jnp.zeros(pad, jnp.float32))
-            self.doc_ids = jnp.concatenate(parts_ids)
-            self.impacts = jnp.concatenate(parts_imp)
-            self.host_impacts = np.concatenate(host_imp_parts)
-            host_ids = np.concatenate(host_ids_parts)
-            bounds = np.arange(0, cursor, BLOCK)
-            self.blk_min = np.minimum.reduceat(host_ids, bounds)
-            self.blk_max = np.maximum.reduceat(host_ids, bounds)
-            self.blk_imp = np.maximum.reduceat(self.host_impacts, bounds)
-        # doc-ord window width for pruning (power of two)
-        self.window_width = _pow2(max(-(-max(self.max_doc, 1) // PRUNE_WINDOWS), 64))
-        self.n_windows = -(-max(self.max_doc, 1) // self.window_width)
-        self._theta_cache: dict[tuple[str, int], float] = {}
-        try:
-            self.use_pallas = jax.devices()[0].platform == "tpu"
-        except Exception:
-            self.use_pallas = False
+        self.window_width = _pow2(max(-(-max(max_doc, 1) // PRUNE_WINDOWS), 64))
+        self.n_windows = -(-max(max_doc, 1) // self.window_width)
+        self._theta_cache: dict[tuple, float] = {}
 
-    # -- term plumbing ---------------------------------------------------------
-
-    def term_entries(
-        self, terms: Sequence[str], boost: float = 1.0
-    ) -> list[tuple[str, float, list[tuple[int, int]]]]:
-        """Per term: (term, idf*boost weight, [(packed_off, len), ...])."""
-        out = []
-        for term in terms:
-            df = self.stats.doc_freq(self.field, term)
-            w = lucene_idf(self.doc_count, df) * boost if df else 0.0
-            runs = []
-            if w:
-                for _, tfi, pack_off in self.seg_entries:
-                    off, ln = tfi.lookup(term)
-                    if ln:
-                        runs.append((pack_off + off, ln))
-            out.append((term, w, runs))
-        return out
-
-    def kth_impact(self, term: str, k: int) -> float:
-        """The k-th largest live impact of a term (0.0 if df < k). Bucketed
-        cache key so repeated ks share entries."""
+    def kth_run_impact(self, key, runs: list[tuple[int, int]], k: int) -> float:
+        """The k-th largest live impact within a term's runs (0.0 if the term
+        has fewer than k postings). ``key`` identifies the term for caching;
+        k is bucketed to the next power of two."""
         kb = _pow2(max(k, 1))
-        key = (term, kb)
-        hit = self._theta_cache.get(key)
+        ck = (key, kb)
+        hit = self._theta_cache.get(ck)
         if hit is not None:
             return hit
-        pieces = []
-        for _, tfi, pack_off in self.seg_entries:
-            off, ln = tfi.lookup(term)
-            if ln:
-                pieces.append(self.host_impacts[pack_off + off : pack_off + off + ln])
+        pieces = [self.host_impacts[off : off + ln] for off, ln in runs if ln]
         if not pieces:
-            self._theta_cache[key] = 0.0
+            self._theta_cache[ck] = 0.0
             return 0.0
         imps = np.concatenate(pieces) if len(pieces) > 1 else pieces[0]
         if len(imps) < kb:
             val = 0.0
         else:
             val = float(np.partition(imps, len(imps) - kb)[len(imps) - kb])
-        self._theta_cache[key] = val
+        self._theta_cache[ck] = val
         return val
 
-    # -- block-max pruning -------------------------------------------------------
-
-    def prune_entries(
+    def prune(
         self,
-        entries: list[tuple[str, float, list[tuple[int, int]]]],
+        entries: list[tuple[object, float, list[tuple[int, int]]]],
         k: int,
     ) -> tuple[list[tuple[int, int, float]], bool]:
         """Drop postings blocks in doc-ord windows that provably cannot reach
-        the top-k lower bound. Returns (flat run list, pruned?)."""
+        the top-k lower bound. ``entries``: per term (key, weight, runs).
+        Returns (flat run list, pruned?)."""
         flat_all = [
             (off, ln, w) for _, w, runs in entries for off, ln in runs
         ]
@@ -200,7 +121,8 @@ class PackedFieldView:
         if total < PRUNE_MIN_POSTINGS:
             return flat_all, False
         theta = max(
-            (w * self.kth_impact(term, k) for term, w, _ in entries if w),
+            (w * self.kth_run_impact(key, runs, k)
+             for key, w, runs in entries if w),
             default=0.0,
         )
         if theta <= 0.0:
@@ -209,7 +131,7 @@ class PackedFieldView:
         W = self.n_windows
         width = self.window_width
         ub = np.zeros(W + 1, np.float64)  # +1 slack for max-ord edge
-        term_blocks = []  # (w, blocks, wlo, whi, [(off, ln)])
+        term_blocks = []
         for _, w, runs in entries:
             if not w or not runs:
                 continue
@@ -262,6 +184,111 @@ class PackedFieldView:
                     if e2 > o2:
                         out.append((o2, e2 - o2, w))
         return out, True
+
+
+class PackedFieldView:
+    """All live segments' postings for one field, packed for fused search."""
+
+    def __init__(self, searcher, field: str):
+        import jax
+        import jax.numpy as jnp
+
+        from nrtsearch_tpu.ops.bm25 import precompute_impacts
+        from nrtsearch_tpu.ops.pallas_merge import GATHER_TILE
+
+        self.field = field
+        fd = searcher.field_defs[field]
+        self.k1 = float(fd.sim_k1)
+        self.b = float(fd.sim_b)
+        self.avgdl = float(searcher.stats.avgdl(field))
+        self.doc_count = int(searcher.stats.doc_count(field))
+        self.stats = searcher.stats
+        self.max_doc = int(searcher.max_doc)
+
+        parts_ids, parts_imp = [], []
+        host_ids_parts, host_imp_parts = [], []
+        # (segment_idx, tfi, pack_offset) for term lookups
+        self.seg_entries: list[tuple[int, object, int]] = []
+        cursor = 0
+        for idx, seg in enumerate(searcher.segments):
+            tfi = seg.fields.get(field)
+            if tfi is None or tfi.postings_len == 0:
+                continue
+            base = int(searcher.bases[idx])
+            pl = tfi.postings_len
+            imp = precompute_impacts(
+                tfi.doc_ids, tfi.freqs, tfi.doc_lens, seg.live,
+                jnp.float32(self.k1), jnp.float32(self.b),
+                jnp.float32(self.avgdl),
+            )
+            parts_ids.append(tfi.doc_ids[:pl] + np.int32(base))
+            parts_imp.append(imp[:pl])
+            # host mirrors for block metadata + theta (live-folded like the
+            # device impacts, so pruning bounds match kernel scores exactly)
+            hd = tfi.host_doc_ids
+            hf = tfi.host_freqs
+            dl = np.asarray(tfi.doc_lens)
+            him = hf / (hf + self.k1 * (1.0 - self.b + self.b * dl[hd] / self.avgdl))
+            him = np.where(seg.host_live[hd], him, 0.0).astype(np.float32)
+            host_ids_parts.append(hd.astype(np.int64) + base)
+            host_imp_parts.append(him)
+            self.seg_entries.append((idx, tfi, cursor))
+            cursor += pl
+        self.total_len = cursor
+        if cursor == 0:
+            self.doc_ids = None
+            self.impacts = None
+            self.pruner = BlockMaxPruner(
+                np.empty(0, np.int64), np.empty(0, np.float32), self.max_doc
+            )
+        else:
+            p_pad = _pow2(cursor + 2 * GATHER_TILE)
+            pad = p_pad - cursor
+            parts_ids.append(jnp.zeros(pad, jnp.int32))
+            parts_imp.append(jnp.zeros(pad, jnp.float32))
+            self.doc_ids = jnp.concatenate(parts_ids)
+            self.impacts = jnp.concatenate(parts_imp)
+            self.pruner = BlockMaxPruner(
+                np.concatenate(host_ids_parts),
+                np.concatenate(host_imp_parts),
+                self.max_doc,
+            )
+        try:
+            self.use_pallas = jax.devices()[0].platform == "tpu"
+        except Exception:
+            self.use_pallas = False
+
+    # -- term plumbing ---------------------------------------------------------
+
+    def term_entries(
+        self, terms: Sequence[str], boost: float = 1.0
+    ) -> list[tuple[str, float, list[tuple[int, int]]]]:
+        """Per term: (term, idf*boost weight, [(packed_off, len), ...])."""
+        out = []
+        for term in terms:
+            df = self.stats.doc_freq(self.field, term)
+            w = lucene_idf(self.doc_count, df) * boost if df else 0.0
+            runs = []
+            if w:
+                for _, tfi, pack_off in self.seg_entries:
+                    off, ln = tfi.lookup(term)
+                    if ln:
+                        runs.append((pack_off + off, ln))
+            out.append((term, w, runs))
+        return out
+
+    def kth_impact(self, term: str, k: int) -> float:
+        """The k-th largest live impact of a term (0.0 if df < k)."""
+        runs = []
+        for _, tfi, pack_off in self.seg_entries:
+            off, ln = tfi.lookup(term)
+            if ln:
+                runs.append((pack_off + off, ln))
+        return self.pruner.kth_run_impact(term, runs, k)
+
+    def prune_entries(self, entries, k: int):
+        """Block-max window pruning over per-term (term, weight, runs)."""
+        return self.pruner.prune(entries, k)
 
     # -- fused batched search -----------------------------------------------------
 

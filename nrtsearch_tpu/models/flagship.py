@@ -153,6 +153,65 @@ class BatchedBM25:
             use_pallas=_on_tpu(),
         )
 
+    def attach_pruner(self, host_doc_ids: np.ndarray, host_impacts: np.ndarray):
+        """Enable block-max pruning (core/packed_view.py BlockMaxPruner)."""
+        from nrtsearch_tpu.core.packed_view import BlockMaxPruner
+
+        self.pruner = BlockMaxPruner(
+            host_doc_ids.astype(np.int64), host_impacts, self.num_docs_real
+        )
+
+    def compile_pruned_batches(
+        self,
+        batches: Sequence[Sequence[Sequence[str]]],
+        k: int,
+        max_terms: int = 8,
+    ) -> tuple[list[QueryBatch], dict]:
+        """Compile batches through the block-max pruner with ONE shared
+        (run_len, R) across all batches (so steady-state serving reuses one
+        compiled program). Returns (batches, stats) where stats reports the
+        postings-entry reduction."""
+        from nrtsearch_tpu.ops.merge_scoring import plan_run_lists
+
+        rows = []
+        sizes = []
+        before = after = 0
+        for batch in batches:
+            sizes.append(len(batch))
+            for qterms in batch:
+                entries = []
+                for term in list(qterms)[:max_terms]:
+                    tid = self.terms.get(term)
+                    if tid is None:
+                        continue
+                    off = int(self.offsets[tid])
+                    ln = int(self.lengths[tid])
+                    w = lucene_idf(self.num_docs_real, ln)
+                    entries.append((term, w, [(off, ln)]))
+                before += sum(ln for _, _, rs in entries for _, ln in rs)
+                flat, _ = self.pruner.prune(entries, k)
+                after += sum(ln for _, ln, _ in flat)
+                rows.append(flat)
+        offs, lens, weights, run_len = plan_run_lists(
+            rows, max_run=int(self.doc_ids.shape[0])
+        )
+        out = []
+        i = 0
+        for n in sizes:
+            out.append(
+                QueryBatch(
+                    offs[i : i + n], lens[i : i + n], weights[i : i + n],
+                    np.ones(n, np.int32), run_len,
+                )
+            )
+            i += n
+        stats = {
+            "postings_before": before,
+            "postings_after": after,
+            "kept_frac": (after / before) if before else 1.0,
+        }
+        return out, stats
+
 
 def _on_tpu() -> bool:
     try:
@@ -233,7 +292,7 @@ class SyntheticCorpus:
         live = np.zeros(d_pad, bool)
         live[: self.num_docs] = True
         terms = {str(t): t for t in range(self.vocab_size)}
-        return BatchedBM25(
+        model = BatchedBM25(
             terms=terms,
             offsets=self.term_offsets,
             lengths=self.term_lengths,
@@ -243,6 +302,12 @@ class SyntheticCorpus:
             live=jax.device_put(live),
             num_docs_real=self.num_docs,
         )
+        dl = self.doc_lens[self.post_docs]
+        host_imp = self.post_freqs / (
+            self.post_freqs + model.k1 * (1.0 - model.b + model.b * dl / model.avgdl)
+        )
+        model.attach_pruner(self.post_docs, host_imp.astype(np.float32))
+        return model
 
     def sample_queries(self, batch: int, terms_per_query: int = 4) -> list[list[str]]:
         """Queries drawn from the same Zipf distribution (like real workloads)."""

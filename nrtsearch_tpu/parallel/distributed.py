@@ -147,6 +147,101 @@ class DistributedBM25:
             avgdl=avgdl,
         )
 
+    @classmethod
+    def from_searcher(cls, searcher, field: str, mesh: Mesh) -> "DistributedBM25":
+        """Place a REAL index's segments onto the (shard, data) mesh.
+
+        Takes the searcher's packed multi-segment view (core/packed_view.py)
+        and re-partitions its postings round-robin by global doc ord, exactly
+        like the reference bin-packs segments into virtual shards
+        (MyIndexSearcher.slicesForShards:117) — except shards here are mesh
+        rows scored in one SPMD program. Host impacts are reused verbatim from
+        the packed view, so distributed scores match the single-chip kernel.
+        """
+        view = searcher.packed_view(field)
+        if view.total_len == 0:
+            raise ValueError(f"field {field!r} has no postings to distribute")
+        # global term dictionary across segments
+        vocab: dict[str, int] = {}
+        entry_term_parts, entry_doc_parts = [], []
+        for idx, tfi, _pack_off in view.seg_entries:
+            base = int(searcher.bases[idx])
+            inv = [None] * len(tfi.terms)
+            for term, tid in tfi.terms.items():
+                inv[tid] = term
+            gids = np.empty(len(inv), np.int32)
+            for tid, term in enumerate(inv):
+                gid = vocab.get(term)
+                if gid is None:
+                    gid = len(vocab)
+                    vocab[term] = gid
+                gids[tid] = gid
+            # entries are laid out in tid order (builder packs contiguously)
+            entry_term_parts.append(np.repeat(gids, tfi.lengths[: len(inv)]))
+            entry_doc_parts.append(tfi.host_doc_ids.astype(np.int64) + base)
+        entry_term = np.concatenate(entry_term_parts)
+        entry_doc = np.concatenate(entry_doc_parts)
+        entry_impact = view.pruner.host_impacts
+        V = len(vocab)
+        df = np.zeros(V, np.int64)
+        np.add.at(df, entry_term, 1)
+
+        S = mesh.shape["shard"]
+        shard = (entry_doc % S).astype(np.int32)
+        local_doc = (entry_doc // S).astype(np.int32)
+        max_doc = int(searcher.max_doc)
+        d_pad = _pad_pow2(-(-max_doc // S))
+        p_local_max = int(np.bincount(shard, minlength=S).max())
+        p_pad = _pad_pow2(p_local_max + 16384)
+        post_docs = np.zeros((S, p_pad), np.int32)
+        post_impacts = np.zeros((S, p_pad), np.float32)
+        term_offsets = np.zeros((S, V), np.int64)
+        term_lengths = np.zeros((S, V), np.int32)
+        for s in range(S):
+            sel = shard == s
+            t_s, d_s, i_s = entry_term[sel], local_doc[sel], entry_impact[sel]
+            order = np.lexsort((d_s, t_s))
+            t_s, d_s, i_s = t_s[order], d_s[order], i_s[order]
+            post_docs[s, : len(d_s)] = d_s
+            post_impacts[s, : len(i_s)] = i_s
+            u, start, count = np.unique(t_s, return_index=True, return_counts=True)
+            term_offsets[s, u] = start
+            term_lengths[s, u] = count
+
+        shard_sharding = NamedSharding(mesh, P("shard", None))
+        dist = cls(
+            mesh=mesh,
+            post_docs=jax.device_put(post_docs, shard_sharding),
+            post_impacts=jax.device_put(post_impacts, shard_sharding),
+            term_offsets_host=term_offsets,
+            term_lengths_host=term_lengths,
+            doc_freq_global=df,
+            num_docs_total=view.doc_count,
+            shard_capacity=d_pad,
+            k1=view.k1,
+            b=view.b,
+            avgdl=view.avgdl,
+        )
+        dist.vocab = vocab
+        dist.shard_count = S
+        return dist
+
+    def global_ord(self, padded_ids: np.ndarray) -> np.ndarray:
+        """Map kernel ids (shard*capacity + local) back to original global
+        doc ords for from_searcher-built indexes (doc -> shard round-robin)."""
+        S = getattr(self, "shard_count", self.mesh.shape["shard"])
+        return (padded_ids % self.shard_capacity) * S + padded_ids // self.shard_capacity
+
+    def compile_text_queries(
+        self, queries: Sequence[Sequence[str]], max_terms: int = 8
+    ):
+        """String-term queries (from_searcher path): terms map through the
+        global vocab; unknown terms contribute nothing."""
+        tid_queries = [
+            [self.vocab[t] for t in q if t in self.vocab] for q in queries
+        ]
+        return self.compile_queries(tid_queries, max_terms)
+
     def compile_queries(self, queries: Sequence[Sequence[int]], max_terms: int = 8):
         """Queries (term-id lists) -> per-shard [S, B, R] run tables + run_len."""
         from nrtsearch_tpu.ops.merge_scoring import plan_runs

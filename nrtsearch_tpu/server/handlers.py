@@ -27,6 +27,16 @@ class Handlers:
         self.metrics_provider = metrics
         self.plugins = plugins
         self._warmers: dict[str, object] = {}
+        self.batcher = None
+        cfg = getattr(global_state, "config", None)
+        if cfg is not None and getattr(cfg, "micro_batch_enabled", False):
+            from nrtsearch_tpu.server.batcher import SearchBatcher
+
+            self.batcher = SearchBatcher(
+                max_batch=getattr(cfg, "micro_batch_max", 64),
+                window_ms=getattr(cfg, "micro_batch_window_ms", 1.0),
+                metrics=metrics,
+            )
 
     def _warmer(self, index_name: str):
         from nrtsearch_tpu.server.warming import Warmer
@@ -344,11 +354,23 @@ class Handlers:
             ls = rt.state_info.live_settings
             timeout_sec = req.timeoutSec or float(ls.get("defaultSearchTimeoutSec", 0))
             terminate_after = req.terminateAfter or int(ls.get("defaultTerminateAfter", 0))
-            result = searcher.search(
-                node, fetch_n, sort=sort, return_arrays=need_arrays,
-                timeout_sec=timeout_sec, terminate_after=terminate_after,
-            )
-            td, arrays = result if need_arrays else (result, None)
+            td = arrays = None
+            if (
+                self.batcher is not None
+                and sort is None and not need_arrays and not req.knn
+                and not timeout_sec and not terminate_after
+            ):
+                # micro-batching: concurrent eligible text queries coalesce
+                # into one fused device dispatch (server/batcher.py)
+                spec = searcher.fast_query_spec(node)
+                if spec is not None:
+                    td = self.batcher.search(searcher, spec, fetch_n)
+            if td is None:
+                result = searcher.search(
+                    node, fetch_n, sort=sort, return_arrays=need_arrays,
+                    timeout_sec=timeout_sec, terminate_after=terminate_after,
+                )
+                td, arrays = result if need_arrays else (result, None)
             if req.knn:
                 td = self._merge_knn(searcher, td, arrays, req.knn, fetch_n)
         recall_ms = (time.time() - t_start) * 1000

@@ -75,3 +75,52 @@ def test_dryrun_entrypoints():
     scores, ids, hits = fn(*args)
     assert scores.shape[1] == 10
     ge.dryrun_multichip(8)
+
+
+def test_from_searcher_real_index_parity(eight_device_mesh):
+    """A real multi-segment index placed on the mesh must return the same
+    top-k scores as the single-chip packed-view path (VERDICT r1 item #1)."""
+    import random
+
+    import numpy as np
+
+    from nrtsearch_tpu.core.searcher import Searcher
+    from nrtsearch_tpu.core.writer import IndexWriter
+    from nrtsearch_tpu.parallel.distributed import DistributedBM25
+    from nrtsearch_tpu.query.plan import parse_query
+    from nrtsearch_tpu.schema.fields import create_field_def
+
+    fields = {
+        "id": create_field_def("id", {"type": "_ID", "store": True}),
+        "t": create_field_def("t", {"type": "TEXT", "search": True}),
+    }
+    rng = random.Random(5)
+    words = [f"w{i}" for i in range(30)]
+    w = IndexWriter(fields, merge_factor=100)
+    n = 0
+    for _seg in range(3):
+        w.add_documents([
+            {"id": str(n + i), "t": " ".join(rng.choices(words, k=8))}
+            for i in range(100)
+        ])
+        n += 100
+        w.refresh()
+    searcher = Searcher(w.segments, fields, version=1)
+
+    dist = DistributedBM25.from_searcher(searcher, "t", eight_device_mesh)
+    queries = [[rng.choice(words) for _ in range(3)] for _ in range(8)]
+    offs, lens, weights, n_terms, run_len = dist.compile_text_queries(queries)
+    scores, ids, hits = dist.search(
+        offs, lens, weights, n_terms, run_len=run_len, k=6
+    )
+    scores, ids, hits = np.asarray(scores), np.asarray(ids), np.asarray(hits)
+    for qi, qterms in enumerate(queries):
+        td = searcher.search(
+            parse_query({"matchQuery": {"field": "t", "query": " ".join(qterms)}}),
+            6,
+        )
+        assert int(hits[qi]) == td.total_hits
+        got = sorted(float(s) for s in scores[qi] if s > -np.inf)
+        want = sorted(h.score for h in td.hits)
+        assert len(got) == len(want)
+        np.testing.assert_allclose(got, want, rtol=2e-5)
