@@ -177,6 +177,85 @@ def cmd_get_nodes(client, args) -> None:
         rc.close()
 
 
+def cmd_update_fields(client, args) -> None:
+    req = Parse(open(args.fileName).read(), pb.FieldDefRequest())
+    if args.indexName:
+        req.indexName = args.indexName
+    _print(client.update_fields(req))
+
+
+def cmd_settings_v1(client, args) -> None:
+    req = Parse(open(args.fileName).read(), pb.SettingsRequest()) if args.fileName \
+        else pb.SettingsRequest(indexName=args.indexName)
+    if args.indexName:
+        req.indexName = args.indexName
+    _print(client.settings(req))
+
+
+def cmd_live_settings_v1(client, args) -> None:
+    req = Parse(open(args.fileName).read(), pb.LiveSettingsRequest()) if args.fileName \
+        else pb.LiveSettingsRequest(indexName=args.indexName)
+    if args.indexName:
+        req.indexName = args.indexName
+    _print(client.live_settings(req))
+
+
+def cmd_start_index_v2(client, args) -> None:
+    _print(client.start_index_v2(args.indexName))
+
+
+def cmd_reload_state(client, args) -> None:
+    _print(client.reload_state())
+
+
+def cmd_search_v2(client, args) -> None:
+    req = Parse(open(args.fileName).read(), pb.SearchRequest())
+    if args.indexName:
+        req.indexName = args.indexName
+    _print(client.search_v2(req))
+
+
+def cmd_node_info(client, args) -> None:
+    _print(client.node_info())
+
+
+def cmd_global_state(client, args) -> None:
+    _print(client.global_state())
+
+
+def cmd_state(client, args) -> None:
+    _print(client.state(args.indexName))
+
+
+def cmd_index_state(client, args) -> None:
+    _print(client.index_state(args.indexName))
+
+
+def cmd_force_merge_deletes(client, args) -> None:
+    _print(client.force_merge_deletes(args.indexName, do_wait=args.doWait))
+
+
+def cmd_create_snapshot(client, args) -> None:
+    _print(client.create_snapshot(args.indexName))
+
+
+def cmd_release_snapshot(client, args) -> None:
+    _print(client.release_snapshot(args.indexName, args.indexGen))
+
+
+def cmd_get_all_snapshot_gens(client, args) -> None:
+    _print(client.get_all_snapshot_gens(args.indexName))
+
+
+def cmd_backup_warming_queries(client, args) -> None:
+    _print(client.backup_warming_queries(args.indexName))
+
+
+def cmd_custom(client, args) -> None:
+    req = pb.CustomRequest(id=args.id, path=args.path)
+    _print(client.custom(req))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="nrtsearch_client")
     p.add_argument("--host", default="localhost")
@@ -226,6 +305,25 @@ def build_parser() -> argparse.ArgumentParser:
         ("--replicationPort", {"type": int, "default": 8001}))
     add("getNodes", cmd_get_nodes, idx,
         ("--replicationPort", {"type": int, "default": 8001}))
+    add("updateFields", cmd_update_fields, fname, idx_opt)
+    add("settingsV1", cmd_settings_v1, fname_opt, idx_opt)
+    add("liveSettingsV1", cmd_live_settings_v1, fname_opt, idx_opt)
+    add("startIndexV2", cmd_start_index_v2, idx)
+    add("reloadState", cmd_reload_state)
+    add("searchV2", cmd_search_v2, fname, idx_opt)
+    add("nodeInfo", cmd_node_info)
+    add("globalState", cmd_global_state)
+    add("state", cmd_state, idx)
+    add("indexState", cmd_index_state, idx)
+    add("forceMergeDeletes", cmd_force_merge_deletes, idx,
+        ("--doWait", {"action": "store_true"}))
+    add("createSnapshot", cmd_create_snapshot, idx)
+    add("releaseSnapshot", cmd_release_snapshot, idx,
+        ("--indexGen", {"type": int, "required": True}))
+    add("getAllSnapshotIndexGen", cmd_get_all_snapshot_gens, idx)
+    add("backupWarmingQueries", cmd_backup_warming_queries, idx)
+    add("custom", cmd_custom, ("--id", {"required": True}),
+        ("--path", {"default": ""}))
     return p
 
 

@@ -99,6 +99,64 @@ class NrtsearchClient:
     def search(self, request: pb.SearchRequest) -> pb.SearchResponse:
         return self._u("search", pb.SearchRequest, pb.SearchResponse)(request)
 
+    def search_v2(self, request: pb.SearchRequest) -> pb.SearchResponse:
+        """searchV2: response arrives packed as protobuf Any; unpacked here."""
+        from google.protobuf import any_pb2
+
+        any_resp = self._u("searchV2", pb.SearchRequest, any_pb2.Any)(request)
+        out = pb.SearchResponse()
+        any_resp.Unpack(out)
+        return out
+
+    def update_fields(self, request: pb.FieldDefRequest) -> pb.FieldDefResponse:
+        return self._u("updateFields", pb.FieldDefRequest, pb.FieldDefResponse)(request)
+
+    def live_settings(self, request: pb.LiveSettingsRequest) -> pb.LiveSettingsResponse:
+        return self._u(
+            "liveSettings", pb.LiveSettingsRequest, pb.LiveSettingsResponse
+        )(request)
+
+    def settings(self, request: pb.SettingsRequest) -> pb.SettingsResponse:
+        return self._u("settings", pb.SettingsRequest, pb.SettingsResponse)(request)
+
+    def start_index_v2(self, index_name: str) -> pb.StartIndexResponse:
+        return self._u("startIndexV2", pb.StartIndexV2Request, pb.StartIndexResponse)(
+            pb.StartIndexV2Request(indexName=index_name)
+        )
+
+    def reload_state(self) -> pb.ReloadStateResponse:
+        return self._u("reloadState", pb.ReloadStateRequest, pb.ReloadStateResponse)(
+            pb.ReloadStateRequest()
+        )
+
+    def node_info(self) -> pb.NodeInfoResponse:
+        return self._u("nodeInfo", pb.NodeInfoRequest, pb.NodeInfoResponse)(
+            pb.NodeInfoRequest()
+        )
+
+    def global_state(self) -> pb.GlobalStateResponse:
+        return self._u("globalState", pb.GlobalStateRequest, pb.GlobalStateResponse)(
+            pb.GlobalStateRequest()
+        )
+
+    def state(self, index_name: str) -> pb.StateResponse:
+        return self._u("state", pb.StateRequest, pb.StateResponse)(
+            pb.StateRequest(indexName=index_name)
+        )
+
+    def index_state(self, index_name: str) -> pb.IndexStateResponse:
+        return self._u("indexState", pb.IndexStateRequest, pb.IndexStateResponse)(
+            pb.IndexStateRequest(index_name=index_name)
+        )
+
+    def force_merge_deletes(
+        self, index_name: str, do_wait: bool = True
+    ) -> pb.ForceMergeDeletesResponse:
+        return self._u(
+            "forceMergeDeletes", pb.ForceMergeDeletesRequest,
+            pb.ForceMergeDeletesResponse,
+        )(pb.ForceMergeDeletesRequest(indexName=index_name, doWait=do_wait))
+
     def delete_by_query(self, request: pb.DeleteByQueryRequest) -> pb.AddDocumentResponse:
         return self._u("deleteByQuery", pb.DeleteByQueryRequest, pb.AddDocumentResponse)(
             request

@@ -345,7 +345,9 @@ class PackedFieldView:
             jnp.asarray(offs), jnp.asarray(lens), jnp.asarray(weights),
             jnp.asarray(n_terms),
             run_len=run_len, k=min(k, max(self.max_doc, 1)),
-            require_all_terms=True,
+            # matched-term counting costs an extra scan; skip it for pure-OR
+            # batches (n_terms floor of 1 is implied by score > 0)
+            require_all_terms=any(s.require_all for s in specs),
             use_pallas=self.use_pallas,
         )
         scores = np.asarray(scores)

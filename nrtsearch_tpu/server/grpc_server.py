@@ -83,14 +83,29 @@ def _wrap_stream_unary(fn: Callable, metrics=None):
 
 
 # RPC name -> (request type, response type, kind)
+from google.protobuf import any_pb2
+
 _LUCENE_RPCS = {
     "createIndex": (pb.CreateIndexRequest, pb.CreateIndexResponse, "unary"),
     "deleteIndex": (pb.DeleteIndexRequest, pb.DeleteIndexResponse, "unary"),
+    "liveSettings": (pb.LiveSettingsRequest, pb.LiveSettingsResponse, "unary"),
     "liveSettingsV2": (pb.LiveSettingsV2Request, pb.LiveSettingsV2Response, "unary"),
+    "settings": (pb.SettingsRequest, pb.SettingsResponse, "unary"),
     "settingsV2": (pb.SettingsV2Request, pb.SettingsV2Response, "unary"),
     "registerFields": (pb.FieldDefRequest, pb.FieldDefResponse, "unary"),
+    "updateFields": (pb.FieldDefRequest, pb.FieldDefResponse, "unary"),
     "startIndex": (pb.StartIndexRequest, pb.StartIndexResponse, "unary"),
+    "startIndexV2": (pb.StartIndexV2Request, pb.StartIndexResponse, "unary"),
     "stopIndex": (pb.StopIndexRequest, pb.DummyResponse, "unary"),
+    "reloadState": (pb.ReloadStateRequest, pb.ReloadStateResponse, "unary"),
+    "searchV2": (pb.SearchRequest, any_pb2.Any, "unary"),
+    "nodeInfo": (pb.NodeInfoRequest, pb.NodeInfoResponse, "unary"),
+    "globalState": (pb.GlobalStateRequest, pb.GlobalStateResponse, "unary"),
+    "state": (pb.StateRequest, pb.StateResponse, "unary"),
+    "indexState": (pb.IndexStateRequest, pb.IndexStateResponse, "unary"),
+    "forceMergeDeletes": (
+        pb.ForceMergeDeletesRequest, pb.ForceMergeDeletesResponse, "unary",
+    ),
     "addDocuments": (pb.AddDocumentRequest, pb.AddDocumentResponse, "stream_unary"),
     "refresh": (pb.RefreshRequest, pb.RefreshResponse, "unary"),
     "commit": (pb.CommitRequest, pb.CommitResponse, "unary"),

@@ -97,12 +97,59 @@ class Handlers:
         _dict_to_pb(info.settings, resp.settings)
         return resp
 
+    def liveSettings(self, req: pb.LiveSettingsRequest) -> pb.LiveSettingsResponse:
+        """V1 flat live-settings surface (reference: LiveSettingsHandler).
+        Zero-valued fields mean 'leave unchanged', per the reference's
+        proto3-semantics handling."""
+        import json as _json
+
+        updates = {}
+        for f, _v in req.ListFields():
+            if f.name != "indexName":
+                updates[f.name] = getattr(req, f.name)
+        info = self.gs.get_state(req.indexName)
+        if updates:
+            info = info.with_live_settings(updates)
+            self.gs.update_state(req.indexName, info)
+            rt = self.gs.runtimes.get(req.indexName)
+            if rt is not None:
+                rt.state_info = info
+                rt.apply_live_settings(info.live_settings)
+        return pb.LiveSettingsResponse(response=_json.dumps(info.live_settings))
+
+    def settings(self, req: pb.SettingsRequest) -> pb.SettingsResponse:
+        """V1 settings surface (reference: SettingsHandler)."""
+        import json as _json
+
+        updates = MessageToDict(req)
+        updates.pop("indexName", None)
+        info = self.gs.get_state(req.indexName)
+        if updates:
+            if req.indexName in self.gs.runtimes:
+                raise RuntimeError("settings can only be changed on a stopped index")
+            info = info.with_settings(updates)
+            self.gs.update_state(req.indexName, info)
+        return pb.SettingsResponse(response=_json.dumps(info.settings))
+
+    def updateFields(self, req: pb.FieldDefRequest) -> pb.FieldDefResponse:
+        """Schema evolution: add new fields to an existing index
+        (reference: UpdateFieldsHandler, luceneserver.proto:67)."""
+        fields = {}
+        for f in req.field:
+            spec = MessageToDict(f, preserving_proto_field_name=False)
+            spec.pop("name", None)
+            fields[f.name] = spec
+        info = self.gs.update_fields(req.indexName, fields)
+        return pb.FieldDefResponse(response=info.to_json())
+
     def startIndex(self, req: pb.StartIndexRequest) -> pb.StartIndexResponse:
         mode = pb.Mode.Name(req.mode)
         t0 = time.time()
         primary_address = req.primaryAddress
         if primary_address and req.port:
             primary_address = f"{primary_address}:{req.port}"
+        elif not primary_address and req.primaryDiscoveryFile:
+            primary_address = f"file:{req.primaryDiscoveryFile}"
         rt = self.gs.start_index(
             req.indexName,
             mode=mode,
@@ -117,6 +164,100 @@ class Handlers:
             segments=str(len(s.segments)),
             startTimeMS=(time.time() - t0) * 1000,
         )
+
+    def startIndexV2(self, req: pb.StartIndexV2Request) -> pb.StartIndexResponse:
+        """Start using the server config's IndexStartConfig (reference:
+        StartIndexV2Handler + IndexStartConfig — the modern start surface:
+        the node's role lives in its YAML, not the request)."""
+        cfg = getattr(self.gs, "config", None)
+        isc = (cfg.raw.get("indexStartConfig", {}) if cfg is not None else {})
+        v1 = pb.StartIndexRequest(
+            indexName=req.indexName,
+            mode=pb.Mode.Value(str(isc.get("mode", "STANDALONE")).upper()),
+            primaryAddress=str(isc.get("primaryAddress", "")),
+            port=int(isc.get("port", 0)),
+            primaryGen=int(isc.get("primaryGen", 0)),
+            primaryDiscoveryFile=str(isc.get("primaryDiscoveryFile", "")),
+        )
+        if isc.get("restore"):
+            v1.restore.serviceName = str(isc.get("serviceName", ""))
+            v1.restore.resourceName = req.indexName
+        return self.startIndex(v1)
+
+    def reloadState(self, req: pb.ReloadStateRequest) -> pb.ReloadStateResponse:
+        self.gs.reload()
+        return pb.ReloadStateResponse()
+
+    def nodeInfo(self, req: pb.NodeInfoRequest) -> pb.NodeInfoResponse:
+        from nrtsearch_tpu.version import __version__
+
+        cfg = self.gs.config
+        return pb.NodeInfoResponse(
+            node_name=cfg.node_name,
+            service_name=cfg.service_name,
+            host_name=cfg.host_name,
+            version=__version__,
+            ephemeral_id=self.gs.ephemeral_id,
+        )
+
+    def globalState(self, req: pb.GlobalStateRequest) -> pb.GlobalStateResponse:
+        resp = pb.GlobalStateResponse()
+        resp.global_state.gen = max(
+            (info.gen for info in self.gs.states.values()), default=0
+        )
+        for name, index_id in self.gs.index_ids.items():
+            igs = resp.global_state.indices[name]
+            igs.id = index_id
+            igs.started = name in self.gs.runtimes
+        return resp
+
+    def state(self, req: pb.StateRequest) -> pb.StateResponse:
+        info = self.gs.get_state(req.indexName)
+        return pb.StateResponse(response=info.to_json())
+
+    def indexState(self, req: pb.IndexStateRequest) -> pb.IndexStateResponse:
+        info = self.gs.get_state(req.index_name)
+        resp = pb.IndexStateResponse()
+        m = resp.index_state
+        m.index_name = info.index_name
+        m.index_id = info.index_id
+        m.gen = info.gen
+        _dict_to_struct(info.settings, m.settings)
+        _dict_to_struct(info.live_settings, m.live_settings)
+        _dict_to_struct(info.fields, m.fields)
+        return resp
+
+    def forceMergeDeletes(
+        self, req: pb.ForceMergeDeletesRequest
+    ) -> pb.ForceMergeDeletesResponse:
+        """Rewrite segments containing deletes (reference:
+        ForceMergeDeletesHandler — Lucene forceMergeDeletes)."""
+        rt = self.gs.get_runtime(req.indexName)
+
+        def do_merge():
+            from nrtsearch_tpu.core.merge import merge_segments
+
+            with rt._lock:
+                rt.writer.refresh()
+                dirty = [s for s in rt.writer.segments if s.del_count > 0]
+                if dirty:
+                    clean = [s for s in rt.writer.segments if s.del_count == 0]
+                    merged, _ = merge_segments(
+                        dirty, rt.field_defs, rt.writer.index_sort
+                    )
+                    rt.writer.install_segments(clean + [merged])
+                    rt._version += 1
+                    rt._publish_searcher(rt.writer.segments)
+
+        if req.doWait:
+            do_merge()
+            status = pb.ForceMergeDeletesResponse.Status.FORCE_MERGE_DELETES_COMPLETED
+        else:
+            import threading as _threading
+
+            _threading.Thread(target=do_merge, daemon=True).start()
+            status = pb.ForceMergeDeletesResponse.Status.FORCE_MERGE_DELETES_SUBMITTED
+        return pb.ForceMergeDeletesResponse(status=status)
 
     def stopIndex(self, req: pb.StopIndexRequest) -> pb.DummyResponse:
         self.gs.stop_index(req.indexName)
@@ -295,6 +436,15 @@ class Handlers:
         return resp
 
     # -- search -------------------------------------------------------------------
+
+    def searchV2(self, req: pb.SearchRequest):
+        """Same lifecycle as search; response packed as protobuf Any
+        (reference: SearchV2Handler, luceneserver.proto:173)."""
+        from google.protobuf import any_pb2
+
+        out = any_pb2.Any()
+        out.Pack(self.search(req))
+        return out
 
     def search(self, req: pb.SearchRequest) -> pb.SearchResponse:
         t_start = time.time()
@@ -1104,6 +1254,16 @@ class Handlers:
                     m[: seg.num_docs] = dv.host_values[: seg.num_docs] == float(key)
             new_masks.append(mask & m)
         return coll.SegmentMatches(matches.searcher, new_masks, matches.scores)
+
+
+def _dict_to_struct(d: dict, struct_msg) -> None:
+    """Copy a plain dict into a google.protobuf.Struct field."""
+    from google.protobuf.json_format import ParseDict
+
+    try:
+        ParseDict(d or {}, struct_msg)
+    except Exception:
+        pass  # non-JSON-able values: leave the struct empty
 
 
 def _dict_to_pb(d: dict, msg) -> None:

@@ -144,6 +144,42 @@ class ReplicationClient:
             timeout=timeout,
         )
 
+    def send_raw_file(self, index_name: str, file_name: str,
+                      path) -> pb.TransferStatus:
+        """Push one local file to the peer (sendRawFile reverse stream),
+        ending with the CRC32 footer chunk the receiver verifies."""
+        import zlib
+
+        def chunks():
+            crc = 0
+            seq = 0
+            first = True
+            with open(path, "rb") as f:
+                while True:
+                    data = f.read(CHUNK_SIZE)
+                    if not data:
+                        break
+                    seq += 1
+                    crc = zlib.crc32(data, crc)
+                    kw = {}
+                    if first:
+                        kw = {"fileName": file_name, "indexName": index_name}
+                        first = False
+                    yield pb.RawFileChunk(content=data, seqNum=seq, **kw)
+            if first:  # empty file: still send the name
+                yield pb.RawFileChunk(
+                    content=b"", seqNum=0, fileName=file_name,
+                    indexName=index_name,
+                )
+            yield pb.RawFileChunk(content=b"", seqNum=crc, ack=True)
+
+        call = self.channel.stream_unary(
+            f"/{_SERVICE}/sendRawFile",
+            request_serializer=pb.RawFileChunk.SerializeToString,
+            response_deserializer=pb.TransferStatus.FromString,
+        )
+        return call(chunks())
+
     def write_nrt_point(self, index_name: str) -> pb.SearcherVersion:
         return self._u("writeNRTPoint", pb.IndexName, pb.SearcherVersion)(
             pb.IndexName(indexName=index_name)
@@ -351,6 +387,69 @@ class ReplicationService:
         except Exception as e:
             log.warning("merge precopy failed: %s", e)
             yield pb.TransferStatus(
+                code=pb.TransferStatusCode.FAILED, message=str(e)
+            )
+
+    def sendRawFile(self, request_iterator, context) -> pb.TransferStatus:
+        """Reverse push: the sender streams a file's chunks to this node
+        (reference: SendRawFileHandler, luceneserver.proto:371 — which writes
+        to a temp file; here the first chunk's fileName/indexName route the
+        bytes into the index dir, verified by the trailing CRC footer)."""
+        import tempfile
+        import zlib
+
+        first = next(request_iterator, None)
+        if first is None:
+            return pb.TransferStatus(
+                code=pb.TransferStatusCode.FAILED, message="empty stream"
+            )
+        dest = None
+        if first.fileName and first.indexName:
+            try:
+                rt = self.gs.get_runtime(first.indexName)
+                dest = Path(rt.index_dir) / first.fileName
+            except KeyError:
+                return pb.TransferStatus(
+                    code=pb.TransferStatusCode.FAILED,
+                    message=f"unknown index {first.indexName!r}",
+                )
+        crc = 0
+        footer = None
+        if dest is not None:
+            tmp = dest.with_suffix(dest.suffix + ".tmp")
+        else:
+            fd, tmp_name = tempfile.mkstemp(suffix=".tmp")
+            import os as _os
+
+            _os.close(fd)
+            tmp = Path(tmp_name)
+        try:
+            import itertools
+
+            chunks = (
+                itertools.chain([first], request_iterator)
+                if (first.content or first.ack)
+                else request_iterator
+            )
+            with open(tmp, "wb") as f:
+                for chunk in chunks:
+                    if chunk.ack:
+                        footer = chunk.seqNum
+                        continue
+                    crc = zlib.crc32(chunk.content, crc)
+                    f.write(chunk.content)
+            if footer is not None and footer != crc:
+                tmp.unlink(missing_ok=True)
+                return pb.TransferStatus(
+                    code=pb.TransferStatusCode.FAILED,
+                    message=f"checksum mismatch: {crc} != {footer}",
+                )
+            if dest is not None:
+                tmp.replace(dest)
+            return pb.TransferStatus(code=pb.TransferStatusCode.DONE, message="ok")
+        except Exception as e:
+            tmp.unlink(missing_ok=True)
+            return pb.TransferStatus(
                 code=pb.TransferStatusCode.FAILED, message=str(e)
             )
 
@@ -615,6 +714,11 @@ def make_replication_service(service: ReplicationService) -> grpc.GenericRpcHand
         "copyFiles": grpc.unary_stream_rpc_method_handler(
             service.copyFiles,
             request_deserializer=pb.CopyFiles.FromString,
+            response_serializer=pb.TransferStatus.SerializeToString,
+        ),
+        "sendRawFile": grpc.stream_unary_rpc_method_handler(
+            service.sendRawFile,
+            request_deserializer=pb.RawFileChunk.FromString,
             response_serializer=pb.TransferStatus.SerializeToString,
         ),
     }

@@ -41,6 +41,20 @@ _ROUTES = {
     "indices": (pb.IndicesRequest, "indices", ("GET", "POST")),
     "status": (pb.HealthCheckRequest, "status", ("GET", "POST")),
     "metrics": (pb.MetricsRequest, "metrics", ("GET", "POST")),
+    # round-2 surface (reference: grpc-gateway routes for the same RPCs)
+    "updateFields": (pb.FieldDefRequest, "update_fields", ("POST",)),
+    "settings": (pb.SettingsRequest, "settings", ("POST",)),
+    "liveSettings": (pb.LiveSettingsRequest, "live_settings", ("POST",)),
+    "startIndexV2": (pb.StartIndexV2Request, "start_index_v2_raw", ("POST",)),
+    "reloadState": (pb.ReloadStateRequest, "reload_state_raw", ("POST",)),
+    "searchV2": (pb.SearchRequest, "search_v2", ("POST",)),
+    "nodeInfo": (pb.NodeInfoRequest, "node_info_raw", ("GET", "POST")),
+    "globalState": (pb.GlobalStateRequest, "global_state_raw", ("GET", "POST")),
+    "state": (pb.StateRequest, "state_raw", ("POST", "GET")),
+    "indexState": (pb.IndexStateRequest, "index_state_raw", ("POST", "GET")),
+    "forceMergeDeletes": (
+        pb.ForceMergeDeletesRequest, "force_merge_deletes_raw", ("POST",),
+    ),
 }
 
 
@@ -79,6 +93,27 @@ class _RawAdapters:
 
     def metrics(self, req):
         return self.c.metrics()
+
+    def start_index_v2_raw(self, req):
+        return self.c.start_index_v2(req.indexName)
+
+    def reload_state_raw(self, req):
+        return self.c.reload_state()
+
+    def node_info_raw(self, req):
+        return self.c.node_info()
+
+    def global_state_raw(self, req):
+        return self.c.global_state()
+
+    def state_raw(self, req):
+        return self.c.state(req.indexName)
+
+    def index_state_raw(self, req):
+        return self.c.index_state(req.index_name)
+
+    def force_merge_deletes_raw(self, req):
+        return self.c.force_merge_deletes(req.indexName, req.doWait)
 
     def __getattr__(self, name):
         return getattr(self.c, name)

@@ -32,6 +32,9 @@ class GlobalState:
         self.config = config
         self.backend = state_backend
         self.remote = remote
+        # node ephemeral id (reference: GlobalState.getEphemeralId — changes
+        # on every process start; exposed via nodeInfo, detects restarts)
+        self.ephemeral_id = uuid.uuid4().hex
         self._lock = threading.RLock()
         self.index_ids: dict[str, str] = {}      # name -> unique index id
         self.states: dict[str, IndexStateInfo] = {}
@@ -140,6 +143,47 @@ class GlobalState:
                     (n for n, f in rt.field_defs.items() if f.type.value == "_ID"), None
                 )
             return info
+
+    def update_fields(self, name: str, fields: dict[str, dict]) -> IndexStateInfo:
+        """Schema evolution: add NEW fields to a (possibly running) index
+        (reference: UpdateFieldsHandler + FieldUpdateUtils — existing fields
+        cannot be redefined). A running runtime adopts the new defs in place,
+        so its writer and live searchers see them immediately; existing
+        segments simply have no data for the new fields."""
+        with self._lock:
+            info = self.get_state(name).with_fields(fields)  # raises on dup
+            self.update_state(name, info)
+            rt = self.runtimes.get(name)
+            if rt is not None:
+                rt.state_info = info
+                with rt.writer._lock:
+                    for fname, fd in info.field_defs().items():
+                        if fname not in rt.field_defs:
+                            rt.field_defs[fname] = fd
+                        # the active SegmentBuilder snapshots the dict (it
+                        # injects the nested-path field), so push new defs
+                        # into it as well
+                        builder = rt.writer._builder
+                        if builder is not None and fname not in builder.field_defs:
+                            builder.field_defs[fname] = fd
+            return info
+
+    def reload(self) -> None:
+        """Re-read global + per-index state from the state backend
+        (reference: ReloadStateHandler — replicas pick up state the primary
+        published). Running runtimes adopt updated live settings and any new
+        fields in place."""
+        with self._lock:
+            self._load()
+            for name, rt in self.runtimes.items():
+                info = self.states.get(name)
+                if info is None:
+                    continue
+                rt.state_info = info
+                rt.apply_live_settings(info.live_settings)
+                for fname, fd in info.field_defs().items():
+                    if fname not in rt.field_defs:
+                        rt.field_defs[fname] = fd
 
     def start_index(
         self,
