@@ -169,8 +169,16 @@ class NrtsearchServer:
                  global_state: Optional[GlobalState] = None):
         self.config = config or NrtsearchConfig()
         if global_state is None:
-            backend = LocalStateBackend(self.config.state_dir)
-            global_state = GlobalState(self.config, backend)
+            remote = self._make_remote_backend(self.config)
+            if remote is not None and str(
+                self.config.raw.get("stateConfig", {}).get("backendType", "LOCAL")
+            ).upper() == "REMOTE":
+                from nrtsearch_tpu.state.backend import RemoteStateBackend
+
+                backend = RemoteStateBackend(remote, self.config.service_name)
+            else:
+                backend = LocalStateBackend(self.config.state_dir)
+            global_state = GlobalState(self.config, backend, remote=remote)
         self.global_state = global_state
         from nrtsearch_tpu.server.monitoring import Metrics
         from nrtsearch_tpu.server.plugins import PluginRegistry, load_plugins
@@ -190,6 +198,23 @@ class NrtsearchServer:
         self.replication_service = ReplicationService(global_state)
         global_state.on_nrt_point = self.replication_service.notify_replicas
         global_state.connect_replica = self._connect_replica
+
+    @staticmethod
+    def _make_remote_backend(config: NrtsearchConfig):
+        """Build the object-store backend from config: bucketName selects the
+        real S3 client (remote/s3.py, SigV4 over http.client — boto3 is not
+        available here); a ``remoteRoot`` path selects the filesystem double.
+        Returns None when no remote storage is configured (pure-local node)."""
+        if config.bucket_name:
+            from nrtsearch_tpu.remote.s3 import S3Backend
+
+            return S3Backend.from_config(config)
+        remote_root = config.raw.get("remoteRoot", "")
+        if remote_root:
+            from nrtsearch_tpu.remote.backend import LocalFileBackend
+
+            return LocalFileBackend(remote_root)
+        return None
 
     def _connect_replica(self, index_name, rt, primary_address) -> None:
         self.replication_service.connect_to_primary(
