@@ -125,20 +125,31 @@ def main() -> None:
     )
 
     def make_runner(sets):
-        # learn steady-state shapes per batch; freeze to the (run_len, R)
-        # PAIR of maximal width (mixing max-run_len and max-R from different
-        # batches multiplies their worst cases)
-        pairs = []
+        # two-pass shape freeze: pass 1 (unforced) finds the largest natural
+        # run_len; pass 2 re-plans every batch UNDER that run_len to find the
+        # worst-case R. Freezing max-rl and max-R from DIFFERENT unforced
+        # batches multiplies their worst cases (an OOM), and forcing a
+        # smaller rl than a batch wants inflates its chunk count.
+        main_rl = 0
         p1 = (0, 0)
         for qs in sets:  # also warms per-term window-max caches
             sl: dict = {}
             out = model.serve_batch(qs, TOP_K, shape_log=sl)
             _ = np.asarray(out[0][0, 0])
             if "main" in sl:
-                pairs.append(sl["main"])
+                main_rl = max(main_rl, sl["main"][0])
             if "phase1" in sl:
                 p1 = max(p1, sl["phase1"], key=lambda x: x[0] * x[1])
-        main_rl, main_r = max(pairs, key=lambda x: x[0] * x[1])
+        main_r = 0
+        for qs in sets:
+            sl = {}
+            out = model.serve_batch(
+                qs, TOP_K, force_run_len=main_rl, phase1_shapes=p1,
+                shape_log=sl,
+            )
+            _ = np.asarray(out[0][0, 0])
+            if "main" in sl:
+                main_r = max(main_r, sl["main"][1])
         state = {"i": 0}
 
         def run():

@@ -143,10 +143,13 @@ def save_segment(seg: Segment, directory: str | Path) -> list[str]:
         }
     for name, vc in seg.vectors.items():
         key = f"v.{name}"
-        arrays[f"{key}.values"] = np.asarray(vc.values)
+        vals = np.asarray(vc.values)
+        if vals.dtype not in (np.float32, np.int8):
+            vals = vals.astype(np.float32)  # bfloat16 serializes as f32
+        arrays[f"{key}.values"] = vals
         arrays[f"{key}.present"] = np.asarray(vc.present)
         arrays[f"{key}.norms"] = vc.host_norms
-        meta["vectors"][name] = {}
+        meta["vectors"][name] = {"fmt": vc.fmt, "scale": vc.scale}
 
     with open(npz_path, "wb") as f:
         np.savez(f, **arrays)
@@ -214,12 +217,20 @@ def load_segment(seg_id: str, directory: str | Path, del_gen: int = 0) -> Segmen
             mv_values=arrays[f"{key}.mv_values"] if dm["multi"] else None,
         )
     vectors = {}
-    for name in meta["vectors"]:
+    for name, vm in meta["vectors"].items():
         key = f"v.{name}"
+        fmt = (vm or {}).get("fmt", "float32")
+        vals = _device_put(arrays[f"{key}.values"])
+        if fmt == "float16":
+            import jax.numpy as jnp
+
+            vals = vals.astype(jnp.bfloat16)
         vectors[name] = VectorColumn(
-            values=_device_put(arrays[f"{key}.values"]),
+            values=vals,
             present=_device_put(arrays[f"{key}.present"]),
             host_norms=arrays[f"{key}.norms"],
+            fmt=fmt,
+            scale=float((vm or {}).get("scale", 1.0)),
         )
     live_full = np.load(directory / f"{seg_id}.live.{del_gen}.npy")
     host_live = live_full[: meta["num_docs"]].copy()

@@ -119,7 +119,7 @@ def merge_segments(
                         out.append((int(new), dv.host_values[old].item()))
         for fname, vc in seg.vectors.items():
             out = builder._vectors.setdefault(fname, [])
-            vals = np.asarray(vc.values)
+            vals = vc.host_float()
             pres = np.asarray(vc.present)
             for old in range(seg.num_docs):
                 new = m[old]

@@ -66,6 +66,7 @@ class FastResult:
 EXACT_WINDOW_LIMIT = 1 << 16   # runs up to this length get exact window maxima
 _WINDOW_MERGE_GAP = 4          # coalesce kept windows separated by < this many
 _MAX_RANGES = 48               # cap kept ord ranges (bounds run fragmentation)
+PRUNE_ACCEPT_FRAC = 0.6        # pruning must drop >= 40% or it's not worth it
 
 
 class BlockMaxPruner:
@@ -168,24 +169,44 @@ class BlockMaxPruner:
                     wcount += cnt
                 else:
                     # dense run: 512-entry block maxima (tight for terms that
-                    # genuinely appear in nearly every window)
-                    b0, b1 = off // BLOCK, (off + ln - 1) // BLOCK
-                    blocks = np.arange(b0, b1 + 1)
-                    wlo = (self.blk_min[blocks] // width).astype(np.int64)
-                    whi = (self.blk_max[blocks] // width).astype(np.int64)
-                    imp = self.blk_imp[blocks]
-                    same = wlo == whi
-                    np.maximum.at(wmax, wlo[same], imp[same])
-                    np.add.at(wcount, wlo[same], float(BLOCK))
-                    for j in np.nonzero(~same)[0]:
-                        lo, hi = int(wlo[j]), int(whi[j])
-                        np.maximum.at(
-                            wmax, np.arange(lo, hi + 1),
-                            np.full(hi - lo + 1, imp[j], np.float32),
-                        )
-                        wcount[lo : hi + 1] += BLOCK / (hi - lo + 1)
+                    # genuinely appear in nearly every window). Cached like
+                    # exact runs — stopwords repeat in every batch and the
+                    # spanning-block fill is a host loop.
+                    ck = (off, ln)
+                    cached = self._wmax_cache.get(ck)
+                    if cached is None:
+                        wm = np.zeros(W + 1, np.float32)
+                        cnt = np.zeros(W + 1, np.float64)
+                        b0, b1 = off // BLOCK, (off + ln - 1) // BLOCK
+                        blocks = np.arange(b0, b1 + 1)
+                        wlo = (self.blk_min[blocks] // width).astype(np.int64)
+                        whi = (self.blk_max[blocks] // width).astype(np.int64)
+                        imp = self.blk_imp[blocks]
+                        same = wlo == whi
+                        np.maximum.at(wm, wlo[same], imp[same])
+                        np.add.at(cnt, wlo[same], float(BLOCK))
+                        for j in np.nonzero(~same)[0]:
+                            lo, hi = int(wlo[j]), int(whi[j])
+                            np.maximum.at(
+                                wm, np.arange(lo, hi + 1),
+                                np.full(hi - lo + 1, imp[j], np.float32),
+                            )
+                            cnt[lo : hi + 1] += BLOCK / (hi - lo + 1)
+                        cached = (wm, cnt)
+                        self._wmax_cache[ck] = cached
+                    wm, cnt = cached
+                    np.maximum(wmax, wm, out=wmax)
+                    wcount += cnt
             ub += w * wmax.astype(np.float64)
             term_runs.append((w, runs))
+        # prunability: how much of the window UB mass sits well below the
+        # peak. Flat UB (all query terms are stopwords: every window holds a
+        # near-max scorer) means no theta can prune — skip the phase-1
+        # dispatch entirely for those queries.
+        ub_max = float(ub.max()) if len(ub) else 0.0
+        prunable_frac = (
+            float(np.mean(ub[:W] < 0.9 * ub_max)) if ub_max > 0 else 0.0
+        )
         return {
             "ub": ub,
             "wcount": wcount,
@@ -194,6 +215,7 @@ class BlockMaxPruner:
             "flat_all": flat_all,
             "total": total,
             "k": k,
+            "prunable_frac": prunable_frac,
         }
 
     def candidate_rows(
@@ -219,13 +241,21 @@ class BlockMaxPruner:
         """Drop postings blocks in windows whose upper bound cannot reach
         theta. Surviving docs keep ALL their entries, so their scores equal
         the unpruned program's (up to f32 summation order — pruning changes
-        run splits, which reorders equal-doc-id contributions)."""
+        run splits, which reorders equal-doc-id contributions).
+
+        Pruning is only ACCEPTED when it drops a meaningful share of the
+        postings: a 10% cut is not worth the run fragmentation it causes
+        (fragmented runs pad to more merge chunks than they save)."""
         if theta <= 0.0:
             return state["flat_all"], False
         keep = state["ub"] >= theta * (1.0 - _PRUNE_EPS)
         if keep.all():
             return state["flat_all"], False
-        return self._restrict(state, keep), True
+        out = self._restrict(state, keep)
+        kept_total = sum(ln for _, ln, _ in out)
+        if kept_total > PRUNE_ACCEPT_FRAC * state["total"]:
+            return state["flat_all"], False
+        return out, True
 
     def _restrict(self, state, keep: np.ndarray) -> list[tuple[int, int, float]]:
         """Runs clipped to kept doc-ord windows, exact to the entry: postings
@@ -461,6 +491,7 @@ class PackedFieldView:
                 if states[qi] is not None
                 and sum(ln for _, ln, _ in rows[qi]) > 0.7 * states[qi]["total"]
                 and states[qi]["total"] >= 2 * PRUNE_MIN_POSTINGS
+                and states[qi]["prunable_frac"] > 0.25
             ]
             if escalate:
                 cand_rows = [

@@ -292,10 +292,18 @@ class Searcher:
                 mask = mask & fmask
             kk = min(k, seg.capacity)
             sq = jnp.asarray((vc.host_norms**2).astype(np.float32))
-            scores, ids = knn_op(
-                vc.values, sq, mask, jnp.asarray(q),
-                similarity=fd.similarity, k=kk,
-            )
+            if vc.fmt == "int8":
+                from nrtsearch_tpu.ops.knn import knn_search_quantized
+
+                scores, ids = knn_search_quantized(
+                    vc.values, jnp.float32(vc.scale), sq, mask,
+                    jnp.asarray(q), similarity=fd.similarity, k=kk,
+                )
+            else:
+                scores, ids = knn_op(
+                    vc.values, sq, mask, jnp.asarray(q),
+                    similarity=fd.similarity, k=kk,
+                )
             scores, ids = np.asarray(scores[0]), np.asarray(ids[0])
             base = int(self.bases[idx])
             for s, i in zip(scores, ids):

@@ -147,9 +147,30 @@ class DocValueColumn:
 
 @dataclass(frozen=True)
 class VectorColumn:
-    values: Any            # device float32 [D_pad, dims]
+    values: Any            # device [D_pad, dims]: f32 | bf16 | int8 (see fmt)
     present: Any           # device bool [D_pad]
-    host_norms: np.ndarray  # per-doc L2 norms (for cosine)
+    host_norms: np.ndarray  # per-doc L2 norms of the ORIGINAL f32 vectors
+    # storage format (reference: VectorFieldDef.java:91-94 quantized formats).
+    # int8 stores round(v / scale); sq_norms/host_norms stay exact f32 so
+    # l2/cosine keep full-precision normalization.
+    fmt: str = "float32"
+    scale: float = 1.0     # int8 dequantization scale
+
+    def host_float(self) -> np.ndarray:
+        """Dequantized f32 host matrix (fetch / merge paths)."""
+        arr = np.asarray(self.values)
+        if self.fmt == "int8":
+            return arr.astype(np.float32) * self.scale
+        return arr.astype(np.float32)
+
+    def device_float(self):
+        """Dequantized f32 device matrix (dense eval paths; XLA fuses the
+        cast so no f32 copy persists in HBM)."""
+        import jax.numpy as jnp
+
+        if self.fmt == "int8":
+            return self.values.astype(jnp.float32) * jnp.float32(self.scale)
+        return self.values.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -710,8 +731,24 @@ class SegmentBuilder:
             mat[doc] = vec
             present[doc] = True
         norms = np.linalg.norm(mat, axis=1)
+        fmt = getattr(fd, "vector_format", "float32")
+        if fmt == "int8":
+            from nrtsearch_tpu.ops.knn import quantize_int8
+
+            q, scale = quantize_int8(mat)
+            dev = _device_put(q)
+        elif fmt == "float16":
+            import jax.numpy as jnp
+
+            dev = _device_put(mat.astype(np.float32)).astype(jnp.bfloat16)
+            scale = 1.0
+        else:
+            dev = _device_put(mat)
+            scale = 1.0
         return VectorColumn(
-            values=_device_put(mat),
+            values=dev,
             present=_device_put(present),
             host_norms=norms.astype(np.float32),
+            fmt=fmt,
+            scale=scale,
         )

@@ -201,6 +201,7 @@ class BatchedBM25:
                 if st is not None
                 and sum(ln for _, ln, _ in rows[i]) > 0.7 * st["total"]
                 and st["total"] >= 2 * PRUNE_MIN_POSTINGS
+                and st["prunable_frac"] > 0.25
             ]
             if escalate:
                 cand = [self.pruner.candidate_rows(states[i]) for i in escalate]
@@ -258,6 +259,13 @@ class BatchedBM25:
         """One fused dispatch over arbitrary per-query run lists -> np scores."""
         from nrtsearch_tpu.ops.merge_scoring import plan_run_lists
 
+        n_real = len(rows)
+        b_pad = 1
+        while b_pad < n_real:
+            b_pad <<= 1
+        rows = list(rows) + [[]] * (b_pad - n_real)  # pow2 batch: the number
+        # of escalated queries varies per batch; without padding every new
+        # count compiles a fresh program
         offs, lens, weights, run_len = plan_run_lists(
             rows, force_run_len=force_run_len,
             max_run=int(self.doc_ids.shape[0]),
@@ -331,6 +339,7 @@ class BatchedBM25:
                 if st is not None
                 and sum(ln for _, ln, _ in rows[i]) > 0.7 * st["total"]
                 and st["total"] >= 2 * PRUNE_MIN_POSTINGS
+                and st["prunable_frac"] > 0.25
             ]
             if escalate:
                 cand = [self.pruner.candidate_rows(states[i]) for i in escalate]

@@ -32,6 +32,12 @@ SIMILARITIES = (
 
 def _scores(queries, vectors, vec_sq_norms, similarity: str):
     """Similarity scores [B, D] from a dot-product matmul."""
+    if vectors.dtype == jnp.bfloat16:  # float16 storage format
+        queries = queries.astype(jnp.bfloat16)
+        # consistent norms: measure in the rounded space (see
+        # _quantized_scores) — unpaired exact norms cost recall
+        vf = vectors.astype(jnp.float32)
+        vec_sq_norms = jnp.sum(vf * vf, axis=1)
     dots = jax.lax.dot_general(
         queries, vectors,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -51,6 +57,79 @@ def _scores(queries, vectors, vec_sq_norms, similarity: str):
     if similarity == "max_inner_product":
         return jnp.where(dots >= 0, dots + 1.0, 1.0 / (1.0 - dots))
     raise ValueError(f"unknown similarity {similarity!r}")
+
+
+def quantize_int8(vectors: np.ndarray) -> tuple[np.ndarray, float]:
+    """Symmetric scalar quantization: q = round(v / scale), clipped. The
+    scale comes from a high quantile of |v| rather than the max, so a few
+    outlier components don't waste the int8 range (Lucene's scalar quantizer
+    similarly picks quantiles by confidence interval,
+    VectorFieldDef.java:91-94). 4x smaller than f32; int8 matmuls run on the
+    MXU at higher throughput than f32."""
+    if not vectors.size:
+        return np.zeros_like(vectors, dtype=np.int8), 1.0
+    peak = float(np.quantile(np.abs(vectors), 0.999))
+    if peak <= 0:
+        peak = float(np.abs(vectors).max()) or 1.0
+    scale = peak / 127.0
+    q = np.clip(np.round(vectors / scale), -127, 127).astype(np.int8)
+    return q, scale
+
+
+def _quantized_scores(queries, q_values, scale, vec_sq_norms, similarity: str):
+    """Similarity scores from int8-stored vectors: queries quantize with
+    their own per-row scale and the dot runs int8 x int8 -> int32 on the MXU.
+
+    Norms are computed from the QUANTIZED vectors: scoring then measures
+    distance/angle in the quantized space consistently, so the error is
+    bounded by the rounding displacement (~sqrt(dims)/2 * scale). Mixing
+    exact norms with quantized dots leaves an unpaired ||v||^2 - ||v_hat||^2
+    term that costs real recall."""
+    q_peak = jnp.max(jnp.abs(queries), axis=1, keepdims=True)
+    q_scale = jnp.where(q_peak > 0, q_peak / 127.0, 1.0)
+    qq = jnp.clip(jnp.round(queries / q_scale), -127, 127).astype(jnp.int8)
+    dots_i = jax.lax.dot_general(
+        qq, q_values,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    dots = dots_i.astype(jnp.float32) * (q_scale * jnp.float32(scale))
+    v32 = q_values.astype(jnp.int32)
+    v_sq_hat = (
+        jnp.sum(v32 * v32, axis=1).astype(jnp.float32)
+        * jnp.float32(scale) * jnp.float32(scale)
+    )
+    if similarity == "l2_norm":
+        q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
+        d2 = jnp.maximum(q_sq + v_sq_hat[None, :] - 2.0 * dots, 0.0)
+        return 1.0 / (1.0 + d2)
+    if similarity == "dot_product":
+        return (1.0 + dots) / 2.0
+    if similarity in ("cosine", "normalized_cosine"):
+        q_norm = jnp.sqrt(jnp.sum(queries * queries, axis=1, keepdims=True))
+        v_norm = jnp.sqrt(jnp.maximum(v_sq_hat, 1e-30))[None, :]
+        cos = dots / jnp.maximum(q_norm * v_norm, 1e-30)
+        return (1.0 + cos) / 2.0
+    if similarity == "max_inner_product":
+        return jnp.where(dots >= 0, dots + 1.0, 1.0 / (1.0 - dots))
+    raise ValueError(f"unknown similarity {similarity!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("similarity", "k"))
+def knn_search_quantized(
+    q_values: jax.Array,      # int8 [D, dims]
+    scale: jax.Array,         # f32 scalar
+    vec_sq_norms: jax.Array,  # f32 [D] EXACT squared norms of the originals
+    mask: jax.Array,          # bool [D]
+    queries: jax.Array,       # f32 [B, dims]
+    *,
+    similarity: str,
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k over int8-quantized vectors. Returns (scores [B,k], ids [B,k])."""
+    scores = _quantized_scores(queries, q_values, scale, vec_sq_norms, similarity)
+    masked = jnp.where(mask[None, :], scores, -jnp.inf)
+    return jax.lax.top_k(masked, k)
 
 
 @functools.partial(jax.jit, static_argnames=("similarity", "k"))

@@ -474,8 +474,9 @@ def _eval_exact_vector(node: qp.ExactVectorQueryNode, ctx: EvalContext):
             f"query vector dimension {len(node.query_vector)} != field dims {dims}"
         )
     q = jnp.asarray(np.asarray(node.query_vector, np.float32))[None, :]
-    sq = jnp.sum(vc.values * vc.values, axis=1)
-    scores = knn_scores(q, vc.values, sq, fd.similarity or "l2_norm")[0]
+    vals = vc.device_float()  # dequantized view for int8/float16 formats
+    sq = jnp.asarray((vc.host_norms ** 2).astype(np.float32))
+    scores = knn_scores(q, vals, sq, fd.similarity or "l2_norm")[0]
     match = vc.present & ctx.segment.live
     return jnp.where(match, scores * np.float32(node.boost), 0.0), match
 

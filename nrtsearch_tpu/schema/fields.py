@@ -74,6 +74,9 @@ class FieldDef:
     # VECTOR options
     dims: int = 0
     similarity: str = "cosine"    # l2_norm | dot_product | cosine | normalized_cosine | max_inner_product
+    # storage format (reference: VectorFieldDef.java:91-94 HNSW scalar
+    # quantization): float32 | float16 | int8 (scalar-quantized, 4x smaller)
+    vector_format: str = "float32"
     # text scoring similarity (reference: SimilarityCreator, default BM25;
     # "boolean" = constant per-term scores, expressed as BM25 with k1=0)
     text_similarity: str = "BM25"
@@ -113,6 +116,10 @@ class FieldDef:
     @property
     def vector_queryable(self) -> bool:
         return self.type == FieldType.VECTOR
+
+    @property
+    def quantized(self) -> bool:
+        return self.vector_format == "int8"
 
     @property
     def doc_value_kind(self) -> DocValueKind:
@@ -214,6 +221,26 @@ def register_field_type(type_name: str, factory: Callable[[str, dict], FieldDef]
     _FIELD_FACTORIES[type_name] = factory
 
 
+def _vector_format(opts) -> str:
+    """vectorIndexingOptions -> storage format. Accepts the plain format name
+    ("int8", "float16") or the reference-shaped dict/string
+    ({"type": "hnsw_scalar_quantized", "quantizedBits": 8} — any quantized
+    type maps to int8 brute-force storage here, VectorFieldDef.java:91-94)."""
+    if not opts:
+        return "float32"
+    if isinstance(opts, dict):
+        t = str(opts.get("type", "")).lower()
+        if "quantized" in t:
+            return "int8"
+        return _vector_format(opts.get("format", ""))
+    s = str(opts).lower()
+    if "int8" in s or "quantized" in s or "byte" in s:
+        return "int8"
+    if "float16" in s or "fp16" in s or "half" in s:
+        return "float16"
+    return "float32"
+
+
 def create_field_def(name: str, spec: dict) -> FieldDef:
     """Build a FieldDef from a proto-shaped Field dict (luceneserver.proto Field).
 
@@ -254,6 +281,7 @@ def create_field_def(name: str, spec: dict) -> FieldDef:
         search_analyzer=_analyzer("searchAnalyzer"),
         dims=int(spec.get("vectorDimensions", 0)),
         similarity=spec.get("vectorSimilarity", "cosine"),
+        vector_format=_vector_format(spec.get("vectorIndexingOptions")),
         date_time_format=spec.get("dateTimeFormat"),
         ignore_above=int(spec.get("ignoreAbove", 0)),
         script_source=(spec.get("script") or {}).get("source")
@@ -271,6 +299,11 @@ def create_field_def(name: str, spec: dict) -> FieldDef:
         fd.sim_b = float(sim_params.get("b", 0.75))
     if fd.type == FieldType.VECTOR and fd.dims <= 0:
         raise ValueError(f"VECTOR field {name!r} requires vectorDimensions > 0")
+    if fd.vector_format not in ("float32", "float16", "int8"):
+        raise ValueError(
+            f"field {name!r}: unknown vector format {fd.vector_format!r} "
+            "(float32 | float16 | int8)"
+        )
     if fd.sort and not fd.store_doc_values:
         # sorting requires a doc-values column, as in the reference
         fd.store_doc_values = True

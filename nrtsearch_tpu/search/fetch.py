@@ -64,7 +64,7 @@ def fetch_field_values(
     if vc is not None:
         if not np.asarray(vc.present)[local]:
             return None
-        return [np.asarray(vc.values)[local].tolist()]
+        return [vc.host_float()[local].tolist()]
     if fd is None:
         raise KeyError(f"unknown field: {field_name!r}")
     row = seg.stored[local]

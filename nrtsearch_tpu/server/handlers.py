@@ -735,7 +735,7 @@ class Handlers:
             return {}
         from nrtsearch_tpu.search.highlight import (
             HighlightSettings,
-            query_terms_for_field,
+            build_highlight_query,
         )
 
         def settings_for(fname):
@@ -749,12 +749,18 @@ class Handlers:
                 hs.fragment_size = s.fragmentSize
             if s.maxNumberOfFragments:
                 hs.max_fragments = s.maxNumberOfFragments
-            return hs
+            hs.score_ordered = s.scoreOrdered or hs.score_ordered
+            return s, hs
 
         plan = {}
         for fname in req.highlight.fields:
-            terms = query_terms_for_field(node, fname)
-            plan[fname] = (terms, settings_for(fname))
+            s, hs = settings_for(fname)
+            # per-field highlightQuery override (reference:
+            # HighlightSettings.highlightQuery)
+            hl_node = node
+            if s.HasField("highlightQuery"):
+                hl_node = parse_query(MessageToDict(s.highlightQuery))
+            plan[fname] = (build_highlight_query(hl_node, fname), hs)
         return plan
 
     def _highlight_hit(self, pb_hit, searcher, hit, field, terms, settings):
