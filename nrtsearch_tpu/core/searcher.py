@@ -10,6 +10,7 @@ never block writers (NRT semantics).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field as dc_field
 from typing import Any, Optional, Sequence
 
@@ -20,6 +21,13 @@ from nrtsearch_tpu.ops.topk import masked_top_k, masked_top_k_by_key
 from nrtsearch_tpu.query import eval as qeval
 from nrtsearch_tpu.query import plan as qp
 from nrtsearch_tpu.schema.fields import DocValueKind, FieldDef
+
+
+def _compiled_eval_enabled() -> bool:
+    """The general evaluator runs as one fused program per (query, segment)
+    by default (query/compiled.py); NRT_COMPILED_EVAL=0 restores the eager
+    per-op path (debugging / A-B validation)."""
+    return os.environ.get("NRT_COMPILED_EVAL", "1") != "0"
 
 
 @dataclass(frozen=True)
@@ -115,6 +123,7 @@ class Searcher:
         per_segment: list[tuple[np.ndarray, np.ndarray, int, int]] = []
         arrays = []
         total = 0
+        compiled = _compiled_eval_enabled()
         for idx, seg in enumerate(self.segments):
             if timeout_sec and idx > 0 and (_time.time() - t_start) > timeout_sec:
                 hit_timeout = True
@@ -122,6 +131,16 @@ class Searcher:
             if terminate_after and total >= terminate_after:
                 terminated_early = True
                 break
+            k = min(top_hits, seg.capacity)
+            if compiled:
+                s, ids, seg_total, arr = self._compiled_segment_topk(
+                    seg, node, extra_filter, sort, k, return_arrays
+                )
+                if return_arrays:
+                    arrays.append(arr)
+                per_segment.append((s, ids, idx, min(seg_total, k)))
+                total += seg_total
+                continue
             ctx = qeval.EvalContext(seg, self.field_defs, self.stats)
             scores, match = qeval.eval_node(node, ctx)
             if extra_filter is not None:
@@ -130,7 +149,6 @@ class Searcher:
             match = match & seg.live & self._root_mask(seg)
             if return_arrays:
                 arrays.append((scores, match))
-            k = min(top_hits, seg.capacity)
             if sort is None:
                 s, ids, th = masked_top_k(scores[None, :], match[None, :], k=k)
             else:
@@ -156,6 +174,42 @@ class Searcher:
         if hit_timeout or terminated_early:
             td.relation = "GREATER_THAN_OR_EQUAL_TO"
         return (td, arrays) if return_arrays else td
+
+    def _compiled_segment_topk(
+        self, seg: Segment, node, extra_filter, sort, k: int,
+        return_arrays: bool,
+    ):
+        """Recall + top-k for one segment as ONE fused program
+        (query/compiled.py). Returns (scores [k], ids [k], seg_total,
+        arrays_entry-or-None) — bit-compatible with the eager path."""
+        from nrtsearch_tpu.query import compiled as qc
+
+        ctx = qeval.EvalContext(seg, self.field_defs, self.stats)
+        cq = qc.CompiledQuery(node, extra_filter, ctx, qc.live_root_mask(seg))
+        arr = None
+        if sort is None:
+            if return_arrays:
+                sc, match, s, ids, th = cq.arrays_top_k(k)
+                arr = (sc, match)
+            else:
+                s, ids, th = cq.top_k(k)
+            return np.asarray(s), np.asarray(ids), int(np.asarray(th)), arr
+        keys = self._sort_keys(seg, sort)
+        if return_arrays or keys is None:
+            sc, match = cq.arrays()
+            arr = (sc, match)
+            if keys is None:
+                # exact-int64/f64 column: host-side sort fallback
+                s, ids, seg_total = self._host_sorted_topk(seg, match, sort, k)
+                return np.asarray(s[0]), np.asarray(ids[0]), seg_total, arr
+            s, ids, th = masked_top_k_by_key(
+                keys[None, :], match[None, :], k=k, ascending=not sort.reverse
+            )
+            return (
+                np.asarray(s[0]), np.asarray(ids[0]), int(np.asarray(th[0])), arr
+            )
+        s, ids, th = cq.top_k_by_key(keys, k, ascending=not sort.reverse)
+        return np.asarray(s), np.asarray(ids), int(np.asarray(th)), None
 
     def fast_query_spec(self, node: qp.QueryNode):
         """Compile a query node to a fast-path QuerySpec, or None if the shape
@@ -314,18 +368,20 @@ class Searcher:
         return TopDocs(hits[:k], len(hits))
 
     def count(self, node: qp.QueryNode) -> int:
-        total = 0
-        for seg in self.segments:
-            ctx = qeval.EvalContext(seg, self.field_defs, self.stats)
-            _, match = qeval.eval_node(node, ctx)
-            total += int(np.asarray((match & seg.live & self._root_mask(seg)).sum()))
-        return total
+        return sum(int(np.asarray(m).sum()) for m in self.match_masks(node))
 
     def match_masks(self, node: qp.QueryNode) -> list[Any]:
         """Per-segment live match masks (for facets/collectors over all hits)."""
+        compiled = _compiled_eval_enabled()
         out = []
         for seg in self.segments:
             ctx = qeval.EvalContext(seg, self.field_defs, self.stats)
+            if compiled:
+                from nrtsearch_tpu.query import compiled as qc
+
+                cq = qc.CompiledQuery(node, None, ctx, qc.live_root_mask(seg))
+                out.append(cq.match())
+                continue
             _, match = qeval.eval_node(node, ctx)
             out.append(match & seg.live & self._root_mask(seg))
         return out

@@ -87,7 +87,11 @@ def test_virtual_field_retrieve_and_sort(server):
     assert vals == pytest.approx([36.0, 24.0, 12.0])
 
 
-def test_query_cache_hits(server):
+def test_query_cache_hits(server, monkeypatch):
+    # the filter bitset cache serves the EAGER evaluator; the compiled
+    # evaluator (query/compiled.py) fuses filters in-program instead, where
+    # jax.jit's program cache plays the NrtQueryCache role
+    monkeypatch.setenv("NRT_COMPILED_EVAL", "0")
     from nrtsearch_tpu.search.query_cache import DEFAULT_QUERY_CACHE as qc
 
     req = pb.SearchRequest(indexName="idx", topHits=10)
