@@ -335,6 +335,7 @@ class Searcher:
                 f"query vector has {q.shape[1]} dims; field {field!r} has {fd.dims}"
             )
         hits: list[Hit] = []
+        total_matches = 0
         for idx, seg in enumerate(self.segments):
             vc = seg.vectors.get(field)
             if vc is None:
@@ -344,6 +345,9 @@ class Searcher:
                 ctx = qeval.EvalContext(seg, self.field_defs, self.stats)
                 _, fmask = qeval.eval_node(filter_node, ctx)
                 mask = mask & fmask
+            # true filtered-match count (reference: NrtKnnFloatVectorQuery
+            # exposes the full candidate count, not k * segments)
+            total_matches += int(np.asarray(jnp.sum(mask)))
             kk = min(k, seg.capacity)
             sq = jnp.asarray((vc.host_norms**2).astype(np.float32))
             if vc.fmt == "int8":
@@ -365,7 +369,7 @@ class Searcher:
                     continue
                 hits.append(Hit(idx, int(i), base + int(i), float(s) * boost))
         hits.sort(key=lambda h: (-h.score, h.global_ord))
-        return TopDocs(hits[:k], len(hits))
+        return TopDocs(hits[:k], total_matches)
 
     def count(self, node: qp.QueryNode) -> int:
         return sum(int(np.asarray(m).sum()) for m in self.match_masks(node))

@@ -41,6 +41,8 @@ class IndexWriter:
         # maxMergedSegmentMB; doc-count proxy for segment size)
         self.segments_per_tier = merge_factor
         self.max_merged_docs = 0  # 0 = unbounded
+        # cumulative merge activity, scraped via IndexRuntime.stats()
+        self.merge_stats = {"merges": 0, "merged_docs": 0, "merge_seconds": 0.0}
         # index sort: list of (field, reverse, missing_last); docs within each
         # flushed/merged segment are laid out in this doc-value order
         # (reference: IndexSettings.indexSort -> IndexWriterConfig.setIndexSort)
@@ -229,11 +231,19 @@ class IndexWriter:
         smallest similarly-sized segments — large segments are left alone
         instead of being rewritten on every merge (the write-amplification
         point of the tiered policy)."""
+        import time as _time
+
         while True:
             group = self._plan_tiered_merge()
             if group is None:
                 return
+            t0 = _time.time()
+            docs = sum(s.live_doc_count for s in group)
             self._merge_group(group)
+            # merge metrics (reference: MergeSchedulerCollector families)
+            self.merge_stats["merges"] += 1
+            self.merge_stats["merged_docs"] += docs
+            self.merge_stats["merge_seconds"] += _time.time() - t0
 
     def _plan_tiered_merge(self) -> Optional[list[Segment]]:
         if len(self.segments) <= max(self.segments_per_tier, 1):

@@ -623,6 +623,13 @@ class Handlers:
         resp.diagnostics.getFieldsTimeMs = fetch_ms
         resp.diagnostics.rescoreTimeMs = rescore_ms
         resp.diagnostics.parsedQuery = repr(node)
+        if self.metrics_provider is not None:
+            # per-stage timing families (reference: nrt_search_timing)
+            obs = self.metrics_provider.observe_search_stage
+            obs(req.indexName, "recall", recall_ms / 1e3)
+            obs(req.indexName, "rescore", rescore_ms / 1e3)
+            obs(req.indexName, "fetch", fetch_ms / 1e3)
+            obs(req.indexName, "total", time.time() - t_start)
 
         if req.profile:
             # ProfileResult (reference: SearchStatsWrapper, search.proto:1403)

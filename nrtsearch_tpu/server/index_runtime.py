@@ -532,6 +532,7 @@ class IndexRuntime:
 
     def stats(self) -> dict:
         s = self.searcher
+        published = self._searcher_publish_time.get(s.version)
         return {
             "maxDoc": s.max_doc,
             "numDocs": s.num_docs,
@@ -540,6 +541,10 @@ class IndexRuntime:
             "gen": self._gen,
             "mode": self.mode,
             "bufferedDocs": self.writer.buffered_docs,
+            # searcher age since publish (reference: SearchResponseCollector
+            # nrt_searcher_age family) + merge scheduler activity
+            "searcherAgeSec": (time.time() - published) if published else 0.0,
+            **self.writer.merge_stats,
         }
 
 

@@ -81,10 +81,62 @@ class Metrics:
             "nrt_index_buffered_docs", "buffered docs", ["index"],
             registry=self.registry,
         )
+        # searcher age since publish (reference: SearchResponseCollector)
+        self._searcher_age = Gauge(
+            "nrt_searcher_age_seconds", "seconds since current searcher publish",
+            ["index"], registry=self.registry,
+        )
+        # merge scheduler activity (reference: MergeSchedulerCollector)
+        self._merges = Gauge(
+            "nrt_index_merges", "merges completed", ["index"],
+            registry=self.registry,
+        )
+        self._merged_docs = Gauge(
+            "nrt_index_merged_docs", "docs rewritten by merges", ["index"],
+            registry=self.registry,
+        )
+        self._merge_seconds = Gauge(
+            "nrt_index_merge_seconds", "wall seconds spent merging", ["index"],
+            registry=self.registry,
+        )
+        # per-stage search timing (reference: SearchHandler Diagnostics ->
+        # nrt_search_timing families)
+        self.search_stage_latency = Histogram(
+            "nrt_search_stage_latency_seconds",
+            "per-stage search latency",
+            ["index", "stage"],
+            registry=self.registry,
+            buckets=_BUCKETS,
+        )
+        # thread-pool accounting (reference: ThreadPoolCollector)
+        self._pool_submitted = Gauge(
+            "nrt_pool_tasks_submitted", "tasks submitted", ["pool"],
+            registry=self.registry,
+        )
+        self._pool_rejected = Gauge(
+            "nrt_pool_tasks_rejected", "tasks rejected to caller-runs",
+            ["pool"], registry=self.registry,
+        )
+        self._pool_queue = Gauge(
+            "nrt_pool_queue_depth", "queued tasks", ["pool"],
+            registry=self.registry,
+        )
+        # process stats (reference: ProcStatCollector)
+        self._proc_rss = Gauge(
+            "process_resident_memory_bytes", "resident set size",
+            registry=self.registry,
+        )
+        self._proc_cpu = Gauge(
+            "process_cpu_seconds_total", "user+system CPU seconds",
+            registry=self.registry,
+        )
 
     def observe_rpc(self, method: str, seconds: float, code: str = "OK") -> None:
         self.rpc_latency.labels(method).observe(seconds)
         self.rpc_count.labels(method, code).inc()
+
+    def observe_search_stage(self, index: str, stage: str, seconds: float) -> None:
+        self.search_stage_latency.labels(index, stage).observe(seconds)
 
     def scrape(self) -> str:
         if self.global_state is not None:
@@ -94,4 +146,22 @@ class Metrics:
                 self._segment_gauges.labels(name).set(st["numSegments"])
                 self._buffered_gauges.labels(name).set(st["bufferedDocs"])
                 self.nrt_point_version.labels(name).set(st["version"])
+                self._searcher_age.labels(name).set(st.get("searcherAgeSec", 0.0))
+                self._merges.labels(name).set(st.get("merges", 0))
+                self._merged_docs.labels(name).set(st.get("merged_docs", 0))
+                self._merge_seconds.labels(name).set(st.get("merge_seconds", 0.0))
+        from nrtsearch_tpu.server.concurrent import ExecutorFactory
+
+        for pool, ps in ExecutorFactory.get().stats().items():
+            self._pool_submitted.labels(pool).set(ps["submitted"])
+            self._pool_rejected.labels(pool).set(ps["rejected"])
+            self._pool_queue.labels(pool).set(ps["queue_depth"])
+        try:
+            import resource
+
+            ru = resource.getrusage(resource.RUSAGE_SELF)
+            self._proc_rss.set(ru.ru_maxrss * 1024)  # linux: KiB
+            self._proc_cpu.set(ru.ru_utime + ru.ru_stime)
+        except Exception:
+            pass
         return generate_latest(self.registry).decode()

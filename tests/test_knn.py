@@ -97,6 +97,19 @@ def test_filtered_knn(vec_index):
     assert all(h.global_ord >= 100 for h in td2.hits)
 
 
+def test_knn_total_hits_is_filtered_match_count(vec_index):
+    """totalHits reports the true candidate count (reference:
+    NrtKnnFloatVectorQuery), not len(hits) <= k * segments."""
+    searcher, vectors, _ = vec_index
+    q = vectors[7]
+    td = searcher.knn_search("vec", q, k=5)
+    assert len(td.hits) == 5
+    assert td.total_hits == 200  # all docs have vectors
+    filt = parse_query({"rangeQuery": {"field": "price", "upper": "50"}})
+    td2 = searcher.knn_search("vec", q, k=5, filter_node=filt)
+    assert td2.total_hits == 51  # prices 0..50 inclusive
+
+
 def test_hybrid_search_over_grpc(tmp_path):
     from nrtsearch_tpu.client import NrtsearchClient
     from nrtsearch_tpu.config import NrtsearchConfig
