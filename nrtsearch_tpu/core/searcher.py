@@ -236,7 +236,7 @@ class Searcher:
             fd = self.field_defs.get(node.field)
             if fd is None or not fd.is_text or not fd.search:
                 return None
-            terms = [node.text]
+            terms = [fd.normalize_value(node.text)]
             require_all = True
         else:
             return None

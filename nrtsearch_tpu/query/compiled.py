@@ -174,19 +174,20 @@ def prepare(node: qp.QueryNode, prep: _Prep) -> CNode:
         fd = ctx.field_defs.get(node.field)
         if fd is None:
             raise KeyError(f"unknown field: {node.field!r}")
-        if node.text is not None and fd.is_text and fd.search:
+        text = fd.normalize_value(node.text) if node.text is not None else None
+        if text is not None and fd.is_text and fd.search:
             return _prep_text(
-                prep, node.field, [node.text], [1.0], "MUST", 0, node.boost
+                prep, node.field, [text], [1.0], "MUST", 0, node.boost
             )
         dv = seg.doc_values.get(node.field)
         if dv is None:
             return _none()
         if not _dv_compilable(dv):
             return _host_fallback(node, prep)
-        if node.text is not None and dv.kind == DocValueKind.ORDINAL:
+        if text is not None and dv.kind == DocValueKind.ORDINAL:
             # ordinal compare stays in the column's (integer) dtype, exactly
             # like the eager _ordinal_match
-            ordv = (dv.ord_index or {}).get(node.text, -2)
+            ordv = (dv.ord_index or {}).get(text, -2)
             targets = np.asarray([ordv], _col_dtype(dv))
             return CNode(
                 "in_set",
@@ -218,9 +219,10 @@ def prepare(node: qp.QueryNode, prep: _Prep) -> CNode:
         fd = ctx.field_defs.get(node.field)
         if fd is None:
             raise KeyError(f"unknown field: {node.field!r}")
-        if node.texts and fd.is_text and fd.search:
+        texts = [fd.normalize_value(t) for t in node.texts]
+        if texts and fd.is_text and fd.search:
             return _prep_text(
-                prep, node.field, list(node.texts), [0.0] * len(node.texts),
+                prep, node.field, texts, [0.0] * len(texts),
                 "SHOULD", 0, node.boost, scored=False,
             )
         dv = seg.doc_values.get(node.field)
@@ -228,9 +230,9 @@ def prepare(node: qp.QueryNode, prep: _Prep) -> CNode:
             return _none()
         if not _dv_compilable(dv):
             return _host_fallback(node, prep)
-        if node.texts and dv.kind == DocValueKind.ORDINAL:
+        if texts and dv.kind == DocValueKind.ORDINAL:
             targets = np.asarray(
-                [(dv.ord_index or {}).get(t, -2) for t in node.texts],
+                [(dv.ord_index or {}).get(t, -2) for t in texts],
                 _col_dtype(dv),
             )
         else:

@@ -273,8 +273,9 @@ def _text_clause(
 
 def _eval_term(node: qp.TermQueryNode, ctx: EvalContext):
     fd = _field(ctx, node.field)
-    if node.text is not None and fd.is_text and fd.search:
-        return _text_clause(ctx, node.field, [node.text], [1.0], "MUST", 0, node.boost)
+    text = fd.normalize_value(node.text) if node.text is not None else None
+    if text is not None and fd.is_text and fd.search:
+        return _text_clause(ctx, node.field, [text], [1.0], "MUST", 0, node.boost)
     dv = ctx.segment.doc_values.get(node.field)
     if dv is None:
         return _none(ctx)
@@ -284,8 +285,8 @@ def _eval_term(node: qp.TermQueryNode, ctx: EvalContext):
         target = node.long_value
     elif node.double_value is not None:
         target = node.double_value
-    elif node.text is not None and dv.kind == DocValueKind.ORDINAL:
-        ordv = (dv.ord_index or {}).get(node.text, -2)
+    elif text is not None and dv.kind == DocValueKind.ORDINAL:
+        ordv = (dv.ord_index or {}).get(text, -2)
         match = _ordinal_match(dv, np.asarray([ordv], np.int32))
         return _const_score(match, node.boost), match
     else:
@@ -297,18 +298,19 @@ def _eval_term(node: qp.TermQueryNode, ctx: EvalContext):
 
 def _eval_term_in_set(node: qp.TermInSetNode, ctx: EvalContext):
     fd = _field(ctx, node.field)
-    if node.texts and fd.is_text and fd.search:
+    texts = [fd.normalize_value(t) for t in node.texts]
+    if texts and fd.is_text and fd.search:
         # OR over postings of each term, constant score (Lucene TermInSetQuery)
         _, match = _text_clause(
-            ctx, node.field, list(node.texts), [0.0] * len(node.texts), "SHOULD", 0, 0.0
+            ctx, node.field, texts, [0.0] * len(texts), "SHOULD", 0, 0.0
         )
         return _const_score(match, node.boost), match
     dv = ctx.segment.doc_values.get(node.field)
     if dv is None:
         return _none(ctx)
-    if node.texts and dv.kind == DocValueKind.ORDINAL:
+    if texts and dv.kind == DocValueKind.ORDINAL:
         ords = np.asarray(
-            [(dv.ord_index or {}).get(t, -2) for t in node.texts], np.int32
+            [(dv.ord_index or {}).get(t, -2) for t in texts], np.int32
         )
         match = _ordinal_match(dv, ords)
         return _const_score(match, node.boost), match

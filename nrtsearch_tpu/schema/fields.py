@@ -88,6 +88,9 @@ class FieldDef:
     script_source: Optional[str] = None
     # ATOM: values longer than this are not indexed (doc values still stored)
     ignore_above: int = 0
+    # ATOM normalizer (analysis.proto Normalizer; applied to indexed terms,
+    # ordinal doc values, and query terms)
+    normalizer: Optional[Analyzer] = None
     # raw proto options kept for introspection / stats
     raw: dict = dc_field(default_factory=dict)
 
@@ -154,13 +157,22 @@ class FieldDef:
         # ATOM / _ID: single untokenized term (keyword semantics)
         if self.ignore_above and len(value) > self.ignore_above:
             return []  # Field.ignoreAbove: skip indexing oversized keywords
+        value = self.normalize_value(value)
         return [Token(value, 0, 0, len(value))]
 
     def query_terms(self, text: str) -> list[str]:
         if self.type == FieldType.TEXT:
             analyzer = self.search_analyzer or self.index_analyzer or get_analyzer("standard")
             return analyzer.terms(text)
-        return [text]
+        return [self.normalize_value(text)]
+
+    def normalize_value(self, value: str) -> str:
+        """Apply the field's normalizer (identity without one). The whole
+        value is one token (keyword tokenizer implied)."""
+        if self.normalizer is None:
+            return value
+        toks = self.normalizer.analyze(value)
+        return toks[0].text if toks else value
 
     def parse_doc_value(self, value: str) -> Any:
         """Parse one raw request value into its typed doc value."""
@@ -175,7 +187,7 @@ class FieldDef:
             return self._parse_datetime_millis(value)
         if t in (FieldType.LAT_LON, FieldType.POLYGON):
             return value  # parsed at the document level
-        return str(value)
+        return self.normalize_value(str(value))
 
     def parse_vector(self, value: Any) -> np.ndarray:
         if isinstance(value, str):
@@ -253,6 +265,13 @@ def create_field_def(name: str, spec: dict) -> FieldDef:
         return _FIELD_FACTORIES[type_name](name, spec)
     ftype = FieldType(type_name)
 
+    def _normalizer(spec_n) -> Optional[Analyzer]:
+        if spec_n is None:
+            return None
+        from nrtsearch_tpu.analysis.analyzers import get_normalizer
+
+        return get_normalizer(spec_n)
+
     def _analyzer(key: str) -> Optional[Analyzer]:
         a = spec.get(key) or spec.get("analyzer")
         if a is None:
@@ -279,6 +298,7 @@ def create_field_def(name: str, spec: dict) -> FieldDef:
         facet=spec.get("facet"),
         index_analyzer=_analyzer("indexAnalyzer"),
         search_analyzer=_analyzer("searchAnalyzer"),
+        normalizer=_normalizer(spec.get("normalizer")),
         dims=int(spec.get("vectorDimensions", 0)),
         similarity=spec.get("vectorSimilarity", "cosine"),
         vector_format=_vector_format(spec.get("vectorIndexingOptions")),

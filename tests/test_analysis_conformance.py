@@ -1,0 +1,147 @@
+"""Analyzer conformance matrix: predefined analyzers, language chains,
+token/char filters, custom + conditional chains, normalizers.
+
+Golden expectations pin the chain semantics (tokenize -> filters order,
+position holes for stopwords, elision, light stemming). Reference surface:
+analysis.proto:36-76 + AnalyzerCreator predefined names."""
+
+import pytest
+
+from nrtsearch_tpu.analysis import get_analyzer
+from nrtsearch_tpu.analysis.analyzers import _DEFAULT_REGISTRY, get_normalizer
+
+# (analyzer, input, expected terms)
+MATRIX = [
+    ("standard", "The QUICK brown-fox 42!", ["the", "quick", "brown", "fox", "42"]),
+    ("whitespace", "The QUICK brown-fox", ["The", "QUICK", "brown-fox"]),
+    ("simple", "abc123 def", ["abc", "def"]),
+    ("keyword", "One Whole Value", ["One Whole Value"]),
+    ("stop", "the quick fox", ["quick", "fox"]),
+    ("english", "running foxes jumped", ["run", "fox", "jump"]),
+    ("en.English", "running foxes jumped", ["run", "fox", "jump"]),
+    # elision + stopwords + light stemming
+    ("french", "l'avion des chevaux", ["avion", "cheval"]),
+    ("fr.French", "L'église", ["églis"]),
+    ("german", "Häuser und Bücher", ["haus", "buch"]),
+    ("spanish", "los gatos y las casas", ["gato", "casa"]),
+    ("italian", "le ragazze e i ragazzi", ["ragazz", "ragazz"]),
+    ("portuguese", "as canções dos amigos", ["canção", "amigo"]),
+    ("dutch", "de huizen en fietsen", ["huiz", "fiets"]),
+    ("russian", "быстрые лисы", ["быстр", "лис"]),
+    ("swedish", "flickorna och pojkarna", ["flick", "pojk"]),
+    ("danish", "hestene og hundene", ["hest", "hund"]),
+    ("norwegian", "jentene og guttene", ["jent", "gutt"]),
+    ("finnish", "taloissa ja autoissa", ["talo", "auto"]),
+]
+
+
+@pytest.mark.parametrize("name,text,expected", MATRIX,
+                         ids=[m[0] for m in MATRIX])
+def test_predefined_analyzers(name, text, expected):
+    assert get_analyzer(name).terms(text) == expected
+
+
+def test_unknown_analyzer_raises():
+    with pytest.raises(KeyError, match="unknown analyzer"):
+        get_analyzer("xx.Klingon")
+
+
+def test_stopword_positions_preserved():
+    toks = get_analyzer("english").analyze("the quick fox")
+    assert [(t.text, t.position) for t in toks] == [("quick", 1), ("fox", 2)]
+
+
+CUSTOM_CASES = [
+    # token filters with params
+    ({"tokenFilters": [{"name": "uppercase"}]}, "a Bc", ["A", "BC"]),
+    ({"tokenFilters": [{"name": "reverse"}]}, "abc", ["cba"]),
+    ({"tokenFilters": [{"name": "truncate", "params": {"length": "3"}}]},
+     "abcdef gh", ["abc", "gh"]),
+    ({"tokenFilters": [{"name": "length", "params": {"min": "3", "max": "4"}}]},
+     "ab abc abcde", ["abc"]),
+    ({"tokenFilters": [{"name": "edgeNGram",
+                        "params": {"minGramSize": "1", "maxGramSize": "3"}}]},
+     "fox", ["f", "fo", "fox"]),
+    ({"tokenFilters": [{"name": "nGram",
+                        "params": {"minGramSize": "2", "maxGramSize": "2"}}]},
+     "fox", ["fo", "ox"]),
+    ({"tokenFilters": [{"name": "shingle",
+                        "params": {"minShingleSize": "2", "maxShingleSize": "2"}}]},
+     "a b c", ["a", "a b", "b", "b c", "c"]),
+    ({"tokenizer": {"name": "whitespace"},
+      "tokenFilters": [{"name": "wordDelimiter"}]},
+     "PowerShot wi-fi", ["Power", "Shot", "wi", "fi"]),
+    ({"tokenFilters": [{"name": "stop", "params": {"stopwords": "foo,bar"}}]},
+     "foo baz bar", ["baz"]),
+    ({"tokenFilters": [{"name": "snowballPorter", "params": {"language": "german"}}]},
+     "häuser", ["haus"]),
+    ({"tokenFilters": [{"name": "removeDuplicates"}]}, "x x", ["x", "x"]),
+    # char filters
+    ({"charFilters": [{"name": "htmlStrip"}]}, "<b>bold</b> text", ["bold", "text"]),
+    ({"charFilters": [{"name": "mapping", "params": {"mappings": "ph=>f"}}]},
+     "phone", ["fone"]),
+    ({"charFilters": [{"name": "patternReplace",
+                       "params": {"pattern": "[0-9]+", "replacement": "N"}}]},
+     "abc123", ["abcN"]),
+]
+
+
+@pytest.mark.parametrize("spec,text,expected", CUSTOM_CASES)
+def test_custom_chains(spec, text, expected):
+    an = _DEFAULT_REGISTRY.from_custom(spec)
+    assert an.terms(text) == expected
+
+
+def test_conditional_protected_term():
+    """protectedTerm condition: protected tokens bypass the inner filters
+    (reference: analysis.proto ConditionalTokenFilter)."""
+    spec = {
+        "tokenizer": {"name": "whitespace"},
+        "conditionalTokenFilters": [
+            {"condition": {"name": "protectedTerm", "params": {"terms": "NASA,IBM"}},
+             "tokenFilters": [{"name": "lowercase"}]},
+        ],
+    }
+    an = _DEFAULT_REGISTRY.from_custom(spec)
+    assert an.terms("NASA Launches IBM Deal") == ["NASA", "launches", "IBM", "deal"]
+
+
+def test_normalizers():
+    assert get_normalizer("lowercase").terms("Hello World") == ["hello world"]
+    custom = get_normalizer({"custom": {
+        "charFilters": [{"name": "mapping", "params": {"mappings": "-=> "}}],
+        "tokenFilters": [{"name": "lowercase"}, {"name": "trim"}],
+    }})
+    assert custom.terms("Wi-Fi ") == ["wi fi"]
+    with pytest.raises(KeyError, match="unknown normalizer"):
+        get_normalizer("bogus")
+
+
+def test_atom_normalizer_end_to_end():
+    """ATOM field with a lowercase normalizer: index + query + doc values all
+    normalize, so mixed-case queries match (Lucene normalizer semantics)."""
+    from nrtsearch_tpu.core.searcher import Searcher
+    from nrtsearch_tpu.core.writer import IndexWriter
+    from nrtsearch_tpu.query.plan import parse_query
+    from nrtsearch_tpu.schema.fields import create_field_def
+
+    fields = {
+        "id": create_field_def("id", {"type": "_ID", "storeDocValues": True}),
+        "brand": create_field_def("brand", {
+            "type": "ATOM", "search": True, "storeDocValues": True,
+            "normalizer": {"predefined": "lowercase"},
+        }),
+    }
+    w = IndexWriter(fields)
+    w.add_documents([
+        {"id": "1", "brand": "Apple"},
+        {"id": "2", "brand": "SAMSUNG"},
+    ])
+    s = Searcher(w.refresh(), fields, version=1)
+    for q_text, want in [("apple", 1), ("APPLE", 1), ("Samsung", 1), ("nokia", 0)]:
+        td = s.search(parse_query(
+            {"termQuery": {"field": "brand", "textValue": q_text}}), 10)
+        assert td.total_hits == want, (q_text, td.total_hits)
+    td = s.search(parse_query({"termInSetQuery": {
+        "field": "brand", "textTerms": {"terms": ["APPLE", "samsung"]}}}), 10)
+    assert td.total_hits == 2
