@@ -423,6 +423,8 @@ class PackedFieldView:
         offs, lens, weights, run_len = plan_run_lists(
             rows, max_run=int(self.doc_ids.shape[0])
         )
+        import jax
+
         scores, docs, hits = merge_score_topk(
             self.doc_ids, self.impacts,
             jnp.asarray(offs), jnp.asarray(lens), jnp.asarray(weights),
@@ -431,7 +433,9 @@ class PackedFieldView:
             require_all_terms=require_all,
             use_pallas=self.use_pallas,
         )
-        return np.asarray(scores), np.asarray(docs), np.asarray(hits)
+        # one batched transfer for all three outputs (separate np.asarray
+        # fetches pay a device round trip each)
+        return jax.device_get((scores, docs, hits))
 
     def search_batch(
         self,

@@ -164,8 +164,11 @@ class Searcher:
                 s, ids, th = masked_top_k_by_key(
                     keys[None, :], match[None, :], k=k, ascending=not sort.reverse
                 )
-            seg_total = int(np.asarray(th[0]))
-            per_segment.append((np.asarray(s[0]), np.asarray(ids[0]), idx, min(seg_total, k)))
+            import jax
+
+            s, ids, th = jax.device_get((s, ids, th))
+            seg_total = int(th[0])
+            per_segment.append((s[0], ids[0], idx, min(seg_total, k)))
             total += seg_total
 
         td = self._merge_top(per_segment, top_hits, sort, total)
@@ -184,16 +187,22 @@ class Searcher:
         arrays_entry-or-None) — bit-compatible with the eager path."""
         from nrtsearch_tpu.query import compiled as qc
 
+        import jax
+
         ctx = qeval.EvalContext(seg, self.field_defs, self.stats)
         cq = qc.CompiledQuery(node, extra_filter, ctx, qc.live_root_mask(seg))
         arr = None
+        # device_get on the result TUPLE fetches all outputs in one transfer
+        # (separate np.asarray calls pay one device round trip each — ruinous
+        # through a remote-device tunnel)
         if sort is None:
             if return_arrays:
                 sc, match, s, ids, th = cq.arrays_top_k(k)
                 arr = (sc, match)
+                s, ids, th = jax.device_get((s, ids, th))
             else:
-                s, ids, th = cq.top_k(k)
-            return np.asarray(s), np.asarray(ids), int(np.asarray(th)), arr
+                s, ids, th = jax.device_get(cq.top_k(k))
+            return s, ids, int(th), arr
         keys = self._sort_keys(seg, sort)
         if return_arrays or keys is None:
             sc, match = cq.arrays()
@@ -202,14 +211,14 @@ class Searcher:
                 # exact-int64/f64 column: host-side sort fallback
                 s, ids, seg_total = self._host_sorted_topk(seg, match, sort, k)
                 return np.asarray(s[0]), np.asarray(ids[0]), seg_total, arr
-            s, ids, th = masked_top_k_by_key(
+            s, ids, th = jax.device_get(masked_top_k_by_key(
                 keys[None, :], match[None, :], k=k, ascending=not sort.reverse
-            )
-            return (
-                np.asarray(s[0]), np.asarray(ids[0]), int(np.asarray(th[0])), arr
-            )
-        s, ids, th = cq.top_k_by_key(keys, k, ascending=not sort.reverse)
-        return np.asarray(s), np.asarray(ids), int(np.asarray(th)), None
+            ))
+            return s[0], ids[0], int(th[0]), arr
+        s, ids, th = jax.device_get(
+            cq.top_k_by_key(keys, k, ascending=not sort.reverse)
+        )
+        return s, ids, int(th), None
 
     def fast_query_spec(self, node: qp.QueryNode):
         """Compile a query node to a fast-path QuerySpec, or None if the shape
@@ -345,9 +354,6 @@ class Searcher:
                 ctx = qeval.EvalContext(seg, self.field_defs, self.stats)
                 _, fmask = qeval.eval_node(filter_node, ctx)
                 mask = mask & fmask
-            # true filtered-match count (reference: NrtKnnFloatVectorQuery
-            # exposes the full candidate count, not k * segments)
-            total_matches += int(np.asarray(jnp.sum(mask)))
             kk = min(k, seg.capacity)
             sq = jnp.asarray((vc.host_norms**2).astype(np.float32))
             if vc.fmt == "int8":
@@ -362,7 +368,15 @@ class Searcher:
                     vc.values, sq, mask, jnp.asarray(q),
                     similarity=fd.similarity, k=kk,
                 )
-            scores, ids = np.asarray(scores[0]), np.asarray(ids[0])
+            import jax
+
+            # one transfer: top-k results + the true filtered-match count
+            # (reference: NrtKnnFloatVectorQuery exposes the full candidate
+            # count, not k * segments)
+            scores, ids, seg_matches = jax.device_get(
+                (scores[0], ids[0], jnp.sum(mask, dtype=jnp.int32))
+            )
+            total_matches += int(seg_matches)
             base = int(self.bases[idx])
             for s, i in zip(scores, ids):
                 if s == -np.inf:

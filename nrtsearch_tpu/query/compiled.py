@@ -65,7 +65,13 @@ class CNode:
 
 
 class _Prep:
-    """Accumulates the flat device-input list during tree preparation."""
+    """Accumulates the flat input list during tree preparation.
+
+    Host-side constants stay NUMPY: jax.jit ships all arguments in the one
+    execute call, whereas an eager ``jnp.asarray`` per constant is its own
+    host->device transfer (tens of RPC round trips per query through a
+    remote-device tunnel). Segment columns are already device-resident and
+    pass through untouched."""
 
     def __init__(self, ctx: qeval.EvalContext):
         self.ctx = ctx
@@ -76,10 +82,10 @@ class _Prep:
         return len(self.inputs) - 1
 
     def f32(self, value) -> int:
-        return self.slot(jnp.float32(value))
+        return self.slot(np.float32(value))
 
     def i32(self, value) -> int:
-        return self.slot(jnp.int32(value))
+        return self.slot(np.int32(value))
 
 
 # ---------------------------------------------------------------------------
@@ -138,9 +144,9 @@ def _prep_text(
             prep.slot(tfi.doc_ids),
             prep.slot(tfi.freqs),
             prep.slot(tfi.doc_lens),
-            prep.slot(jnp.asarray(offs)[None, :]),
-            prep.slot(jnp.asarray(lens)[None, :]),
-            prep.slot(jnp.asarray(weights)[None, :]),
+            prep.slot(offs[None, :]),
+            prep.slot(lens[None, :]),
+            prep.slot(weights[None, :]),
             prep.f32(k1),
             prep.f32(b),
             prep.f32(ctx.stats.avgdl(field)),
@@ -194,7 +200,7 @@ def prepare(node: qp.QueryNode, prep: _Prep) -> CNode:
                 slots=(
                     prep.slot(dv.values),
                     prep.slot(dv.present),
-                    prep.slot(jnp.asarray(targets)),
+                    prep.slot(targets),
                     prep.f32(node.boost),
                 ),
             )
@@ -250,7 +256,7 @@ def prepare(node: qp.QueryNode, prep: _Prep) -> CNode:
             slots=(
                 prep.slot(dv.values),
                 prep.slot(dv.present),
-                prep.slot(jnp.asarray(targets)),
+                prep.slot(targets),
                 prep.f32(node.boost),
             ),
         )
@@ -302,8 +308,8 @@ def prepare(node: qp.QueryNode, prep: _Prep) -> CNode:
                 prep.slot(dv.present),
                 prep.f32(lower),
                 prep.f32(upper),
-                prep.slot(jnp.asarray(not node.lower_exclusive)),
-                prep.slot(jnp.asarray(not node.upper_exclusive)),
+                prep.slot(np.bool_(not node.lower_exclusive)),
+                prep.slot(np.bool_(not node.upper_exclusive)),
                 prep.f32(node.boost),
             ),
         )
@@ -448,7 +454,7 @@ def prepare(node: qp.QueryNode, prep: _Prep) -> CNode:
                     pts.append(pts[0])
                 segs.append(np.asarray(pts, np.float32))
                 segs.append(np.full((1, 2), np.nan, np.float32))
-            ring_slots.append(prep.slot(jnp.asarray(np.concatenate(segs, axis=0))))
+            ring_slots.append(prep.slot(np.concatenate(segs, axis=0)))
         if not ring_slots:
             return _none()
         return CNode(
@@ -485,14 +491,14 @@ def prepare(node: qp.QueryNode, prep: _Prep) -> CNode:
             raise ValueError(
                 f"query vector dimension {len(node.query_vector)} != field dims {dims}"
             )
-        q = jnp.asarray(np.asarray(node.query_vector, np.float32))[None, :]
+        q = np.asarray(node.query_vector, np.float32)[None, :]
         return CNode(
             "exact_vector",
             static=(fd.similarity or "l2_norm",),
             slots=(
                 prep.slot(q),
                 prep.slot(vc.device_float()),
-                prep.slot(jnp.asarray((vc.host_norms**2).astype(np.float32))),
+                prep.slot((vc.host_norms**2).astype(np.float32)),
                 prep.slot(vc.present),
                 prep.slot(seg.live),
                 prep.f32(node.boost),

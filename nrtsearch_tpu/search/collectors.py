@@ -6,10 +6,9 @@ FilterCollectorManager, Min/Max/Sum, TopHitsCollector, NestedCollectorManagers
 
 Collectors run beside recall over the full match set. Evaluation here is
 columnar: the query's per-segment (scores, match) arrays drive masked
-reductions over doc-value columns. This first implementation reduces on the
-host over the segments' host-resident columns (correct and simple); the
-device path (bincount/segment-reduce kernels over ordinal columns) slots in
-behind the same interface.
+reductions over doc-value columns — ON DEVICE for single-valued columns
+(ordinal bincount, masked sum/min/max, range counts: only the tiny results
+leave HBM), on the host for multi-valued CSR, hierarchies, and exact-f64.
 """
 
 from __future__ import annotations
@@ -17,6 +16,7 @@ from __future__ import annotations
 from collections import defaultdict
 from typing import Any, Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from nrtsearch_tpu.core.searcher import Searcher
@@ -24,18 +24,41 @@ from nrtsearch_tpu.schema.fields import DocValueKind, FieldDef
 
 
 class SegmentMatches:
-    """Per-segment match masks + scores for the current query (host copies)."""
+    """Per-segment match masks + scores for the current query.
+
+    Masks stay DEVICE-resident; collectors that can count on device (ordinal
+    terms, numeric stats, hit counts, range counts) never ship the [D] masks
+    to the host — at Lucene scale a single mask is megabytes and the readback
+    dominates facet latency. ``.masks``/``.scores`` convert lazily for the
+    host-side collectors (multi-valued CSR, hierarchies, scripts over rows).
+    """
 
     def __init__(self, searcher: Searcher, masks, scores=None):
         self.searcher = searcher
-        self.masks = [np.asarray(m) for m in masks]
-        self.scores = [np.asarray(s) for s in scores] if scores is not None else None
+        self.raw_masks = list(masks)
+        self.raw_scores = list(scores) if scores is not None else None
+        self._masks = None
+        self._scores = None
+
+    @property
+    def masks(self) -> list[np.ndarray]:
+        if self._masks is None:
+            self._masks = [np.asarray(m) for m in self.raw_masks]
+        return self._masks
+
+    @property
+    def scores(self) -> Optional[list[np.ndarray]]:
+        if self.raw_scores is None:
+            return None
+        if self._scores is None:
+            self._scores = [np.asarray(s) for s in self.raw_scores]
+        return self._scores
 
     def and_mask(self, other_masks) -> "SegmentMatches":
         return SegmentMatches(
             self.searcher,
-            [m & np.asarray(o) for m, o in zip(self.masks, other_masks)],
-            self.scores,
+            [m & o for m, o in zip(self.raw_masks, other_masks)],
+            self.raw_scores,
         )
 
 
@@ -58,16 +81,43 @@ def _iter_field_values(seg, field: str):
     return docs, vals, None
 
 
+def _device_ordinal_counts(mask, dv) -> np.ndarray:
+    """Per-ordinal match counts on device; ships [n_ords] back, not [D]."""
+    import jax.numpy as jnp
+
+    eff = jnp.asarray(mask) & dv.present
+    idx = jnp.where(eff, dv.values, 0).astype(jnp.int32)
+    counts = (
+        jnp.zeros(max(len(dv.ord_terms), 1), jnp.int32)
+        .at[idx]
+        .add(eff.astype(jnp.int32))
+    )
+    return np.asarray(counts)
+
+
 def terms_counts(
     matches: SegmentMatches, field: str
 ) -> dict[str, int]:
     """Count of each term value among matching docs (TermsCollectorManager)."""
     out: dict[Any, int] = defaultdict(int)
-    for seg, mask in zip(matches.searcher.segments, matches.masks):
+    for i, seg in enumerate(matches.searcher.segments):
+        dv = seg.doc_values.get(field)
+        if dv is None:
+            continue
+        if (
+            dv.mv_offsets is None
+            and dv.kind == DocValueKind.ORDINAL
+            and dv.ord_terms
+        ):
+            counts = _device_ordinal_counts(matches.raw_masks[i], dv)
+            for o in np.nonzero(counts)[0]:
+                out[dv.ord_terms[int(o)]] += int(counts[o])
+            continue
         it = _iter_field_values(seg, field)
         if it is None:
             continue
         docs, vals, ord_terms = it
+        mask = matches.masks[i]
         hit = mask[: seg.num_docs][docs]
         if not hit.any():
             continue
@@ -86,31 +136,67 @@ def _fmt_num(v) -> str:
     return str(v)
 
 
+def _device_masked_stat(eff, vals, op: str) -> Optional[float]:
+    """Masked sum/min/max + count in one device round trip; None if no docs
+    matched."""
+    import jax.numpy as jnp
+
+    vals = vals.astype(jnp.float32)
+    if op == "sum":
+        stat = jnp.sum(jnp.where(eff, vals, 0.0))
+    elif op == "min":
+        stat = jnp.min(jnp.where(eff, vals, np.inf))
+    else:
+        stat = jnp.max(jnp.where(eff, vals, -np.inf))
+    import jax
+
+    cnt = jnp.sum(eff, dtype=jnp.int32)
+    stat, cnt = jax.device_get((stat, cnt))
+    return float(stat) if int(cnt) else None
+
+
 def numeric_stat(
     matches: SegmentMatches, field: str, op: str,
     script_source: Optional[str] = None,
 ) -> float:
-    """sum/min/max over a doc-value column or script among matching docs."""
+    """sum/min/max over a doc-value column or script among matching docs.
+
+    Single-valued f32 columns and script expressions reduce ON DEVICE (the
+    mask never leaves HBM); multi-valued CSR and exact-f64 columns keep the
+    host path."""
+    import jax.numpy as jnp
+
     agg: list[float] = []
-    for seg, mask in zip(matches.searcher.segments, matches.masks):
+    for i, seg in enumerate(matches.searcher.segments):
         if script_source is not None:
             from nrtsearch_tpu.query.eval import _ScriptDocValues
             from nrtsearch_tpu.script.expr import compile_expression
 
-            vals_full = np.asarray(
-                compile_expression(script_source)(
-                    _ScriptDocValues(seg), np.zeros(seg.capacity, np.float32)
-                )
+            vals_dev = compile_expression(script_source)(
+                _ScriptDocValues(seg), jnp.zeros(seg.capacity, jnp.float32)
             )
-            m = mask[: seg.num_docs]
-            vals = vals_full[: seg.num_docs][m]
-        else:
-            it = _iter_field_values(seg, field)
-            if it is None:
-                continue
-            docs, vals, ord_terms = it
-            hit = mask[: seg.num_docs][docs]
-            vals = np.asarray(vals, dtype=np.float64)[hit]
+            eff = jnp.asarray(matches.raw_masks[i]) & (
+                jnp.arange(seg.capacity) < seg.num_docs
+            )
+            v = _device_masked_stat(eff, jnp.asarray(vals_dev), op)
+            if v is not None:
+                agg.append(v)
+            continue
+        dv = seg.doc_values.get(field)
+        if dv is None:
+            continue
+        if dv.mv_offsets is None and dv.values.dtype != jnp.float64:
+            eff = jnp.asarray(matches.raw_masks[i]) & dv.present
+            v = _device_masked_stat(eff, dv.values, op)
+            if v is not None:
+                agg.append(v)
+            continue
+        it = _iter_field_values(seg, field)
+        if it is None:
+            continue
+        docs, vals, ord_terms = it
+        hit = matches.masks[i][: seg.num_docs][docs]
+        vals = np.asarray(vals, dtype=np.float64)[hit]
         if len(vals):
             agg.extend(
                 [float(vals.sum() if op == "sum" else vals.min() if op == "min" else vals.max())]
@@ -123,8 +209,12 @@ def numeric_stat(
 
 
 def hit_count(matches: SegmentMatches) -> int:
-    return int(sum(m[: seg.num_docs].sum() for seg, m in
-                   zip(matches.searcher.segments, matches.masks)))
+    """Matching-doc count, reduced on device (masks are already bounded by
+    live/doc-range, so padding never counts)."""
+    import jax.numpy as jnp
+
+    return int(sum(int(np.asarray(jnp.sum(jnp.asarray(m)))) for m in
+                   matches.raw_masks))
 
 
 def hierarchy_counts(
@@ -176,7 +266,18 @@ def numeric_range_counts(
         lo_inc = bool(r.get("minInclusive", True))
         hi_inc = bool(r.get("maxInclusive", False))
         count = 0
-        for seg, mask in zip(matches.searcher.segments, matches.masks):
+        for i, seg in enumerate(matches.searcher.segments):
+            dv = seg.doc_values.get(field)
+            if dv is None:
+                continue
+            if dv.mv_offsets is None and dv.values.dtype != jnp.float64:
+                v = dv.values
+                sel = (v >= lo if lo_inc else v > lo) & (
+                    v <= hi if hi_inc else v < hi
+                )
+                eff = jnp.asarray(matches.raw_masks[i]) & dv.present & sel
+                count += int(np.asarray(jnp.sum(eff, dtype=jnp.int32)))
+                continue
             it = _iter_field_values(seg, field)
             if it is None:
                 continue
@@ -186,6 +287,7 @@ def numeric_range_counts(
                 vals <= hi if hi_inc else vals < hi
             )
             # count matching DOCS (dedupe multi-valued hits per doc)
+            mask = matches.masks[i]
             hit_docs = np.unique(docs[sel & mask[: seg.num_docs][docs]])
             count += len(hit_docs)
         out.append((r.get("label", ""), count))
