@@ -305,7 +305,13 @@ class SegmentBuilder:
         self.field_defs = field_defs
         self.num_docs = 0
         # field -> term -> list[(doc, freq)] built as parallel arrays
+        # (pure-Python fallback; the native PostingsAccumulator below builds
+        # packed arrays directly when the extension is available)
         self._postings: dict[str, dict[str, list]] = {}
+        from nrtsearch_tpu.native_ext import get as _get_native
+
+        self._native = _get_native()
+        self._acc: dict[str, Any] = {}  # field -> PostingsAccumulator
         self._doc_lens: dict[str, list[int]] = {}
         self._dv: dict[str, list] = {}          # field -> list[(doc, value)]
         self._vectors: dict[str, list] = {}     # field -> list[(doc, np.ndarray)]
@@ -429,39 +435,48 @@ class SegmentBuilder:
 
     def _index_text(self, fd: FieldDef, doc_id: int, values: list[str]) -> None:
         name = fd.name
-        post = self._postings.setdefault(name, {})
         lens = self._doc_lens.setdefault(name, [])
         while len(lens) < doc_id:
             lens.append(0)
-        positions: dict[str, list[int]] = {}
+        native_tok = fd.type == FieldType.TEXT and fd.index_analyzer is None
+        if self._native is not None:
+            # native batch accumulation: postings build term-major packed
+            # arrays in C++ (no per-token PyObjects, no dict-of-lists) —
+            # custom analyzers and non-ASCII text still analyze in Python
+            # but feed the same accumulator via add_terms
+            acc = self._acc.get(name)
+            if acc is None:
+                acc = self._acc[name] = self._native.PostingsAccumulator()
+            total = 0
+            base = 0
+            for v in values:
+                cnt = acc.add_text(doc_id, v, base) if native_tok else -1
+                if cnt >= 0:
+                    total += cnt
+                    base += cnt + self.POSITION_GAP
+                    continue
+                positions: dict[str, list[int]] = {}
+                max_pos = 0
+                for tok in fd.index_tokens(v):
+                    positions.setdefault(tok.text, []).append(base + tok.position)
+                    max_pos = max(max_pos, tok.position + 1)
+                    total += 1
+                acc.add_terms(doc_id, positions)
+                base += max_pos + self.POSITION_GAP
+            lens.append(total)
+            return
+        post = self._postings.setdefault(name, {})
+        positions_all: dict[str, list[int]] = {}
         total = 0
         base = 0
-        use_native = fd.type == FieldType.TEXT and fd.index_analyzer is None
-        native = None
-        if use_native:
-            from nrtsearch_tpu.native_ext import get as _get_native
-
-            native = _get_native()
         for v in values:
-            if native is not None:
-                res = native.std_term_positions(v, base)
-                if res is not None:
-                    terms, count = res
-                    if len(values) == 1:
-                        positions = terms
-                    else:
-                        for term, plist in terms.items():
-                            positions.setdefault(term, []).extend(plist)
-                    total += count
-                    base += count + self.POSITION_GAP
-                    continue
             max_pos = 0
             for tok in fd.index_tokens(v):
-                positions.setdefault(tok.text, []).append(base + tok.position)
+                positions_all.setdefault(tok.text, []).append(base + tok.position)
                 max_pos = max(max_pos, tok.position + 1)
                 total += 1
             base += max_pos + self.POSITION_GAP
-        for term, plist in positions.items():
+        for term, plist in positions_all.items():
             post.setdefault(term, []).append((doc_id, len(plist), plist))
         lens.append(total)
 
@@ -474,6 +489,8 @@ class SegmentBuilder:
             name: self._pack_text_field(name, post, capacity)
             for name, post in self._postings.items()
         }
+        for name, acc in self._acc.items():
+            fields[name] = self._pack_text_field_native(name, acc, capacity)
         doc_values = {
             name: self._pack_doc_values(self.field_defs[name], vals, capacity)
             for name, vals in self._dv.items()
@@ -547,6 +564,48 @@ class SegmentBuilder:
             doc_count=doc_count,
             postings_len=total,
             host_doc_ids=doc_ids[:total].copy(),
+            host_freqs=freqs[:total].copy(),
+            positions=flat_positions,
+            position_offsets=pos_offsets,
+        )
+
+    def _pack_text_field_native(
+        self, field_name: str, acc, capacity: int
+    ) -> TextFieldIndex:
+        """Wrap the native accumulator's packed arrays (same layout as
+        _pack_text_field; pos_offsets is just cumsum(freqs) because every
+        token occurrence contributes exactly one position)."""
+        names, offs_b, lens_b, docs_b, freqs_b, pos_b = acc.finish()
+        offsets = np.frombuffer(offs_b, np.int64)
+        lengths = np.frombuffer(lens_b, np.int32)
+        host_docs = np.frombuffer(docs_b, np.int32).copy()
+        host_freqs_i = np.frombuffer(freqs_b, np.int32)
+        flat_positions = np.frombuffer(pos_b, np.int32).copy()
+        total = len(host_docs)
+        # 8k slack so Pallas DMA gathers never clamp (GATHER_TILE contract)
+        p_pad = pad_to_bucket(total + 16384)
+        doc_ids = np.zeros(p_pad, dtype=np.int32)
+        doc_ids[:total] = host_docs
+        freqs = np.zeros(p_pad, dtype=np.float32)
+        freqs[:total] = host_freqs_i
+        pos_offsets = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(host_freqs_i, out=pos_offsets[1:])
+        lens_list = self._doc_lens.get(field_name, [])
+        lens = np.zeros(capacity, dtype=np.int64)
+        lens[: len(lens_list)] = lens_list
+        qlens = quantize_length(lens).astype(np.float32)
+        doc_count = int(np.count_nonzero(lens[: self.num_docs]))
+        return TextFieldIndex(
+            terms={t: i for i, t in enumerate(names)},
+            offsets=offsets,
+            lengths=lengths,
+            doc_ids=_device_put(doc_ids),
+            freqs=_device_put(freqs),
+            doc_lens=_device_put(qlens),
+            sum_doc_lens=int(quantize_length(lens[: self.num_docs]).sum()),
+            doc_count=doc_count,
+            postings_len=total,
+            host_doc_ids=host_docs,
             host_freqs=freqs[:total].copy(),
             positions=flat_positions,
             position_offsets=pos_offsets,
