@@ -117,51 +117,33 @@ def main() -> None:
     # warmup pass so every iteration reuses compiled programs (steady state).
     query_sets = [corpus.sample_queries(BATCH, TERMS_PER_QUERY) for _ in range(8)]
     singles = [corpus.sample_queries(1, TERMS_PER_QUERY) for _ in range(8)]
-    log("warmup: pruning + compiling serving programs")
-    _, prune_stats = model.compile_pruned_batches(query_sets, TOP_K)
+    log("warmup: tiered serving programs (certify-or-escalate)")
+    prune_stats = model.compile_pruned_batches(query_sets, TOP_K)
     log(
-        f"block-max pruning kept {prune_stats['kept_frac']:.3f} of "
-        f"{prune_stats['postings_before']} postings"
+        f"impact tiering dispatched {prune_stats['kept_frac']:.3f} of "
+        f"{prune_stats['postings_before']} postings "
+        f"(escalation rate {prune_stats['escalation_rate']:.3f})"
     )
 
     def make_runner(sets):
-        # two-pass shape freeze: pass 1 (unforced) finds the largest natural
-        # run_len; pass 2 re-plans every batch UNDER that run_len to find the
-        # worst-case R. Freezing max-rl and max-R from DIFFERENT unforced
-        # batches multiplies their worst cases (an OOM), and forcing a
-        # smaller rl than a batch wants inflates its chunk count.
-        main_rl = 0
-        p1 = (0, 0)
-        for qs in sets:  # also warms per-term window-max caches
-            sl: dict = {}
-            out = model.serve_batch(qs, TOP_K, shape_log=sl)
-            _ = np.asarray(out[0][0, 0])
-            if "main" in sl:
-                main_rl = max(main_rl, sl["main"][0])
-            if "phase1" in sl:
-                p1 = max(p1, sl["phase1"], key=lambda x: x[0] * x[1])
-        main_r = 0
-        for qs in sets:
-            sl = {}
-            out = model.serve_batch(
-                qs, TOP_K, force_run_len=main_rl, phase1_shapes=p1,
-                shape_log=sl,
-            )
-            _ = np.asarray(out[0][0, 0])
-            if "main" in sl:
-                main_r = max(main_r, sl["main"][1])
+        # warm pass: compiles the (jointly shape-frozen) tier-1 program and
+        # any escalation shapes these sets need, and records the frozen
+        # (run_len, R) pairs so the timed loop reuses one program per phase
+        sl: dict = {}
+        model.compile_pruned_batches(sets, TOP_K, shape_log=sl)
+        p1 = sl.get("phase1", (0, 0))
+        full = sl.get("full", (0, 0))
+        log(f"  frozen shapes: phase1={p1} full={full}")
         state = {"i": 0}
 
         def run():
             qs = sets[state["i"] % len(sets)]
             state["i"] += 1
-            out = model.serve_batch(
-                qs, TOP_K, force_run_len=main_rl, force_R=main_r,
-                phase1_shapes=p1,
+            # results are host arrays (device_get inside): timing includes
+            # the full round trip, no extra completion read needed
+            model.serve_batch(
+                qs, TOP_K, phase1_shapes=p1, full_shapes=full,
             )
-            # force completion: block_until_ready is unreliable through the
-            # axon tunnel, so read back one element
-            _ = np.asarray(out[0][0, 0])
 
         run()  # compile the frozen-shape programs
         run()

@@ -40,11 +40,9 @@ def main():
     print(f"device: {dev}", file=sys.stderr)
     corpus = SyntheticCorpus(NUM_DOCS, 100_000, 48, seed=42)
     model = corpus.to_model()
-    batches, stats = model.compile_pruned_batches(
-        [corpus.sample_queries(BATCH, 4)], K
-    )
-    b = batches[0]
-    print(f"kept_frac={stats['kept_frac']:.4f} run_len={b.run_len} "
+    # stage profile uses the FULL-width (unpruned) program shapes
+    b = model.compile_queries(corpus.sample_queries(BATCH, 4))
+    print(f"run_len={b.run_len} "
           f"R={b.term_offsets.shape[1]} width={b.run_len*b.term_offsets.shape[1]}",
           file=sys.stderr)
     offs = jnp.asarray(b.term_offsets)

@@ -115,6 +115,8 @@ class Searcher:
             and not terminate_after
         ):
             fast = self._fast_text_search(node, top_hits)
+            if fast is None:
+                fast = self._fast_filtered_text(node, top_hits)
             if fast is not None:
                 return fast
         t_start = _time.time()
@@ -296,6 +298,55 @@ class Searcher:
             return None
         results = self.fast_search_batch([spec], top_hits)
         return results[0]
+
+    def _fast_filtered_text(self, node: qp.QueryNode, top_hits: int):
+        """Filter pushdown: a boolean tree of ONE scored MUST text clause
+        plus pure FILTER / MUST_NOT clauses rides the scatter-free merge
+        kernel — the filter mask (compiled per segment, concatenated to
+        global ords) multiplies gathered contributions inside the kernel, so
+        top-k and hit counts are exact over the filtered set without the
+        dense per-clause evaluator (reference: filtered search keeps the
+        filter in the lead iterator).
+
+        SHOULD-occur scored clauses are NOT eligible: with filters present,
+        Lucene treats SHOULD as optional (filter-only matches score 0), which
+        a score>0 kernel cannot represent."""
+        if not _compiled_eval_enabled():
+            return None
+        if not isinstance(node, qp.BooleanQueryNode):
+            return None
+        if node.minimum_number_should_match:
+            return None
+        scored, others = [], []
+        for cl in node.clauses:
+            if cl.occur == qp.Occur.MUST:
+                scored.append(cl.node)
+            elif cl.occur in (qp.Occur.FILTER, qp.Occur.MUST_NOT):
+                others.append(cl)
+            else:
+                return None  # SHOULD alongside filters: general path
+        if len(scored) != 1 or not others:
+            return None
+        spec = self.fast_query_spec(scored[0])
+        if spec is None or not self.segments:
+            return None
+        import jax.numpy as jnp
+
+        from nrtsearch_tpu.query import compiled as qc
+
+        filter_node = qp.BooleanQueryNode(clauses=tuple(others))
+        parts = []
+        for seg in self.segments:
+            ctx = qeval.EvalContext(seg, self.field_defs, self.stats)
+            cq = qc.CompiledQuery(filter_node, None, ctx, qc.live_root_mask(seg))
+            parts.append(cq.match()[: seg.num_docs])
+        gfilter = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        from dataclasses import replace as dc_replace
+
+        spec = dc_replace(
+            spec, boost=spec.boost * float(node.boost), filter=gfilter
+        )
+        return self.fast_search_batch([spec], top_hits)[0]
 
     def fast_search_batch(self, specs, top_hits: int) -> list[TopDocs]:
         """Batched fast path: N queries against one field in one dispatch."""

@@ -153,227 +153,101 @@ class BatchedBM25:
             use_pallas=_on_tpu(),
         )
 
-    def attach_pruner(self, host_doc_ids: np.ndarray, host_impacts: np.ndarray):
-        """Enable block-max pruning (core/packed_view.py BlockMaxPruner)."""
-        from nrtsearch_tpu.core.packed_view import BlockMaxPruner
+    def attach_tiers(self, host_doc_ids: np.ndarray, host_impacts: np.ndarray):
+        """Build the impact-tiered index (core/impact_tiers.py) over the
+        packed postings: the steady-state serving dispatch touches only
+        tier-1 runs, host-rescores the top window exactly, and certifies
+        against the tier-2 bound (escalating the rare failures)."""
+        from nrtsearch_tpu.core.impact_tiers import TieredIndex
+        from nrtsearch_tpu.ops.pallas_merge import GATHER_TILE
 
-        self.pruner = BlockMaxPruner(
-            host_doc_ids.astype(np.int64), host_impacts, self.num_docs_real
+        lens = np.asarray(self.lengths, np.int32)
+        with np.errstate(divide="ignore"):
+            run_w = np.log1p(
+                (self.num_docs_real - lens + 0.5) / (lens + 0.5)
+            ).astype(np.float32)
+        run_w = np.where(lens > 0, run_w, 0.0)
+        self.index = TieredIndex(
+            host_doc_ids.astype(np.int64),
+            host_impacts,
+            np.asarray(self.offsets, np.int64),
+            lens,
+            run_w,
+            self.num_docs_real,
+            pad_slack=2 * GATHER_TILE,
         )
 
-    def _pruned_rows(self, queries, k: int, max_terms: int = 8,
-                     two_phase: bool = True,
-                     phase1_shapes: tuple = (0, 0),
-                     shape_log: dict = None):
-        """Per-query pruned run lists for one batch (block-max static theta,
-        escalating heavy disjunctions to the candidate-scored two-phase
-        theta). Returns (rows, n_escalated)."""
-        from nrtsearch_tpu.core.packed_view import PRUNE_MIN_POSTINGS
-
-        rows, states = [], []
+    def _tier_queries(self, queries, max_terms: int = 8) -> list[dict]:
+        out = []
         for qterms in queries:
             entries = []
             for term in list(qterms)[:max_terms]:
                 tid = self.terms.get(term)
-                if tid is None:
+                if tid is None or not self.lengths[tid]:
                     continue
-                off = int(self.offsets[tid])
-                ln = int(self.lengths[tid])
-                entries.append(
-                    (term, lucene_idf(self.num_docs_real, ln), [(off, ln)])
-                )
-            state = self.pruner.analyze(entries, k)
-            if state is None:
-                rows.append([
-                    (off, ln, w) for _, w, rs in entries for off, ln in rs
-                ])
-                states.append(None)
-            else:
-                flat, _ = self.pruner.prune_with_theta(
-                    state, state["theta_static"]
-                )
-                rows.append(flat)
-                states.append(state)
-        escalate = []
-        if two_phase:
-            escalate = [
-                i for i, st in enumerate(states)
-                if st is not None
-                and sum(ln for _, ln, _ in rows[i]) > 0.7 * st["total"]
-                and st["total"] >= 2 * PRUNE_MIN_POSTINGS
-                and st["prunable_frac"] > 0.25
-            ]
-            if escalate:
-                cand = [self.pruner.candidate_rows(states[i]) for i in escalate]
-                s1 = self._score_rows(cand, k, *phase1_shapes,
-                                      shape_log=shape_log)
-                for row_i, i in enumerate(escalate):
-                    sq = s1[row_i]
-                    valid = sq[sq > -np.inf]
-                    if s1.shape[1] >= k and len(valid) >= k:
-                        theta = max(
-                            states[i]["theta_static"], float(valid[k - 1])
-                        )
-                        rows[i], _ = self.pruner.prune_with_theta(
-                            states[i], theta
-                        )
-        return rows, len(escalate)
+                w = lucene_idf(self.num_docs_real, int(self.lengths[tid]))
+                entries.append((w, [tid]))
+            out.append({"entries": entries, "require_all": False,
+                        "n_terms": 1, "filter": None})
+        return out
 
-    def serve_batch(self, queries, k: int, *, force_run_len: int = 0,
-                    force_R: int = 0, max_terms: int = 8,
-                    two_phase: bool = True, phase1_shapes: tuple = (0, 0),
+    def serve_batch(self, queries, k: int, *, max_terms: int = 8,
+                    phase1_shapes: tuple = (0, 0), full_shapes: tuple = (0, 0),
                     shape_log: dict = None):
-        """The FULL steady-state serving pipeline for one batch: host-side
-        block-max pruning (+ the phase-1 candidate dispatch for heavy
-        disjunctions) then the fused retrieval step. Shapes can be frozen
-        (force_run_len/force_R) so every batch reuses one compiled program —
-        what bench.py times as the honest per-batch serving cost."""
-        from nrtsearch_tpu.ops.merge_scoring import plan_run_lists
+        """The FULL steady-state serving pipeline for one batch: tier-1
+        dispatch + exact host rescore + certification, with the rare
+        escalations taking the full-width dispatch. Shapes can be frozen
+        (phase1_shapes / full_shapes) so every batch reuses compiled
+        programs — what bench.py times as the honest per-batch serving cost.
 
-        rows, _ = self._pruned_rows(
-            queries, k, max_terms, two_phase, phase1_shapes, shape_log
+        Returns (scores [B, k] f32 np, docs [B, k] int64 np, hits [B] np,
+        n_escalated)."""
+        tq = self._tier_queries(queries, max_terms)
+        results = self.index.search(
+            tq, k, shape_log=shape_log,
+            force_phase1=phase1_shapes, force_full=full_shapes,
         )
-        offs, lens, weights, run_len = plan_run_lists(
-            rows, force_run_len=force_run_len or 0,
-            max_run=int(self.doc_ids.shape[0]),
-        )
-        if force_R and offs.shape[1] < force_R:
-            pad = force_R - offs.shape[1]
-            offs = np.pad(offs, ((0, 0), (0, pad)))
-            lens = np.pad(lens, ((0, 0), (0, pad)))
-            weights = np.pad(weights, ((0, 0), (0, pad)))
-        if shape_log is not None:
-            prev = shape_log.get("main", (0, 0))
-            shape_log["main"] = (
-                max(prev[0], run_len), max(prev[1], offs.shape[1])
-            )
-        return bm25_search_step(
-            self.doc_ids, self.impacts,
-            jnp.asarray(offs), jnp.asarray(lens), jnp.asarray(weights),
-            jnp.ones(len(rows), jnp.int32),
-            run_len=run_len, k=k, use_pallas=_on_tpu(),
-        )
-
-    def _score_rows(self, rows, k: int, force_run_len: int = 0,
-                    force_R: int = 0, shape_log: dict = None):
-        """One fused dispatch over arbitrary per-query run lists -> np scores."""
-        from nrtsearch_tpu.ops.merge_scoring import plan_run_lists
-
-        n_real = len(rows)
-        b_pad = 1
-        while b_pad < n_real:
-            b_pad <<= 1
-        rows = list(rows) + [[]] * (b_pad - n_real)  # pow2 batch: the number
-        # of escalated queries varies per batch; without padding every new
-        # count compiles a fresh program
-        offs, lens, weights, run_len = plan_run_lists(
-            rows, force_run_len=force_run_len,
-            max_run=int(self.doc_ids.shape[0]),
-        )
-        if force_R and offs.shape[1] < force_R:
-            pad = force_R - offs.shape[1]
-            offs = np.pad(offs, ((0, 0), (0, pad)))
-            lens = np.pad(lens, ((0, 0), (0, pad)))
-            weights = np.pad(weights, ((0, 0), (0, pad)))
-        if shape_log is not None:
-            prev = shape_log.get("phase1", (0, 0))
-            shape_log["phase1"] = (
-                max(prev[0], run_len), max(prev[1], offs.shape[1])
-            )
-        scores, _, _ = bm25_search_step(
-            self.doc_ids, self.impacts,
-            jnp.asarray(offs), jnp.asarray(lens), jnp.asarray(weights),
-            jnp.ones(len(rows), jnp.int32),
-            run_len=run_len, k=k, use_pallas=_on_tpu(),
-        )
-        return np.asarray(scores)
+        scores = np.stack([r[0] for r in results])
+        docs = np.stack([r[1] for r in results])
+        hits = np.asarray([r[2] for r in results], np.int64)
+        n_esc = sum(1 for r in results if r[3])
+        return scores, docs, hits, n_esc
 
     def compile_pruned_batches(
         self,
         batches: Sequence[Sequence[Sequence[str]]],
         k: int,
         max_terms: int = 8,
-        two_phase: bool = True,
-    ) -> tuple[list[QueryBatch], dict]:
-        """Compile batches through the block-max pruner with ONE shared
-        (run_len, R) across all batches (so steady-state serving reuses one
-        compiled program). With ``two_phase``, heavy disjunctions get their
-        theta from exactly scoring the highest-UB candidate windows (one
-        extra small dispatch shared by all queries). Returns (batches, stats)
-        where stats reports the postings-entry reduction."""
-        from nrtsearch_tpu.core.packed_view import PRUNE_MIN_POSTINGS
-        from nrtsearch_tpu.ops.merge_scoring import plan_run_lists
-
-        rows = []
-        states = []
-        sizes = []
+        shape_log: dict = None,
+    ) -> dict:
+        """Warm the tiered serving programs over all batches and report the
+        work reduction: postings entries actually dispatched (tier-1 for
+        certified queries, full width for escalations) vs the unpruned
+        width, plus the certification rate."""
         before = after = 0
+        n_q = n_esc = 0
         for batch in batches:
-            sizes.append(len(batch))
-            for qterms in batch:
-                entries = []
-                for term in list(qterms)[:max_terms]:
-                    tid = self.terms.get(term)
-                    if tid is None:
-                        continue
-                    off = int(self.offsets[tid])
-                    ln = int(self.lengths[tid])
-                    w = lucene_idf(self.num_docs_real, ln)
-                    entries.append((term, w, [(off, ln)]))
-                before += sum(ln for _, _, rs in entries for _, ln in rs)
-                state = self.pruner.analyze(entries, k)
-                if state is None:
-                    rows.append([
-                        (off, ln, w) for _, w, rs in entries for off, ln in rs
-                    ])
-                    states.append(None)
-                else:
-                    flat, _ = self.pruner.prune_with_theta(
-                        state, state["theta_static"]
-                    )
-                    rows.append(flat)
-                    states.append(state)
-        if two_phase:
-            escalate = [
-                i for i, st in enumerate(states)
-                if st is not None
-                and sum(ln for _, ln, _ in rows[i]) > 0.7 * st["total"]
-                and st["total"] >= 2 * PRUNE_MIN_POSTINGS
-                and st["prunable_frac"] > 0.25
-            ]
-            if escalate:
-                cand = [self.pruner.candidate_rows(states[i]) for i in escalate]
-                s1 = self._score_rows(cand, k)
-                for row_i, i in enumerate(escalate):
-                    sq = s1[row_i]
-                    valid = sq[sq > -np.inf]
-                    if s1.shape[1] >= k and len(valid) >= k:
-                        theta = max(
-                            states[i]["theta_static"], float(valid[k - 1])
-                        )
-                        rows[i], _ = self.pruner.prune_with_theta(
-                            states[i], theta
-                        )
-        after = sum(ln for row in rows for _, ln, _ in row)
-        offs, lens, weights, run_len = plan_run_lists(
-            rows, max_run=int(self.doc_ids.shape[0])
-        )
-        out = []
-        i = 0
-        for n in sizes:
-            out.append(
-                QueryBatch(
-                    offs[i : i + n], lens[i : i + n], weights[i : i + n],
-                    np.ones(n, np.int32), run_len,
+            tq = self._tier_queries(batch, max_terms)
+            results = self.index.search(tq, k, shape_log=shape_log)
+            for q, r in zip(tq, results):
+                full = sum(
+                    int(self.lengths[t]) for _, tids in q["entries"]
+                    for t in tids
                 )
-            )
-            i += n
-        stats = {
+                t1 = sum(
+                    int(self.index.t1_lens[t]) for _, tids in q["entries"]
+                    for t in tids
+                )
+                before += full
+                after += full if r[3] else t1
+                n_q += 1
+                n_esc += int(r[3])
+        return {
             "postings_before": before,
             "postings_after": after,
             "kept_frac": (after / before) if before else 1.0,
+            "escalation_rate": (n_esc / n_q) if n_q else 0.0,
         }
-        return out, stats
 
 
 def _on_tpu() -> bool:
@@ -469,7 +343,7 @@ class SyntheticCorpus:
         host_imp = self.post_freqs / (
             self.post_freqs + model.k1 * (1.0 - model.b + model.b * dl / model.avgdl)
         )
-        model.attach_pruner(self.post_docs, host_imp.astype(np.float32))
+        model.attach_tiers(self.post_docs, host_imp.astype(np.float32))
         return model
 
     def sample_queries(self, batch: int, terms_per_query: int = 4) -> list[list[str]]:

@@ -319,6 +319,12 @@ def merge_score_topk(
     k: int,
     require_all_terms: bool = False,
     use_pallas: bool = False,  # static: TPU Pallas merge stages
+    filter_mask=None,          # optional bool [D] (global ords): docs failing
+                               # it contribute nothing (filter pushdown — the
+                               # reference's filtered search keeps its filter
+                               # in the lead iterator; here it multiplies
+                               # gathered contributions, so top-k and hit
+                               # counts are exact over the filtered set)
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fused scatter-free retrieval. Returns (scores [B,k], docs [B,k], hits [B]).
 
@@ -336,6 +342,8 @@ def merge_score_topk(
             run_len,
         )
         docs, contribs = merge_sorted_runs(docs, contribs, use_pallas=True)
+        if filter_mask is not None:
+            contribs = contribs * _filter_gate(docs, filter_mask)
         return _finish(
             docs, contribs, n_terms, k, require_all_terms,
             max_seg=term_offsets.shape[1],
@@ -364,10 +372,21 @@ def merge_score_topk(
     docs, contribs = jax.vmap(gather_runs)(term_offsets, term_lengths, term_weights)
     # [B, R, run_len] -> merged [B, R*run_len]
     docs, contribs = merge_sorted_runs(docs, contribs, use_pallas=use_pallas)
+    if filter_mask is not None:
+        contribs = contribs * _filter_gate(docs, filter_mask)
     return _finish(
         docs, contribs, n_terms, k, require_all_terms,
         max_seg=term_offsets.shape[1],
     )
+
+
+def _filter_gate(docs, filter_mask):
+    """Per-entry filter gate: 1.0 where the doc passes, 0.0 otherwise.
+    Sentinel-padded entries gather a clamped index; their contribs are
+    already 0 so the gate value is irrelevant."""
+    D = filter_mask.shape[0]
+    idx = jnp.clip(docs, 0, D - 1)
+    return filter_mask[idx].astype(jnp.float32)
 
 
 def _finish(docs, contribs, n_terms, k: int, require_all_terms: bool,

@@ -181,7 +181,7 @@ class DistributedBM25:
             entry_doc_parts.append(tfi.host_doc_ids.astype(np.int64) + base)
         entry_term = np.concatenate(entry_term_parts)
         entry_doc = np.concatenate(entry_doc_parts)
-        entry_impact = view.pruner.host_impacts
+        entry_impact = view.host_impacts
         V = len(vocab)
         df = np.zeros(V, np.int64)
         np.add.at(df, entry_term, 1)

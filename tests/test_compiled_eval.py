@@ -127,6 +127,12 @@ def searcher():
 
 
 def _run(searcher, q, monkeypatch, compiled: bool, **kw):
+    # pin the GENERAL evaluator: the filtered-text pushdown (which is only
+    # active in compiled mode) has its own equivalence suite in
+    # test_impact_tiers.py; here we compare compiled-vs-eager tree evaluation
+    from nrtsearch_tpu.core.searcher import Searcher
+
+    monkeypatch.setattr(Searcher, "_fast_filtered_text", lambda *a, **k: None)
     monkeypatch.setenv("NRT_COMPILED_EVAL", "1" if compiled else "0")
     return searcher.search(q, top_hits=10, **kw)
 
