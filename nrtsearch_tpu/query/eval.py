@@ -926,51 +926,113 @@ def _span_clause_terms(clause: qp.SpanClause, tfi) -> list[str]:
             tfi.terms, clause.text, clause.max_edits,
             clause.prefix_length, clause.max_expansions,
         )
+    elif clause.kind == "regexp":
+        # Lucene RegexpQuery anchors the whole term (search.proto:605); the
+        # Python-re-compatible subset of Lucene regexp syntax is supported
+        import re
+
+        try:
+            pat = re.compile(clause.text)
+        except re.error as e:
+            raise ValueError(f"invalid regexp {clause.text!r}: {e}")
+        out = [t for t in tfi.terms if pat.fullmatch(t)]
+    elif clause.kind == "term_range":
+        lo, hi = clause.text, clause.upper
+
+        def in_range(t: str) -> bool:
+            if lo and (t < lo or (t == lo and not clause.include_lower)):
+                return False
+            if hi and (t > hi or (t == hi and not clause.include_upper)):
+                return False
+            return True
+
+        out = [t for t in tfi.terms if in_range(t)]
     else:
         raise ValueError(f"unknown span clause kind: {clause.kind!r}")
     return out[: clause.max_expansions]
 
 
-def _span_near_freq(
-    plists: list[np.ndarray], slop: int, in_order: bool
-) -> int:
-    """Count span-near matches: one position per clause with
-    (max - min) - (n - 1) <= slop, increasing when in_order (the
-    single-position-width case of Lucene SpanNearQuery matching)."""
-    n = len(plists)
-    if any(len(p) == 0 for p in plists):
-        return 0
+def _span_leaves(clause: qp.SpanClause):
+    """All term-bearing leaf clauses under ``clause`` (depth-first)."""
+    if clause.kind == "near":
+        for c in clause.near.clauses:
+            yield from _span_leaves(c)
+    else:
+        yield clause
+
+
+_EMPTY_SPANS = np.empty((0, 2), np.int64)
+
+
+def _near_match_spans(
+    lists: list[np.ndarray], slop: int, in_order: bool
+) -> np.ndarray:
+    """Greedy span-near matching over per-clause span lists ([n, 2] arrays of
+    (start, end), sorted by start). A match picks one span per clause with
+        (max_end - min_start) - sum(span widths) <= slop,
+    non-overlapping in clause order when ``in_order`` (Lucene
+    NearSpansOrdered), nearest-by-start greedy selection otherwise
+    (NearSpansUnordered's minimal-interval behavior, greedy per first-clause
+    span). Returns the matched (min_start, max_end) spans so near groups
+    nest as clauses of an enclosing near."""
+    n = len(lists)
+    if any(len(sp) == 0 for sp in lists):
+        return _EMPTY_SPANS
     if n == 1:
-        return len(plists[0])
-    count = 0
-    for p0 in plists[0]:
-        lo, hi = int(p0), int(p0)
+        return lists[0]
+    starts = [sp[:, 0] for sp in lists]
+    out = []
+    for s0, e0 in lists[0]:
+        min_start, max_end = int(s0), int(e0)
+        total_len = int(e0) - int(s0)
+        prev_start, prev_end = int(s0), int(e0)
         ok = True
-        prev = int(p0)
-        for plist in plists[1:]:
+        for sp, st in zip(lists[1:], starts[1:]):
             if in_order:
-                i = int(np.searchsorted(plist, prev + 1))
-                if i >= len(plist):
+                i = int(np.searchsorted(st, prev_end))
+                if i >= len(sp):
                     ok = False
                     break
-                pos = int(plist[i])
+                s, e = int(sp[i, 0]), int(sp[i, 1])
             else:
-                # nearest position to the current window
-                i = int(np.searchsorted(plist, prev))
+                i = int(np.searchsorted(st, prev_start))
                 cands = []
-                if i < len(plist):
-                    cands.append(int(plist[i]))
+                if i < len(sp):
+                    cands.append((int(sp[i, 0]), int(sp[i, 1])))
                 if i > 0:
-                    cands.append(int(plist[i - 1]))
-                pos = min(cands, key=lambda c: abs(c - prev))
-            lo, hi = min(lo, pos), max(hi, pos)
-            prev = pos
-            if (hi - lo) - (n - 1) > slop:
+                    cands.append((int(sp[i - 1, 0]), int(sp[i - 1, 1])))
+                s, e = min(cands, key=lambda se: abs(se[0] - prev_start))
+            min_start = min(min_start, s)
+            max_end = max(max_end, e)
+            total_len += e - s
+            prev_start, prev_end = s, e
+            if (max_end - min_start) - total_len > slop:
                 ok = False
                 break
-        if ok:
-            count += 1
-    return count
+        if ok and (max_end - min_start) - total_len <= slop:
+            out.append((min_start, max_end))
+    if not out:
+        return _EMPTY_SPANS
+    spans = np.array(out, np.int64)
+    return spans[np.argsort(spans[:, 0], kind="stable")]
+
+
+def _span_clause_matches(
+    clause: qp.SpanClause, tfi, doc: int, leaf_terms: dict
+) -> np.ndarray:
+    """Spans of one clause in one doc: unit-width spans at term positions for
+    leaves, recursive near-match spans for nested near groups."""
+    if clause.kind == "near":
+        child = [
+            _span_clause_matches(c, tfi, doc, leaf_terms)
+            for c in clause.near.clauses
+        ]
+        return _near_match_spans(child, clause.near.slop, clause.near.in_order)
+    pls = [tfi.positions_of(t, doc) for t in leaf_terms[id(clause)]]
+    pos = np.unique(np.concatenate(pls)) if pls else np.empty(0, np.int64)
+    if len(pos) == 0:
+        return _EMPTY_SPANS
+    return np.stack([pos, pos + 1], axis=1).astype(np.int64)
 
 
 def _eval_span_near(node: qp.SpanNearNode, ctx: EvalContext):
@@ -983,20 +1045,25 @@ def _eval_span_near(node: qp.SpanNearNode, ctx: EvalContext):
     tfi = seg.fields.get(field)
     if tfi is None or tfi.positions is None:
         return _none(ctx)
-    clause_terms = [_span_clause_terms(c, tfi) for c in node.clauses]
-    if any(not terms for terms in clause_terms):
+    # expand every term-bearing leaf (incl. leaves of nested near groups)
+    leaves = [lf for c in node.clauses for lf in _span_leaves(c)]
+    leaf_terms = {id(lf): _span_clause_terms(lf, tfi) for lf in leaves}
+    if any(not terms for terms in leaf_terms.values()):
         return _none(ctx)
 
-    # stage 1: docs matching some term of EVERY clause
+    # stage 1: docs matching some term of EVERY leaf clause (a near match
+    # needs all of its clauses, recursively — AND over leaves is exact recall)
     cand_mask = None
-    for terms in clause_terms:
+    for lf in leaves:
+        terms = leaf_terms[id(lf)]
         _, m = _text_clause(ctx, field, terms, [0.0] * len(terms), "SHOULD", 0, 0.0)
         cand_mask = m if cand_mask is None else (cand_mask & m)
     cand_ids = np.nonzero(np.asarray(cand_mask)[: seg.num_docs])[0]
 
     dc = ctx.stats.doc_count(field)
     sum_idf = 0.0
-    for terms in clause_terms:
+    for lf in leaves:
+        terms = leaf_terms[id(lf)]
         df = min(sum(ctx.stats.doc_freq(field, t) for t in terms), max(dc, 1))
         sum_idf += bm25_ops.lucene_idf(dc, df)
     avgdl = ctx.stats.avgdl(field)
@@ -1004,12 +1071,11 @@ def _eval_span_near(node: qp.SpanNearNode, ctx: EvalContext):
     scores_host = np.zeros(seg.capacity, np.float32)
     match_host = np.zeros(seg.capacity, bool)
     for doc in cand_ids:
-        plists = []
-        for terms in clause_terms:
-            pls = [tfi.positions_of(t, int(doc)) for t in terms]
-            merged = np.unique(np.concatenate(pls)) if pls else np.empty(0, np.int32)
-            plists.append(merged)
-        freq = _span_near_freq(plists, node.slop, node.in_order)
+        clause_spans = [
+            _span_clause_matches(c, tfi, int(doc), leaf_terms)
+            for c in node.clauses
+        ]
+        freq = len(_near_match_spans(clause_spans, node.slop, node.in_order))
         if freq > 0:
             dl = doc_lens[doc]
             tf_norm = freq / (freq + ctx.k1 * (1 - ctx.b + ctx.b * dl / avgdl))

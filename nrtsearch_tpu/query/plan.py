@@ -169,11 +169,15 @@ class ResolvedJoinNode(QueryNode):
 
 @dataclass(frozen=True)
 class SpanClause:
-    """One span source: a literal term or a multi-term expansion.
+    """One span source: a literal term, a multi-term expansion, or a nested
+    span-near group.
 
-    ``kind`` is "term" (text is the term) or one of "prefix" / "wildcard" /
-    "fuzzy" (text is the pattern; expanded against the segment's term
-    dictionary at eval time)."""
+    ``kind`` is "term" (text is the term), one of "prefix" / "wildcard" /
+    "fuzzy" / "regexp" / "term_range" (text is the pattern / lower bound;
+    expanded against the segment's term dictionary at eval time), or "near"
+    (``near`` holds a nested SpanNearNode whose matches become this clause's
+    spans — reference: SpanNearQuery.clauses accepts any SpanQuery,
+    search.proto:622-631)."""
 
     kind: str
     field: str
@@ -181,6 +185,10 @@ class SpanClause:
     max_edits: int = 2        # fuzzy
     prefix_length: int = 0    # fuzzy
     max_expansions: int = 50
+    upper: str = ""           # term_range upper bound ("" = open)
+    include_lower: bool = True   # term_range
+    include_upper: bool = True   # term_range
+    near: Optional["SpanNearNode"] = None  # kind == "near"
 
 
 @dataclass(frozen=True)
@@ -725,9 +733,22 @@ def _parse_span_clause(sq: dict) -> SpanClause:
                 prefix_length=int(p.get("prefixLength", 0)),
                 max_expansions=int(p.get("maxExpansions", 0) or 50),
             )
+        if "regexpQuery" in w:
+            p = w["regexpQuery"]
+            return SpanClause("regexp", p["field"], p.get("text", ""))
+        if "termRangeQuery" in w:
+            p = w["termRangeQuery"]
+            return SpanClause(
+                "term_range", p["field"], p.get("lowerTerm", ""),
+                upper=p.get("upperTerm", ""),
+                include_lower=bool(p.get("includeLower", False)),
+                include_upper=bool(p.get("includeUpper", False)),
+            )
         raise ValueError("spanMultiTermQuery requires a wrapped query")
     if "spanNearQuery" in sq:
-        raise ValueError("nested spanNearQuery clauses are not supported yet")
+        inner = _parse_span(sq, 1.0)
+        field = inner.clauses[0].field if inner.clauses else ""
+        return SpanClause("near", field, "", near=inner)
     raise ValueError("empty spanQuery")
 
 

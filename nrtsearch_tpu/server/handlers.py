@@ -534,9 +534,11 @@ class Handlers:
                 from nrtsearch_tpu.search.rescore import query_rescore
 
                 qr = rescorer.queryRescorer
+                rescore_node = self._resolve_cross_index(
+                    parse_query(MessageToDict(qr.rescoreQuery))
+                )
                 td.hits = query_rescore(
-                    searcher, td.hits, window,
-                    parse_query(MessageToDict(qr.rescoreQuery)),
+                    searcher, td.hits, window, rescore_node,
                     qr.queryWeight or 1.0, qr.rescoreQueryWeight or 1.0,
                 )
             elif which == "scriptRescorer":

@@ -129,3 +129,25 @@ def test_cross_index_unknown_index_errors(server):
     req.query.crossIndexQuery.index = "nope"
     with pytest.raises(grpc.RpcError):
         server.search(req)
+
+
+def test_cross_index_inside_rescorer(server):
+    # recall all products, rescore by a join against brands matching
+    # "dangerous" (acme, globex): their products get boosted above initech's
+    req = pb.SearchRequest(indexName="products", topHits=10, retrieveFields=["id"])
+    req.query.matchAllQuery.SetInParent()
+    rs = req.rescorers.add()
+    rs.windowSize = 10
+    x = rs.queryRescorer.rescoreQuery.crossIndexQuery
+    x.index = "brands"
+    x.primaryField = "brand"
+    x.secondaryField = "brand"
+    x.query.matchQuery.field = "about"
+    x.query.matchQuery.query = "dangerous"
+    rs.queryRescorer.queryWeight = 1.0
+    rs.queryRescorer.rescoreQueryWeight = 5.0
+    resp = server.search(req)
+    got = {h.fields["id"].fieldValue[0].textValue: h.score for h in resp.hits}
+    assert set(got) == {"p1", "p2", "p3", "p4"}
+    # joined products (acme/globex) outrank the unjoined initech product
+    assert min(got["p1"], got["p2"], got["p3"]) > got["p4"]

@@ -363,3 +363,61 @@ def test_span_mixed_fields_rejected():
             {"spanTermQuery": {"field": "body", "textValue": "a"}},
             {"spanTermQuery": {"field": "tags", "textValue": "b"}},
         ]}}})
+
+
+def test_span_regexp(searcher):
+    # regexp "qu.*k" expands to "quick"; near "fox" within 1 (docs 0 via
+    # "quick brown fox", 1 adjacent, 2 adjacent)
+    q = parse_query({"spanQuery": {"spanNearQuery": {
+        "clauses": [
+            {"spanMultiTermQuery": {"regexpQuery": {"field": "body", "text": "qu.*k"}}},
+            {"spanTermQuery": {"field": "body", "textValue": "fox"}},
+        ], "slop": 1, "inOrder": True}}})
+    td = searcher.search(q, 10)
+    assert sorted(h.global_ord for h in td.hits) == [0, 1, 2]
+    # slop 0: only adjacent "quick fox" (docs 1, 2)
+    q0 = parse_query({"spanQuery": {"spanNearQuery": {
+        "clauses": [
+            {"spanMultiTermQuery": {"regexpQuery": {"field": "body", "text": "qu.*k"}}},
+            {"spanTermQuery": {"field": "body", "textValue": "fox"}},
+        ], "slop": 0, "inOrder": True}}})
+    assert sorted(h.global_ord for h in searcher.search(q0, 10).hits) == [1, 2]
+
+
+def test_span_term_range(searcher):
+    # terms in ["do", "dp") -> "dog"; near "brown" within 1 (doc 1)
+    q = parse_query({"spanQuery": {"spanNearQuery": {
+        "clauses": [
+            {"spanTermQuery": {"field": "body", "textValue": "brown"}},
+            {"spanMultiTermQuery": {"termRangeQuery": {
+                "field": "body", "lowerTerm": "do", "upperTerm": "dp",
+                "includeLower": True, "includeUpper": False}}},
+        ], "slop": 1, "inOrder": True}}})
+    td = searcher.search(q, 10)
+    assert sorted(h.global_ord for h in td.hits) == [1]
+
+
+def test_span_nested_near(searcher):
+    # inner: "quick brown" adjacent in order (docs 0, 2); outer: that group
+    # near "fox" within 0 in order -> "quick brown fox" (docs 0, 2)
+    q = parse_query({"spanQuery": {"spanNearQuery": {
+        "clauses": [
+            {"spanNearQuery": {"clauses": [
+                {"spanTermQuery": {"field": "body", "textValue": "quick"}},
+                {"spanTermQuery": {"field": "body", "textValue": "brown"}},
+            ], "slop": 0, "inOrder": True}},
+            {"spanTermQuery": {"field": "body", "textValue": "fox"}},
+        ], "slop": 0, "inOrder": True}}})
+    td = searcher.search(q, 10)
+    assert sorted(h.global_ord for h in td.hits) == [0, 2]
+    # inner group matching nothing adjacent -> no hits
+    q0 = parse_query({"spanQuery": {"spanNearQuery": {
+        "clauses": [
+            {"spanNearQuery": {"clauses": [
+                {"spanTermQuery": {"field": "body", "textValue": "brown"}},
+                {"spanTermQuery": {"field": "body", "textValue": "sleeps"}},
+            ], "slop": 0, "inOrder": True}},
+            {"spanTermQuery": {"field": "body", "textValue": "fox"}},
+        ], "slop": 5, "inOrder": False}}})
+    td0 = searcher.search(q0, 10)
+    assert [h.global_ord for h in td0.hits] == []
