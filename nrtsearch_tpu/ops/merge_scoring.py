@@ -335,15 +335,33 @@ def merge_score_topk(
     """
 
     if use_pallas:
-        from nrtsearch_tpu.ops.pallas_merge import gather_runs_pallas
+        from nrtsearch_tpu.ops.pallas_merge import (
+            TILE, gather_runs_pallas, merge_sorted_runs_alt)
 
+        alt = term_offsets.shape[1] * run_len >= TILE
         docs, contribs = gather_runs_pallas(
             post_docs, post_impacts, term_offsets, term_lengths, term_weights,
-            run_len,
+            run_len, alternating=alt,
         )
-        docs, contribs = merge_sorted_runs(docs, contribs, use_pallas=True)
+        if alt:
+            # alternating-direction bitonic: no per-level reversal passes
+            docs, contribs = merge_sorted_runs_alt(docs, contribs)
+        else:
+            docs, contribs = merge_sorted_runs(docs, contribs, use_pallas=True)
         if filter_mask is not None:
             contribs = contribs * _filter_gate(docs, filter_mask)
+        if alt:
+            # single-pass segmented sum + tail mask (vs the XLA scan)
+            from nrtsearch_tpu.ops.pallas_merge import finish_mask_pallas
+
+            masked = finish_mask_pallas(
+                docs, contribs, n_terms,
+                max_seg=term_offsets.shape[1], require_all=require_all_terms,
+            )
+            top_scores, pos = jax.lax.top_k(masked, k)
+            top_docs = jnp.take_along_axis(docs, pos, axis=-1)
+            total_hits = jnp.sum(masked > -jnp.inf, axis=-1, dtype=jnp.int32)
+            return top_scores, top_docs, total_hits
         return _finish(
             docs, contribs, n_terms, k, require_all_terms,
             max_seg=term_offsets.shape[1],

@@ -84,6 +84,8 @@ def test_pruned_topk_bit_identical(searcher, monkeypatch):
 
 
 def test_pruned_relation_via_searcher(searcher, monkeypatch):
+    # tiering is opt-in (full width is the serving default)
+    monkeypatch.setenv("NRT_IMPACT_TIERS", "1")
     # fresh searcher so the packed-view cache is clean
     s = Searcher(searcher.segments, FIELDS, version=2)
     node = parse_query({"matchQuery": {"field": "t", "query": "rare common"}})
