@@ -123,10 +123,14 @@ def main() -> None:
     singles = [corpus.sample_queries(1, TERMS_PER_QUERY) for _ in range(8)]
 
     def make_runner(sets, pipeline: int = 1):
-        # joint compile: one shared (run_len, R) across all sets -> one program
-        qbs = model.compile_query_batches(sets)
-        log(f"  frozen shapes: run_len={qbs[0].run_len} "
-            f"R={qbs[0].term_offsets.shape[1]}")
+        # per-batch shape plans: each batch compiles at its NATURAL
+        # (run_len, R) and jit caches one program per distinct shape — a
+        # shape-bucketed program cache, not one worst-case-joint program
+        # (joint freezing measured 2x width inflation: one heavy query in
+        # any batch forces every batch to its width)
+        qbs = [model.compile_queries(s) for s in sets]
+        shapes = sorted({(qb.run_len, qb.term_offsets.shape[1]) for qb in qbs})
+        log(f"  shape buckets: {shapes}")
         from collections import deque
 
         state = {"i": 0, "pending": deque()}
@@ -147,7 +151,9 @@ def main() -> None:
             while state["pending"]:
                 np.asarray(state["pending"].popleft()[0])
 
-        run(); drain()  # compile
+        for _ in range(len(qbs)):   # compile every shape bucket
+            run()
+        drain()
         return run, drain
 
     log("compiling batch serving program")

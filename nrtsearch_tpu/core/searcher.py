@@ -134,14 +134,19 @@ class Searcher:
                 terminated_early = True
                 break
             k = min(top_hits, seg.capacity)
+            rem = (terminate_after - total) if terminate_after else 0
             if compiled:
                 s, ids, seg_total, arr = self._compiled_segment_topk(
-                    seg, node, extra_filter, sort, k, return_arrays
+                    seg, node, extra_filter, sort, k, return_arrays,
+                    budget=rem,
                 )
                 if return_arrays:
                     arrays.append(arr)
                 per_segment.append((s, ids, idx, min(seg_total, k)))
                 total += seg_total
+                if rem and seg_total >= rem:
+                    terminated_early = True
+                    break
                 continue
             ctx = qeval.EvalContext(seg, self.field_defs, self.stats)
             scores, match = qeval.eval_node(node, ctx)
@@ -149,6 +154,16 @@ class Searcher:
                 _, fmask = qeval.eval_node(extra_filter, ctx)
                 match = match & fmask
             match = match & seg.live & self._root_mask(seg)
+            if rem:
+                # within-segment terminateAfter: only the first ``rem``
+                # matches in docid order are collected (the reference's
+                # TerminateAfterWrapper stops mid-collection; additional
+                # collectors/facets see the same truncated doc set)
+                import jax.numpy as jnp
+
+                match = match & (
+                    jnp.cumsum(match.astype(jnp.int32)) <= jnp.int32(rem)
+                )
             if return_arrays:
                 arrays.append((scores, match))
             if sort is None:
@@ -162,16 +177,22 @@ class Searcher:
                         (np.asarray(s[0]), np.asarray(ids[0]), idx, min(seg_total, k))
                     )
                     total += seg_total
+                    if rem and seg_total >= rem:
+                        terminated_early = True
+                        break
                     continue
                 s, ids, th = masked_top_k_by_key(
                     keys[None, :], match[None, :], k=k, ascending=not sort.reverse
                 )
-            import jax
+            import jax  # noqa: F811
 
             s, ids, th = jax.device_get((s, ids, th))
             seg_total = int(th[0])
             per_segment.append((s[0], ids[0], idx, min(seg_total, k)))
             total += seg_total
+            if rem and seg_total >= rem:
+                terminated_early = True
+                break
 
         td = self._merge_top(per_segment, top_hits, sort, total)
         td.hit_timeout = hit_timeout
@@ -182,14 +203,17 @@ class Searcher:
 
     def _compiled_segment_topk(
         self, seg: Segment, node, extra_filter, sort, k: int,
-        return_arrays: bool,
+        return_arrays: bool, budget: int = 0,
     ):
         """Recall + top-k for one segment as ONE fused program
         (query/compiled.py). Returns (scores [k], ids [k], seg_total,
-        arrays_entry-or-None) — bit-compatible with the eager path."""
+        arrays_entry-or-None) — bit-compatible with the eager path.
+        ``budget``: within-segment terminateAfter limit (traced scalar, so
+        one program serves every remaining budget)."""
         from nrtsearch_tpu.query import compiled as qc
 
         import jax
+        import jax.numpy as jnp
 
         ctx = qeval.EvalContext(seg, self.field_defs, self.stats)
         cq = qc.CompiledQuery(node, extra_filter, ctx, qc.live_root_mask(seg))
@@ -198,16 +222,30 @@ class Searcher:
         # (separate np.asarray calls pay one device round trip each — ruinous
         # through a remote-device tunnel)
         if sort is None:
+            if return_arrays and budget:
+                sc, match = cq.arrays()
+                match = match & (
+                    jnp.cumsum(match.astype(jnp.int32)) <= jnp.int32(budget)
+                )
+                arr = (sc, match)
+                s, ids, th = jax.device_get(
+                    masked_top_k(sc[None, :], match[None, :], k=k)
+                )
+                return s[0], ids[0], int(th[0]), arr
             if return_arrays:
                 sc, match, s, ids, th = cq.arrays_top_k(k)
                 arr = (sc, match)
                 s, ids, th = jax.device_get((s, ids, th))
             else:
-                s, ids, th = jax.device_get(cq.top_k(k))
+                s, ids, th = jax.device_get(cq.top_k(k, budget=budget))
             return s, ids, int(th), arr
         keys = self._sort_keys(seg, sort)
         if return_arrays or keys is None:
             sc, match = cq.arrays()
+            if budget:
+                match = match & (
+                    jnp.cumsum(match.astype(jnp.int32)) <= jnp.int32(budget)
+                )
             arr = (sc, match)
             if keys is None:
                 # exact-int64/f64 column: host-side sort fallback
@@ -218,7 +256,7 @@ class Searcher:
             ))
             return s[0], ids[0], int(th[0]), arr
         s, ids, th = jax.device_get(
-            cq.top_k_by_key(keys, k, ascending=not sort.reverse)
+            cq.top_k_by_key(keys, k, ascending=not sort.reverse, budget=budget)
         )
         return s, ids, int(th), None
 

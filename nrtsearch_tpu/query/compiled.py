@@ -948,15 +948,26 @@ def _exec(tree: CNode, extra: Optional[CNode], mode: tuple, inputs: tuple):
         return match
     if mode[0] == "arrays":
         return scores, match
-    if mode[0] == "topk":
+    if mode[0] in ("topk", "topk_b"):
         k = mode[1]
+        if mode[0] == "topk_b":
+            # within-segment terminateAfter: collect only the first ``budget``
+            # matches in docid order (reference TerminateAfterWrapper stops
+            # mid-collection; the fused analogue is a cumsum-limited mask).
+            # budget is a traced scalar: one program serves every budget.
+            budget = inputs[-1]
+            match = match & (jnp.cumsum(match.astype(jnp.int32)) <= budget)
         masked = jnp.where(match, scores, NEG_INF)
         top_s, top_i = jax.lax.top_k(masked, k)
         total = jnp.sum(match, dtype=jnp.int32)
         return top_s, top_i, total
-    if mode[0] == "topk_key":
+    if mode[0] in ("topk_key", "topk_key_b"):
         k, ascending = mode[1], mode[2]
-        keys = inputs[-1]
+        if mode[0] == "topk_key_b":
+            keys, budget = inputs[-2], inputs[-1]
+            match = match & (jnp.cumsum(match.astype(jnp.int32)) <= budget)
+        else:
+            keys = inputs[-1]
         sortable = -keys if ascending else keys
         sortable = jnp.where(match, sortable, NEG_INF)
         top_keys, top_i = jax.lax.top_k(sortable, k)
@@ -985,10 +996,20 @@ class CompiledQuery:
         self.extra = prepare(extra_filter, prep) if extra_filter is not None else None
         self.inputs = prep.inputs
 
-    def top_k(self, k: int):
+    def top_k(self, k: int, budget: int = 0):
+        if budget:
+            return _exec(
+                self.tree, self.extra, ("topk_b", k),
+                tuple(self.inputs) + (jnp.int32(budget),),
+            )
         return _exec(self.tree, self.extra, ("topk", k), tuple(self.inputs))
 
-    def top_k_by_key(self, keys, k: int, ascending: bool):
+    def top_k_by_key(self, keys, k: int, ascending: bool, budget: int = 0):
+        if budget:
+            return _exec(
+                self.tree, self.extra, ("topk_key_b", k, ascending),
+                tuple(self.inputs) + (keys, jnp.int32(budget)),
+            )
         return _exec(
             self.tree, self.extra, ("topk_key", k, ascending),
             tuple(self.inputs) + (keys,),

@@ -84,3 +84,24 @@ def test_over_grpc(tmp_path):
     finally:
         c.close()
         srv.stop()
+
+
+def test_terminate_after_within_segment():
+    """Within-segment exactness: a SINGLE-segment index terminates once the
+    budget is hit (round-1 cut only at segment boundaries), collecting the
+    first N matches in docid order."""
+    w = IndexWriter(FIELDS, merge_factor=100)
+    w.add_documents([{"id": str(i), "t": "term filler"} for i in range(50)])
+    s = Searcher(w.refresh(), FIELDS, version=1)
+    assert len(s.segments) == 1
+    q = parse_query({"matchQuery": {"field": "t", "query": "term"}})
+    td = s.search(q, 100, terminate_after=7)
+    assert td.terminated_early
+    assert td.relation == "GREATER_THAN_OR_EQUAL_TO"
+    assert td.total_hits == 7
+    # collected docs are the FIRST 7 in docid order (uniform scores)
+    assert sorted(h.global_ord for h in td.hits) == list(range(7))
+    # budget larger than matches: no termination
+    td2 = s.search(q, 100, terminate_after=500)
+    assert not td2.terminated_early
+    assert td2.total_hits == 50
