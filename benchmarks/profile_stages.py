@@ -60,6 +60,7 @@ def main():
     def do_gather(post_docs, post_impacts, offs, lens, w):
         return gather_runs_pallas(post_docs, post_impacts, offs, lens, w, rl)
 
+    R = offs.shape[1]
     t(lambda: np.asarray(
         do_gather(model.doc_ids, model.impacts, offs, lens, w)[0][0, 0, 0]
     ), "gather")
@@ -70,11 +71,39 @@ def main():
     def do_merge(d, c):
         return ms.merge_sorted_runs(d, c, use_pallas=True)
 
-    t(lambda: np.asarray(do_merge(docs0, contribs0)[0][0, 0]), "merge (pallas)")
+    from nrtsearch_tpu.ops.pallas_merge import (
+        finish_mask_pallas, gather_runs_pallas as _gp, merge_sorted_runs_alt)
+
+    @jax.jit
+    def do_gather_alt(post_docs, post_impacts, offs, lens, w):
+        return _gp(post_docs, post_impacts, offs, lens, w, rl, alternating=True)
+
+    @jax.jit
+    def do_merge_alt(d, c):
+        return merge_sorted_runs_alt(d, c)
+
+    t(lambda: np.asarray(
+        do_gather_alt(model.doc_ids, model.impacts, offs, lens, w)[0][0, 0, 0]
+    ), "gather (alternating)")
+    docs_a, contribs_a = do_gather_alt(model.doc_ids, model.impacts, offs, lens, w)
+    t(lambda: np.asarray(do_merge_alt(docs_a, contribs_a)[0][0, 0]),
+      "merge (alternating, pair-fused)")
+    docs_m2, contribs_m2 = do_merge_alt(docs_a, contribs_a)
+
+    @jax.jit
+    def do_finish_pallas(d, c):
+        masked = finish_mask_pallas(d, c, nt, max_seg=R, require_all=False)
+        ts_, pos = ms._hierarchical_topk(masked, K)
+        hits = (masked > -np.inf).sum(axis=-1)
+        return ts_, pos, hits
+
+    t(lambda: np.asarray(do_finish_pallas(docs_m2, contribs_m2)[0][0, 0]),
+      "finish: pallas mask + hier topk")
+
+    t(lambda: np.asarray(do_merge(docs0, contribs0)[0][0, 0]), "merge (bitonic pallas)")
     docs_m, contribs_m = do_merge(docs0, contribs0)
 
     # -- finish variants --------------------------------------------------------
-    R = offs.shape[1]
 
     @jax.jit
     def fin_scan(d, c):

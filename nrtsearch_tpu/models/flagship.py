@@ -315,7 +315,12 @@ class SyntheticCorpus:
         np.add.at(self.doc_lens, u_docs, counts)
         self.rng = rng
 
-    def to_model(self) -> BatchedBM25:
+    def to_model(self, tiers: bool = False) -> BatchedBM25:
+        """``tiers``: also build the impact-tiered index (only needed for the
+        opt-in certify-or-escalate serving mode — serve_batch /
+        compile_pruned_batches; the default full-width path doesn't use it
+        and the per-run partition over the whole postings space is a
+        significant host cost at bench scale)."""
         from nrtsearch_tpu.ops.pallas_merge import GATHER_TILE
 
         d_pad = _pad_pow2(self.num_docs)
@@ -339,11 +344,13 @@ class SyntheticCorpus:
             live=jax.device_put(live),
             num_docs_real=self.num_docs,
         )
-        dl = self.doc_lens[self.post_docs]
-        host_imp = self.post_freqs / (
-            self.post_freqs + model.k1 * (1.0 - model.b + model.b * dl / model.avgdl)
-        )
-        model.attach_tiers(self.post_docs, host_imp.astype(np.float32))
+        if tiers:
+            dl = self.doc_lens[self.post_docs]
+            host_imp = self.post_freqs / (
+                self.post_freqs
+                + model.k1 * (1.0 - model.b + model.b * dl / model.avgdl)
+            )
+            model.attach_tiers(self.post_docs, host_imp.astype(np.float32))
         return model
 
     def sample_queries(self, batch: int, terms_per_query: int = 4) -> list[list[str]]:

@@ -80,6 +80,65 @@ def far_stage(docs: jax.Array, contribs: jax.Array, d: int, m: int = 0):
     return out_docs.reshape(B, N), out_contribs.reshape(B, N)
 
 
+def _far_pair_kernel(docs_ref, contribs_ref, docs_out, contribs_out, *,
+                     d: int, m: int):
+    """Two consecutive far stages (d, then d/2) in one memory pass.
+
+    The block view [.., 4, d/2] splits each 2d compare block into quarters:
+    stage d pairs (q0,q2),(q1,q3); stage d/2 pairs (q0,q1),(q2,q3) — all
+    elementwise between loaded quarters, so both stages run on one load."""
+    if m:
+        blk = pl.program_id(1)
+        desc = ((blk * 2 * d) & m) != 0
+    ds = [docs_ref[0, 0, i, :] for i in range(4)]
+    cs = [contribs_ref[0, 0, i, :] for i in range(4)]
+
+    def ce(a: int, b: int):
+        swap = ds[a] > ds[b]
+        if m:
+            swap = swap != desc
+        ds[a], ds[b] = (jnp.where(swap, ds[b], ds[a]),
+                        jnp.where(swap, ds[a], ds[b]))
+        cs[a], cs[b] = (jnp.where(swap, cs[b], cs[a]),
+                        jnp.where(swap, cs[a], cs[b]))
+
+    ce(0, 2); ce(1, 3)   # stage d
+    ce(0, 1); ce(2, 3)   # stage d/2
+    for i in range(4):
+        docs_out[0, 0, i, :] = ds[i]
+        contribs_out[0, 0, i, :] = cs[i]
+
+
+def far_pair_stage(docs: jax.Array, contribs: jax.Array, d: int, m: int = 0):
+    """Fused far stages d and d/2 (requires d/2 >= TILE), in place.
+
+    Chunks at TILE/2 per quarter: the (4, chunk) block is double-buffered by
+    the pipeline, so a full-TILE chunk (4 x 512KB x 2 arrays x 2 buffers)
+    blows the 16MB scoped-VMEM budget."""
+    B, N = docs.shape
+    nblk = N // (2 * d)
+    chunk = TILE // 2
+    sub = (d // 2) // chunk
+    docs_v = docs.reshape(B, nblk, 4, d // 2)
+    contribs_v = contribs.reshape(B, nblk, 4, d // 2)
+    spec = pl.BlockSpec(
+        (1, 1, 4, chunk), lambda b, blk, w: (b, blk, 0, w),
+        memory_space=pltpu.VMEM,
+    )
+    out_docs, out_contribs = pl.pallas_call(
+        functools.partial(_far_pair_kernel, d=d, m=m if m < N else 0),
+        grid=(B, nblk, sub),
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(docs_v.shape, docs_v.dtype),
+            jax.ShapeDtypeStruct(contribs_v.shape, contribs_v.dtype),
+        ],
+        input_output_aliases={0: 0, 1: 1},
+    )(docs_v, contribs_v)
+    return out_docs.reshape(B, N), out_contribs.reshape(B, N)
+
+
 _ROWS = TILE // 128
 
 
@@ -444,8 +503,12 @@ def merge_sorted_runs_alt(docs: jax.Array, contribs: jax.Array):
     while m <= N:
         d = m // 2
         while d >= TILE:
-            docs, contribs = far_stage(docs, contribs, d, m)
-            d //= 2
+            if d // 2 >= TILE:
+                docs, contribs = far_pair_stage(docs, contribs, d, m)
+                d //= 4
+            else:
+                docs, contribs = far_stage(docs, contribs, d, m)
+                d //= 2
         if d >= 1:
             docs, contribs = near_stages(docs, contribs, d, m)
         m *= 2
