@@ -1,0 +1,172 @@
+"""gRPC-level concurrent-client benchmark: QPS scaling with batch formation.
+
+Boots a REAL NrtsearchServer on localhost, indexes a synthetic Zipf corpus
+through streaming addDocuments, then drives `search` from N concurrent
+client threads for each concurrency level and reports QPS + latency
+percentiles + the micro-batcher's formed-batch sizes. This measures the
+claim that matters for serving: concurrent eligible text queries coalesce
+into ONE fused device dispatch (server/batcher.py), so QPS scales with
+offered concurrency at near-constant latency (the reference scales by
+adding SEARCH-pool threads per query instead: MyIndexSearcher.java:79).
+
+Usage:  python benchmarks/grpc_concurrent.py
+Env:    GRPCB_NUM_DOCS (50_000), GRPCB_QUERIES_PER_CLIENT (40),
+        GRPCB_LEVELS ("1,4,16,32"), JAX_PLATFORMS=cpu for offline runs.
+
+Prints one JSON line with per-level results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+NUM_DOCS = int(os.environ.get("GRPCB_NUM_DOCS", 50_000))
+QUERIES_PER_CLIENT = int(os.environ.get("GRPCB_QUERIES_PER_CLIENT", 40))
+LEVELS = [int(x) for x in os.environ.get("GRPCB_LEVELS", "1,4,16,32").split(",")]
+VOCAB = 2_000
+TOP_K = 20
+
+WORDS = [f"w{i}" for i in range(VOCAB)]
+
+
+def main() -> None:
+    import tempfile
+
+    from nrtsearch_tpu.client import NrtsearchClient
+    from nrtsearch_tpu.config import NrtsearchConfig
+    from nrtsearch_tpu.gen import pb
+    from nrtsearch_tpu.server.grpc_server import NrtsearchServer
+
+    t0 = time.perf_counter()
+
+    def log(msg):
+        print(f"[grpcb +{time.perf_counter()-t0:.0f}s] {msg}", file=sys.stderr)
+
+    rng = np.random.default_rng(7)
+    ranks = np.arange(1, VOCAB + 1)
+    probs = (1.0 / ranks) / (1.0 / ranks).sum()
+
+    tmp = tempfile.mkdtemp(prefix="grpcb_")
+    server = NrtsearchServer(NrtsearchConfig.from_dict({
+        "stateDir": f"{tmp}/state", "indexDir": f"{tmp}/index",
+        "nodeName": "bench",
+    }))
+    port = server.start(0)
+    c = NrtsearchClient(f"localhost:{port}")
+    c.create_index("idx")
+    c.register_fields(pb.FieldDefRequest(indexName="idx", field=[
+        pb.Field(name="id", type=pb.FieldType._ID, store=True),
+        pb.Field(name="body", type=pb.FieldType.TEXT, search=True),
+    ]))
+    c.start_index(pb.StartIndexRequest(indexName="idx", mode=pb.Mode.STANDALONE))
+    log(f"indexing {NUM_DOCS} docs")
+    reqs = []
+    for i in range(NUM_DOCS):
+        terms = rng.choice(VOCAB, size=8, p=probs)
+        r = pb.AddDocumentRequest(indexName="idx")
+        r.fields["id"].value.append(str(i))
+        r.fields["body"].value.append(" ".join(WORDS[t] for t in terms))
+        reqs.append(r)
+        if len(reqs) == 2000:
+            c.add_documents(reqs)
+            reqs = []
+    if reqs:
+        c.add_documents(reqs)
+    c.refresh("idx")
+
+    def make_request() -> pb.SearchRequest:
+        q = pb.SearchRequest(indexName="idx", topHits=TOP_K)
+        terms = rng.choice(VOCAB, size=2, p=probs)
+        q.query.matchQuery.field = "body"
+        q.query.matchQuery.query = " ".join(WORDS[t] for t in terms)
+        return q
+
+    # warm the packed view + kernel shapes
+    warm_client = NrtsearchClient(f"localhost:{port}")
+    for _ in range(6):
+        warm_client.search(make_request())
+
+    results = []
+    for level in LEVELS:
+        requests = [
+            [make_request() for _ in range(QUERIES_PER_CLIENT)]
+            for _ in range(level)
+        ]
+        lats: list[list[float]] = [[] for _ in range(level)]
+        clients = [NrtsearchClient(f"localhost:{port}") for _ in range(level)]
+
+        # untimed warm pass with the SAME request lists: compiles every
+        # (batch, run_len, R) shape this level's traffic can form, so the
+        # timed pass measures steady-state serving, not jit compiles
+        for _ in range(2):
+            ws = [
+                threading.Thread(
+                    target=lambda s=s: [clients[s].search(r)
+                                        for r in requests[s]]
+                )
+                for s in range(level)
+            ]
+            for t in ws:
+                t.start()
+            for t in ws:
+                t.join()
+
+        barrier = threading.Barrier(level + 1)
+
+        def worker(slot: int):
+            cl = clients[slot]
+            barrier.wait()
+            for req in requests[slot]:
+                s = time.perf_counter()
+                resp = cl.search(req)
+                lats[slot].append(time.perf_counter() - s)
+                assert resp.totalHits.value >= 0
+
+        threads = [
+            threading.Thread(target=worker, args=(i,)) for i in range(level)
+        ]
+        for t in threads:
+            t.start()
+        barrier.wait()
+        t_start = time.perf_counter()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t_start
+        for cl in clients:
+            cl.close()
+        flat = sorted(x for row in lats for x in row)
+        qps = len(flat) / wall
+        results.append({
+            "clients": level,
+            "qps": round(qps, 1),
+            "p50_ms": round(flat[len(flat) // 2] * 1e3, 2),
+            "p99_ms": round(flat[min(int(len(flat) * 0.99), len(flat) - 1)] * 1e3, 2),
+        })
+        log(f"clients={level}: {qps:.1f} qps, p50 {results[-1]['p50_ms']} ms")
+
+    batcher = getattr(getattr(server, "handlers", None), "batcher", None)
+    stats = batcher.stats() if batcher is not None else {}
+    base = results[0]["qps"]
+    print(json.dumps({
+        "metric": "grpc_concurrent_qps",
+        "levels": results,
+        "scaling_32_over_1": round(results[-1]["qps"] / base, 2) if base else 0,
+        "batcher": stats,
+        "num_docs": NUM_DOCS,
+    }))
+    c.close()
+    warm_client.close()
+    server.stop()
+
+
+if __name__ == "__main__":
+    main()

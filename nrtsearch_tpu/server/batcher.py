@@ -45,10 +45,21 @@ class SearchBatcher:
         self._cv = threading.Condition(self._lock)
         self._pending: list[_Pending] = []
         self._stopped = False
+        self.batches_formed = 0
+        self.queries_batched = 0
         self._thread = threading.Thread(
             target=self._worker, name="search-batcher", daemon=True
         )
         self._thread.start()
+
+    def stats(self) -> dict:
+        """Formed-batch counters (avg size = coalescing actually happening)."""
+        n = self.batches_formed
+        return {
+            "batches_formed": n,
+            "queries_batched": self.queries_batched,
+            "avg_batch_size": round(self.queries_batched / n, 2) if n else 0.0,
+        }
 
     def stop(self) -> None:
         with self._cv:
@@ -117,6 +128,8 @@ class SearchBatcher:
             pad_spec = QuerySpec(field=specs[0].field, terms=())
             specs = specs + [pad_spec] * (b_pad - len(specs))
             results = searcher.fast_search_batch(specs, k)
+            self.batches_formed += 1
+            self.queries_batched += len(group)
             if self.metrics is not None:
                 try:
                     self.metrics.micro_batch_size.observe(len(group))

@@ -168,6 +168,7 @@ class NrtsearchServer:
     def __init__(self, config: Optional[NrtsearchConfig] = None,
                  global_state: Optional[GlobalState] = None):
         self.config = config or NrtsearchConfig()
+        self._init_compile_cache(self.config)
         if global_state is None:
             remote = self._make_remote_backend(self.config)
             if remote is not None and str(
@@ -198,6 +199,32 @@ class NrtsearchServer:
         self.replication_service = ReplicationService(global_state)
         global_state.on_nrt_point = self.replication_service.notify_replicas
         global_state.connect_replica = self._connect_replica
+
+    @staticmethod
+    def _init_compile_cache(config: NrtsearchConfig) -> None:
+        """Persistent XLA compilation cache: serving dispatch shapes are
+        quantized (pow2 batch, run_len, R) but the first request at each new
+        shape pays a multi-second jit compile; persisting compiled programs
+        across restarts turns that into a one-time cost per deployment
+        (config key compileCacheDir, default <stateDir>/xla_cache; empty
+        string disables)."""
+        import os
+
+        cache_dir = config.raw.get(
+            "compileCacheDir",
+            os.path.join(config.state_dir, "xla_cache"),
+        )
+        if not cache_dir:
+            return
+        try:
+            import jax
+
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        except Exception:  # cache is an optimization, never fatal
+            log.warning("compilation cache unavailable", exc_info=True)
 
     @staticmethod
     def _make_remote_backend(config: NrtsearchConfig):
