@@ -256,6 +256,26 @@ def cmd_custom(client, args) -> None:
     _print(client.custom(req))
 
 
+def cmd_metrics(client, args) -> None:
+    """Prometheus exposition text (reference: MetricsCommand.java)."""
+    sys.stdout.write(client.metrics().metrics)
+
+
+def cmd_current_searcher_version(client, args) -> None:
+    """Replica's current searching version (GetCurrentSearcherVersion.java);
+    talks to the REPLICATION port."""
+    import grpc as _grpc
+
+    target = f"{args.host}:{args.replicationPort}"
+    with _grpc.insecure_channel(target) as ch:
+        call = ch.unary_unary(
+            "/nrtsearch_tpu.ReplicationServer/replicaCurrentSearchingVersion",
+            request_serializer=pb.IndexName.SerializeToString,
+            response_deserializer=pb.SearcherVersion.FromString,
+        )
+        _print(call(pb.IndexName(indexName=args.indexName)))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="nrtsearch_client")
     p.add_argument("--host", default="localhost")
@@ -324,6 +344,9 @@ def build_parser() -> argparse.ArgumentParser:
     add("backupWarmingQueries", cmd_backup_warming_queries, idx)
     add("custom", cmd_custom, ("--id", {"required": True}),
         ("--path", {"default": ""}))
+    add("metrics", cmd_metrics)
+    add("currentSearcherVersion", cmd_current_searcher_version, idx,
+        ("--replicationPort", {"type": int, "default": 8001}))
     return p
 
 

@@ -170,3 +170,65 @@ def test_replica_rejects_wrong_index_id(tmp_path):
         rc.close()
         pc.close()
         p.stop()
+
+
+def test_primary_restarts_behind_replica(tmp_path):
+    """Primary failover (reference: PrimaryRestartTests): the primary dies
+    non-gracefully, abandoning its local index dir; a NEW incarnation
+    (bumped primaryGen, fresh ephemeral id) restores from the object store —
+    which has every published point, since refresh enqueues the upload like
+    the reference's NrtDataManager — and the replica re-syncs to the new
+    incarnation with indexing converging on both sides."""
+    remote = LocalFileBackend(tmp_path / "remote")
+    shared = str(tmp_path / "shared_state")
+    p, pc = mk(tmp_path, "p", remote, state=shared)
+    pc.create_index("idx")
+    pc.register_fields(pb.FieldDefRequest(indexName="idx", field=FIELDS))
+    pc.start_index(pb.StartIndexRequest(indexName="idx", mode=pb.Mode.PRIMARY,
+                                        primaryGen=1))
+    add(pc, ("1", "alpha"), ("2", "beta"))
+    pc.commit("idx")          # durable: docs 1-2
+
+    r, rc = mk(tmp_path, "r", remote, state=shared)
+    rc.start_index(pb.StartIndexRequest(
+        indexName="idx", mode=pb.Mode.REPLICA,
+        primaryAddress=f"localhost:{p.replication_port}"))
+    assert wait_docs(rc, 2)
+
+    # a further point, published but never explicitly committed (refresh
+    # uploads it to the object store, matching NrtDataManager semantics)
+    add(pc, ("3", "gamma uncommitted"))
+    assert wait_docs(rc, 3)
+
+    # primary dies non-gracefully: its index dir is abandoned entirely;
+    # only the remote store survives
+    pc.close()
+    p.stop()
+
+    # new incarnation (fresh node dir) restores the last durable commit
+    p2, pc2 = mk(tmp_path, "p2", remote, state=shared)
+    start = pb.StartIndexRequest(indexName="idx", mode=pb.Mode.PRIMARY,
+                                 primaryGen=2)
+    start.restore.serviceName = "nrtsearch-tpu"
+    pc2.start_index(start)
+    assert wait_docs(pc2, 3)  # refresh-published points are durable
+
+    # re-point the replica at the new incarnation; indexing must converge
+    rc.stop_index("idx")
+    rc.start_index(pb.StartIndexRequest(
+        indexName="idx", mode=pb.Mode.REPLICA,
+        primaryAddress=f"localhost:{p2.replication_port}"))
+    add(pc2, ("4", "delta after failover"))
+    try:
+        assert wait_docs(rc, 4, timeout=10.0)
+        req = pb.SearchRequest(indexName="idx", topHits=10, retrieveFields=["id"])
+        req.query.matchQuery.field = "t"
+        req.query.matchQuery.query = "delta"
+        assert rc.search(req).totalHits.value == 1
+        req.query.matchQuery.query = "gamma"
+        assert rc.search(req).totalHits.value == 1
+    finally:
+        rc.close()
+        r.stop()
+        pc2.close()
+        p2.stop()

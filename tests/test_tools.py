@@ -212,3 +212,27 @@ def test_hits_logger(tmp_path):
     assert logged == [("idx", 2)]
     client.close()
     srv.stop()
+
+
+def test_cli_metrics_and_searcher_version(tmp_path, capsys):
+    from nrtsearch_tpu.cli import main as cli_main
+
+    srv, client = _mk_server(tmp_path, "cli")
+    try:
+        _fill(client)
+        port = srv.port
+        assert cli_main(["--port", str(port), "metrics"]) == 0
+        out = capsys.readouterr().out
+        assert "# TYPE grpc_server_handled_latency_seconds" in out
+        # replica searching version via the replication port
+        rc = cli_main([
+            "--port", str(port), "currentSearcherVersion",
+            "--indexName", "idx",
+            "--replicationPort", str(srv.replication_port),
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "version" in out
+    finally:
+        client.close()
+        srv.stop()
