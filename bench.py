@@ -128,43 +128,55 @@ def main() -> None:
         # shape-bucketed program cache, not one worst-case-joint program
         # (joint freezing measured 2x width inflation: one heavy query in
         # any batch forces every batch to its width)
-        qbs = [model.compile_queries(s) for s in sets]
-        shapes = sorted({(qb.run_len, qb.term_offsets.shape[1]) for qb in qbs})
+        # width-class split: a heavy query otherwise forces its whole batch
+        # to the next pow2 width (kernel cost is B x width)
+        qsets = [
+            [qb for qb, _idx in model.compile_queries_bucketed(s)] for s in sets
+        ]
+        shapes = sorted({
+            (qb.run_len, qb.term_offsets.shape[1])
+            for qbl in qsets for qb in qbl
+        })
         log(f"  shape buckets: {shapes}")
+        qbs = qsets
         # steady state: fixed query tables live on device (recurring shapes
         # in serving would be planned host-side per request, but the tiny
         # [B, R] tables transfer inline with the dispatch either way)
         from dataclasses import replace as dc_replace
 
-        qbs = [
-            dc_replace(
+        def to_dev(qb):
+            return dc_replace(
                 qb,
                 term_offsets=jax.device_put(qb.term_offsets),
                 term_lengths=jax.device_put(qb.term_lengths),
                 term_weights=jax.device_put(qb.term_weights),
                 n_terms=jax.device_put(qb.n_terms),
             )
-            for qb in qbs
-        ]
+
+        qbs = [[to_dev(qb) for qb in qbl] for qbl in qbs]
         from collections import deque
 
         state = {"i": 0, "pending": deque()}
 
         def run():
-            qb = qbs[state["i"] % len(qbs)]
+            qbl = qbs[state["i"] % len(qbs)]
             state["i"] += 1
-            out = model.search(qb, TOP_K)       # async dispatch
+            # a width-split set is 1-2 dispatches; the set completes when
+            # its last sub-batch does
+            out = [model.search(qb, TOP_K) for qb in qbl]
             state["pending"].append(out)
             # serving pipelines at depth N: host planning + result readback
             # of batch i overlap device execution of batch i+1 (queries are
             # independent requests; a real frontend does exactly this)
             while len(state["pending"]) >= max(pipeline, 1):
                 old = state["pending"].popleft()
-                np.asarray(old[0])              # force completion
+                for o in old:
+                    np.asarray(o[0])            # force completion
 
         def drain():
             while state["pending"]:
-                np.asarray(state["pending"].popleft()[0])
+                for o in state["pending"].popleft():
+                    np.asarray(o[0])
 
         for _ in range(len(qbs)):   # compile every shape bucket
             run()

@@ -232,7 +232,7 @@ class TieredIndex:
     # -- search ----------------------------------------------------------------
 
     def _dispatch(self, rows, n_terms, k: int, require_all: bool,
-                  filter_mask=None, force=(0, 0)):
+                  filter_mask=None, additive=None, force=(0, 0)):
         import jax
         import jax.numpy as jnp
 
@@ -256,6 +256,7 @@ class TieredIndex:
             require_all_terms=require_all,
             use_pallas=self.use_pallas,
             filter_mask=filter_mask,
+            additive=additive,
         )
         return jax.device_get((scores, docs, hits)), (run_len, offs.shape[1])
 
@@ -282,13 +283,17 @@ class TieredIndex:
         results: list = [None] * B
 
         # phase 1: tier-1 runs for certifiable disjunctions
+        # additive-scored queries skip phase 1: the host rescore/certify
+        # math covers postings mass only, not the columnar additive term
         p1_idx = [
             i for i, q in enumerate(queries)
             if allow_phase1 and not q.get("require_all") and q["entries"]
+            and q.get("additive") is None
         ]
         escalate: list[int] = [
             i for i, q in enumerate(queries)
-            if q["entries"] and (q.get("require_all") or not allow_phase1)
+            if q["entries"] and (q.get("require_all") or not allow_phase1
+                                 or q.get("additive") is not None)
         ]
         for i, q in enumerate(queries):
             if not q["entries"]:
@@ -298,7 +303,7 @@ class TieredIndex:
                 )
         if p1_idx:
             groups = _group_by_filter([queries[i] for i in p1_idx], p1_idx)
-            for fmask, idxs in groups:
+            for (fmask, addv), idxs in groups:
                 rows = [
                     [
                         (off, ln, w)
@@ -310,7 +315,7 @@ class TieredIndex:
                 ]
                 (s1, d1, h1), shp = self._dispatch(
                     rows, [1] * len(idxs), W, False, filter_mask=fmask,
-                    force=force_phase1,
+                    additive=addv, force=force_phase1,
                 )
                 if shape_log is not None:
                     prev = shape_log.get("phase1", (0, 0))
@@ -343,7 +348,7 @@ class TieredIndex:
         # phase 2: full-width dispatch for MUST queries + failed certifications
         if escalate:
             groups = _group_by_filter([queries[i] for i in escalate], escalate)
-            for fmask, idxs in groups:
+            for (fmask, addv), idxs in groups:
                 rows = [
                     [
                         (off, ln, w)
@@ -356,7 +361,8 @@ class TieredIndex:
                 n_terms = [queries[i]["n_terms"] for i in idxs]
                 req = any(queries[i].get("require_all") for i in idxs)
                 (s2, d2, h2), shp = self._dispatch(
-                    rows, n_terms, k, req, filter_mask=fmask, force=force_full,
+                    rows, n_terms, k, req, filter_mask=fmask, additive=addv,
+                    force=force_full,
                 )
                 if shape_log is not None:
                     prev = shape_log.get("full", (0, 0))
@@ -374,12 +380,15 @@ class TieredIndex:
 
 
 def _group_by_filter(queries, idxs):
-    """Group query indices by filter identity so one dispatch shares one
-    [D] filter array (per-query [B, D] filters would not fit HBM)."""
+    """Group query indices by (filter, additive) identity so one dispatch
+    shares one [D] filter/additive array pair (per-query [B, D] arrays
+    would not fit HBM)."""
     groups: dict = {}
     for q, i in zip(queries, idxs):
-        key = id(q.get("filter")) if q.get("filter") is not None else None
-        groups.setdefault(key, (q.get("filter"), []))[1].append(i)
+        f, a = q.get("filter"), q.get("additive")
+        key = (id(f) if f is not None else None,
+               id(a) if a is not None else None)
+        groups.setdefault(key, ((f, a), []))[1].append(i)
     return list(groups.values())
 
 

@@ -32,13 +32,17 @@ class QuerySpec:
     """One fast-path text query: analyzed terms against one field.
 
     ``filter`` is an optional device bool [max_doc] mask (global ords) pushed
-    down into the kernel (filtered search without the dense evaluator)."""
+    down into the kernel (filtered search without the dense evaluator).
+    ``additive`` is an optional device f32 [max_doc] per-doc score added to
+    matched docs before top-k (the columnar score mass of a decomposed
+    boolean tree's non-text MUST clauses)."""
 
     field: str
     terms: tuple[str, ...]
     require_all: bool = False
     boost: float = 1.0
     filter: Optional[object] = dc_field(default=None, compare=False, hash=False)
+    additive: Optional[object] = dc_field(default=None, compare=False, hash=False)
 
 
 @dataclass
@@ -194,6 +198,7 @@ class PackedFieldView:
                 "require_all": spec.require_all,
                 "n_terms": len(spec.terms) if spec.require_all else 1,
                 "filter": spec.filter,
+                "additive": spec.additive,
             })
         results = self.index.search(queries, k, allow_phase1=prune)
         out = []

@@ -338,13 +338,18 @@ class Searcher:
         return results[0]
 
     def _fast_filtered_text(self, node: qp.QueryNode, top_hits: int):
-        """Filter pushdown: a boolean tree of ONE scored MUST text clause
-        plus pure FILTER / MUST_NOT clauses rides the scatter-free merge
-        kernel — the filter mask (compiled per segment, concatenated to
-        global ords) multiplies gathered contributions inside the kernel, so
-        top-k and hit counts are exact over the filtered set without the
-        dense per-clause evaluator (reference: filtered search keeps the
-        filter in the lead iterator).
+        """Decomposed boolean pushdown: a tree of ONE scored MUST text clause
+        plus any mix of (a) pure FILTER / MUST_NOT clauses and (b) scored
+        non-text MUST clauses whose scores are columnar (ranges, termInSet,
+        exists, constantScore, geo, booleans of those — anything the dense
+        evaluator scores WITHOUT postings scatter) rides the scatter-free
+        merge kernel: the non-text clauses' AND-mask multiplies gathered
+        contributions inside the kernel (exact filtered top-k + hit counts)
+        and their summed per-doc scores enter as an additive [D] array
+        applied before top-k. This is what makes BASELINE config #3's
+        filtered/deep-boolean shape fast: the expensive scatter-based text
+        scoring never runs (reference contrast: Lucene keeps filters in the
+        lead iterator and scores the conjunction doc-at-a-time).
 
         SHOULD-occur scored clauses are NOT eligible: with filters present,
         Lucene treats SHOULD as optional (filter-only matches score 0), which
@@ -355,34 +360,54 @@ class Searcher:
             return None
         if node.minimum_number_should_match:
             return None
-        scored, others = [], []
+        scored_text, scored_columnar, others = [], [], []
         for cl in node.clauses:
             if cl.occur == qp.Occur.MUST:
-                scored.append(cl.node)
+                if self.fast_query_spec(cl.node) is not None:
+                    scored_text.append(cl.node)
+                elif _columnar_scorable(cl.node):
+                    scored_columnar.append(cl.node)
+                else:
+                    return None
             elif cl.occur in (qp.Occur.FILTER, qp.Occur.MUST_NOT):
                 others.append(cl)
             else:
                 return None  # SHOULD alongside filters: general path
-        if len(scored) != 1 or not others:
+        if len(scored_text) != 1 or not (others or scored_columnar):
             return None
-        spec = self.fast_query_spec(scored[0])
+        spec = self.fast_query_spec(scored_text[0])
         if spec is None or not self.segments:
             return None
         import jax.numpy as jnp
 
         from nrtsearch_tpu.query import compiled as qc
 
-        filter_node = qp.BooleanQueryNode(clauses=tuple(others))
-        parts = []
+        mask_clauses = tuple(others) + tuple(
+            qp.BooleanClause(node=n, occur=qp.Occur.MUST)
+            for n in scored_columnar
+        )
+        filter_node = qp.BooleanQueryNode(clauses=mask_clauses)
+        mparts, sparts = [], []
         for seg in self.segments:
             ctx = qeval.EvalContext(seg, self.field_defs, self.stats)
             cq = qc.CompiledQuery(filter_node, None, ctx, qc.live_root_mask(seg))
-            parts.append(cq.match()[: seg.num_docs])
-        gfilter = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+            if scored_columnar:
+                sc, match = cq.arrays()
+                mparts.append(match[: seg.num_docs])
+                sparts.append(sc[: seg.num_docs])
+            else:
+                mparts.append(cq.match()[: seg.num_docs])
+        gfilter = mparts[0] if len(mparts) == 1 else jnp.concatenate(mparts)
+        additive = None
+        if sparts:
+            additive = (
+                sparts[0] if len(sparts) == 1 else jnp.concatenate(sparts)
+            ) * jnp.float32(node.boost)
         from dataclasses import replace as dc_replace
 
         spec = dc_replace(
-            spec, boost=spec.boost * float(node.boost), filter=gfilter
+            spec, boost=spec.boost * float(node.boost), filter=gfilter,
+            additive=additive,
         )
         return self.fast_search_batch([spec], top_hits)[0]
 
@@ -567,3 +592,23 @@ class Searcher:
             sign = -1.0 if sort.reverse else 1.0
             hits.sort(key=lambda h: (sign * (h.sort_key or 0.0), h.global_ord))
         return TopDocs(hits[:top_hits], total)
+
+
+def _columnar_scorable(node: qp.QueryNode) -> bool:
+    """True when the dense evaluator scores ``node`` from columnar doc
+    values / masks alone — no postings gather+scatter — so a decomposed
+    boolean tree can push it down as (AND-mask + additive score) beside the
+    merge-kernel text clause (see Searcher._fast_filtered_text)."""
+    if isinstance(node, (
+        qp.RangeQueryNode, qp.TermInSetNode, qp.ExistsQueryNode,
+        qp.MatchAllNode, qp.GeoBoundingBoxNode, qp.GeoRadiusNode,
+        qp.GeoPolygonNode, qp.PolygonContainsNode,
+    )):
+        return True
+    if isinstance(node, qp.ConstantScoreNode):
+        return True  # constant score; its inner node is mask-only
+    if isinstance(node, qp.BooleanQueryNode):
+        if node.minimum_number_should_match:
+            return False
+        return all(_columnar_scorable(cl.node) for cl in node.clauses)
+    return False

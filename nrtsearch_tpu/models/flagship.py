@@ -139,6 +139,31 @@ class BatchedBM25:
             i += n
         return out
 
+    def compile_queries_bucketed(
+        self, queries: Sequence[Sequence[str]], max_terms: int = 8
+    ) -> list[tuple[QueryBatch, list[int]]]:
+        """Width-class split: one heavy query (true width in (W/2, W]) forces
+        the whole batch to the next pow2 width, doubling every light query's
+        cost. When separating the heavy tail at least halves the main
+        group's width, plan two sub-batches instead (kernel cost is
+        B x width, so 31 light @ W/2 + 1 heavy @ W beats 32 @ W by ~2x).
+        Returns [(QueryBatch, original query indices)]."""
+        full = self.compile_queries(queries, max_terms)
+        W = full.run_len * full.term_offsets.shape[1]
+        widths = []
+        for q in queries:
+            qb = self.compile_queries([q], max_terms)
+            widths.append(qb.run_len * qb.term_offsets.shape[1])
+        light_idx = [i for i, w in enumerate(widths) if w <= W // 2]
+        heavy_idx = [i for i, w in enumerate(widths) if w > W // 2]
+        if not heavy_idx or not light_idx:
+            return [(full, list(range(len(queries))))]
+        light = self.compile_queries([queries[i] for i in light_idx], max_terms)
+        if light.run_len * light.term_offsets.shape[1] > W // 2:
+            return [(full, list(range(len(queries))))]
+        heavy = self.compile_queries([queries[i] for i in heavy_idx], max_terms)
+        return [(light, light_idx), (heavy, heavy_idx)]
+
     def search(self, batch: QueryBatch, k: int = 10, require_all_terms: bool = False):
         return bm25_search_step(
             self.doc_ids,

@@ -162,8 +162,10 @@ def kmeans_fit(
     centroids = jnp.asarray(vectors[idx])
     data = jnp.asarray(vectors)
 
+    # data passed as an ARGUMENT: a closed-over device array becomes a
+    # compile-time constant, which remote compile services reject/stall on
     @jax.jit
-    def step(centroids):
+    def step(data, centroids):
         d = (
             jnp.sum(data * data, axis=1)[:, None]
             - 2.0 * data @ centroids.T
@@ -176,16 +178,54 @@ def kmeans_fit(
         return jnp.where(counts > 0, sums / jnp.maximum(counts, 1), centroids)
 
     for _ in range(iters):
-        centroids = step(centroids)
+        centroids = step(data, centroids)
     return np.asarray(centroids)
+
+
+@functools.partial(jax.jit, static_argnames=("similarity", "k", "nprobe"))
+def _ivf_search_step(blocks, block_sq, block_ids, centroids, c_sq, queries,
+                     *, similarity: str, k: int, nprobe: int):
+    """One fused IVF step: centroid probe -> gather member blocks ->
+    exact-score -> top-k. Single dispatch, single compiled shape."""
+    c_scores = _scores(queries, centroids, c_sq, similarity)
+    _, top_c = jax.lax.top_k(c_scores, nprobe)            # [B, nprobe]
+    sub = blocks[top_c]                                   # [B, np, cap, dims]
+    sub_sq = block_sq[top_c]                              # [B, np, cap]
+    sub_ids = block_ids[top_c]                            # [B, np, cap]
+    dots = jnp.einsum("bd,bpcd->bpc", queries, sub)
+    # transforms mirror _scores exactly (same ranking family as knn_search)
+    if similarity == "l2_norm":
+        qq = jnp.sum(queries * queries, axis=1)[:, None, None]
+        d2 = jnp.maximum(qq + sub_sq - 2.0 * dots, 0.0)
+        scores = 1.0 / (1.0 + d2)
+    elif similarity == "dot_product":
+        scores = (1.0 + dots) / 2.0
+    elif similarity in ("cosine", "normalized_cosine"):
+        qn = jnp.sqrt(jnp.sum(queries * queries, axis=1))[:, None, None]
+        cos = dots / jnp.maximum(qn * jnp.sqrt(sub_sq), 1e-30)
+        scores = (1.0 + cos) / 2.0
+    elif similarity == "max_inner_product":
+        scores = jnp.where(dots >= 0, dots + 1.0, 1.0 / (1.0 - dots))
+    else:
+        raise ValueError(f"unknown similarity {similarity!r}")
+    B = queries.shape[0]
+    flat_s = jnp.where(
+        (sub_ids >= 0).reshape(B, -1), scores.reshape(B, -1), -jnp.inf
+    )
+    flat_i = sub_ids.reshape(B, -1)
+    top_s, pos = jax.lax.top_k(flat_s, k)
+    return top_s, jnp.take_along_axis(flat_i, pos, axis=1)
 
 
 class IVFIndex:
     """Inverted-file vector index: probe top clusters, exact-score members.
 
-    Device layout: vectors regrouped cluster-contiguously so probing a
-    cluster is a contiguous slice (same trick as postings runs).
-    """
+    Device layout: clusters padded to one uniform capacity and stacked
+    [n_clusters, cap, dims], so probing is a single gather + einsum — the
+    whole search is ONE compiled dispatch regardless of nprobe or cluster
+    sizes (a host loop over ragged cluster slices costs one dispatch+compile
+    per distinct slice shape, which through a remote-device tunnel is
+    seconds per query)."""
 
     def __init__(self, vectors: np.ndarray, n_clusters: int, similarity: str,
                  seed: int = 0):
@@ -197,43 +237,31 @@ class IVFIndex:
             + np.sum(self.centroids * self.centroids, axis=1)[None, :]
         )
         assign = np.argmin(d, axis=1)
-        order = np.argsort(assign, kind="stable")
-        self.doc_map = order.astype(np.int32)  # slot -> original doc
-        grouped = vectors[order]
-        self.vectors = jax.device_put(grouped.astype(np.float32))
-        self.sq_norms = jax.device_put(
-            np.sum(grouped * grouped, axis=1).astype(np.float32)
-        )
         counts = np.bincount(assign, minlength=n_clusters)
-        self.cluster_offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        cap = max(int(counts.max()), 1)
+        dims = vectors.shape[1]
+        blocks = np.zeros((n_clusters, cap, dims), np.float32)
+        block_ids = np.full((n_clusters, cap), -1, np.int32)
+        fill = np.zeros(n_clusters, np.int64)
+        for doc, c in enumerate(assign):
+            blocks[c, fill[c]] = vectors[doc]
+            block_ids[c, fill[c]] = doc
+            fill[c] += 1
+        self.blocks = jax.device_put(blocks)
+        self.block_sq = jax.device_put((blocks * blocks).sum(-1).astype(np.float32))
+        self.block_ids = jax.device_put(block_ids)
         self.centroids_dev = jax.device_put(self.centroids.astype(np.float32))
+        self.c_sq = jax.device_put(
+            np.sum(self.centroids * self.centroids, axis=1).astype(np.float32)
+        )
 
     def search(self, queries: np.ndarray, k: int, nprobe: int = 8):
-        """Approximate top-k via cluster probing (host-orchestrated)."""
-        q = jnp.asarray(queries.astype(np.float32))
-        c_sq = jnp.sum(self.centroids_dev * self.centroids_dev, axis=1)
-        c_scores = _scores(q, self.centroids_dev, c_sq, "l2_norm")
-        _, top_clusters = jax.lax.top_k(c_scores, nprobe)
-        top_clusters = np.asarray(top_clusters)
-        B = len(queries)
-        out_scores = np.full((B, k), -np.inf, np.float32)
-        out_ids = np.zeros((B, k), np.int32)
-        # group queries by identical probe sets would batch better; simple loop
-        # per query is fine off the serving hot path (flat knn uses knn_search)
-        for b in range(B):
-            slots = np.concatenate([
-                np.arange(self.cluster_offsets[c], self.cluster_offsets[c + 1])
-                for c in top_clusters[b]
-            ])
-            if len(slots) == 0:
-                continue
-            sub = np.asarray(self.vectors)[slots]
-            sq = np.asarray(self.sq_norms)[slots]
-            scores = np.asarray(
-                _scores(q[b : b + 1], jnp.asarray(sub), jnp.asarray(sq), self.similarity)
-            )[0]
-            top = np.argsort(-scores, kind="stable")[:k]
-            n = len(top)
-            out_scores[b, :n] = scores[top]
-            out_ids[b, :n] = self.doc_map[slots[top]]
-        return out_scores, out_ids
+        """Approximate top-k. Returns (scores [B, k] np, ids [B, k] np)."""
+        nprobe = min(nprobe, self.centroids.shape[0])
+        s, i = _ivf_search_step(
+            self.blocks, self.block_sq, self.block_ids,
+            self.centroids_dev, self.c_sq,
+            jnp.asarray(np.asarray(queries, np.float32)),
+            similarity=self.similarity, k=k, nprobe=nprobe,
+        )
+        return np.asarray(s), np.asarray(i)

@@ -325,6 +325,11 @@ def merge_score_topk(
                                # in the lead iterator; here it multiplies
                                # gathered contributions, so top-k and hit
                                # counts are exact over the filtered set)
+    additive=None,             # optional f32 [D] (global ords): per-doc score
+                               # added to matched docs BEFORE top-k (the
+                               # columnar score mass of non-text MUST clauses
+                               # in a decomposed boolean tree; match/hit
+                               # semantics are untouched)
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fused scatter-free retrieval. Returns (scores [B,k], docs [B,k], hits [B]).
 
@@ -358,13 +363,17 @@ def merge_score_topk(
                 docs, contribs, n_terms,
                 max_seg=term_offsets.shape[1], require_all=require_all_terms,
             )
+            total_hits = jnp.sum(masked > -jnp.inf, axis=-1, dtype=jnp.int32)
+            if additive is not None:
+                D = additive.shape[0]
+                extra = additive[jnp.clip(docs, 0, D - 1)]
+                masked = jnp.where(masked > -jnp.inf, masked + extra, -jnp.inf)
             top_scores, pos = _hierarchical_topk(masked, k)
             top_docs = jnp.take_along_axis(docs, pos, axis=-1)
-            total_hits = jnp.sum(masked > -jnp.inf, axis=-1, dtype=jnp.int32)
             return top_scores, top_docs, total_hits
         return _finish(
             docs, contribs, n_terms, k, require_all_terms,
-            max_seg=term_offsets.shape[1],
+            max_seg=term_offsets.shape[1], additive=additive,
         )
 
     def gather_runs(offs, lens, weights):
@@ -394,7 +403,7 @@ def merge_score_topk(
         contribs = contribs * _filter_gate(docs, filter_mask)
     return _finish(
         docs, contribs, n_terms, k, require_all_terms,
-        max_seg=term_offsets.shape[1],
+        max_seg=term_offsets.shape[1], additive=additive,
     )
 
 
@@ -450,11 +459,14 @@ def _filter_gate(docs, filter_mask):
 
 
 def _finish(docs, contribs, n_terms, k: int, require_all_terms: bool,
-            max_seg: int = 0):
+            max_seg: int = 0, additive=None):
     seg_scores, seg_counts, tail, valid = segmented_scores(docs, contribs, max_seg)
     ok = tail & valid & (seg_scores > 0.0)
     if require_all_terms:
         ok = ok & (seg_counts >= n_terms[:, None])
+    if additive is not None:
+        D = additive.shape[0]
+        seg_scores = seg_scores + additive[jnp.clip(docs, 0, D - 1)]
     masked = jnp.where(ok, seg_scores, -jnp.inf)
     top_scores, pos = jax.lax.top_k(masked, k)
     top_docs = jnp.take_along_axis(docs, pos, axis=-1)

@@ -153,3 +153,40 @@ def test_filtered_fast_path_used(monkeypatch):
     td = searcher.search(q, 10)
     assert called["result"] is not None
     assert td.total_hits > 0
+
+
+def test_decomposed_boolean_with_scored_columnar_must(monkeypatch):
+    """The stress shape (BASELINE config #3): one scored text MUST + scored
+    non-text MUSTs (range, deep SHOULD-range boolean) + filters. The
+    decomposed pushdown (kernel filter + additive columnar scores) must
+    match the general evaluator exactly — scores included."""
+    searcher = _zipf_searcher(seed=55)
+    q = parse_query({"booleanQuery": {"clauses": [
+        {"occur": "MUST", "query": {"matchQuery": {"field": "body", "query": "w3 w17 w40"}}},
+        {"occur": "MUST", "query": {"rangeQuery": {"field": "price", "upper": "800"}}},
+        {"occur": "MUST", "query": {"booleanQuery": {"clauses": [
+            {"occur": "SHOULD", "query": {"rangeQuery": {"field": "price", "lower": "0", "upper": "250"}}},
+            {"occur": "SHOULD", "query": {"rangeQuery": {"field": "price", "lower": "251", "upper": "500"}}},
+            {"occur": "SHOULD", "query": {"rangeQuery": {"field": "price", "lower": "501", "upper": "901"}}},
+        ]}}},
+        {"occur": "FILTER", "query": {"existsQuery": {"field": "price"}}},
+        {"occur": "MUST_NOT", "query": {"termQuery": {"field": "price", "longValue": 13}}},
+    ]}})
+    called = {}
+    orig = Searcher._fast_filtered_text
+
+    def spy(self, node, top_hits):
+        out = orig(self, node, top_hits)
+        called["result"] = out
+        return out
+
+    monkeypatch.setattr(Searcher, "_fast_filtered_text", spy)
+    fast = searcher.search(q, 10)
+    assert called.get("result") is not None, "pushdown path not taken"
+    monkeypatch.setattr(Searcher, "_fast_filtered_text", lambda *a, **k: None)
+    general = searcher.search(q, 10)
+    assert [h.global_ord for h in fast.hits] == [h.global_ord for h in general.hits]
+    for hf, hg in zip(fast.hits, general.hits):
+        assert hf.score == pytest.approx(hg.score, rel=2e-5)
+    assert fast.total_hits == general.total_hits
+    assert fast.relation == "EQUAL_TO"
