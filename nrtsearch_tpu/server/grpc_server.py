@@ -186,7 +186,9 @@ class NrtsearchServer:
 
         self.metrics = Metrics(global_state)
         self.plugins = PluginRegistry()
-        load_plugins(self.config.plugins, self.plugins)
+        load_plugins(self.config.plugins, self.plugins,
+                     remote=getattr(global_state, "remote", None),
+                     service=self.config.service_name)
         for ingestor in self.plugins.ingestors:
             ingestor.initialize(global_state)
         self.handlers = Handlers(global_state, self.metrics, self.plugins)

@@ -69,10 +69,36 @@ class Ingestor:
     def stop(self) -> None: ...
 
 
-def load_plugins(names: list[str], registry: PluginRegistry) -> None:
-    """Load plugins by module path (config ``plugins:`` list) or entry point."""
+def load_plugins(names: list[str], registry: PluginRegistry,
+                 remote=None, service: str = "") -> None:
+    """Load plugins by module path (config ``plugins:`` list), entry point,
+    or object-store location. A ``remote://<name>`` entry downloads the
+    plugin module from the configured RemoteBackend (stored as the current
+    version of resource ``plugin_<name>``) to a temp dir and loads it from
+    there (reference: PluginsService + PluginDownloader pulling plugin
+    artifacts from S3, server/plugins/PluginDownloader.java)."""
     for name in names:
         loaded = False
+        if name.startswith("remote://"):
+            if remote is None:
+                log.warning("plugin %s needs a remote backend", name)
+                continue
+            try:
+                import sys as _sys
+                import tempfile
+                from pathlib import Path
+
+                mod_name = name[len("remote://"):]
+                data = remote.download_current(service, f"plugin_{mod_name}")
+                if data is None:
+                    raise FileNotFoundError(f"plugin_{mod_name} not in store")
+                pdir = Path(tempfile.mkdtemp(prefix="nrt_plugin_"))
+                (pdir / f"{mod_name}.py").write_bytes(data)
+                _sys.path.insert(0, str(pdir))
+                name = mod_name
+            except Exception:
+                log.warning("plugin download failed: %s", name, exc_info=True)
+                continue
         try:
             mod = importlib.import_module(name)
             if hasattr(mod, "register"):

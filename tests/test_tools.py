@@ -236,3 +236,20 @@ def test_cli_metrics_and_searcher_version(tmp_path, capsys):
     finally:
         client.close()
         srv.stop()
+
+
+def test_remote_plugin_download(tmp_path, capsys):
+    """remote:// plugin entries download from the object store and register
+    (reference: PluginDownloader)."""
+    from nrtsearch_tpu.remote.backend import LocalFileBackend
+    from nrtsearch_tpu.server.plugins import PluginRegistry, load_plugins
+
+    remote = LocalFileBackend(tmp_path / "store")
+    src = (
+        "def register(registry):\n"
+        "    registry.rescorers['dl_test'] = lambda *a, **k: None\n"
+    )
+    remote.upload_versioned("svc", "plugin_dlplug", src.encode())
+    reg = PluginRegistry()
+    load_plugins(["remote://dlplug"], reg, remote=remote, service="svc")
+    assert "dl_test" in reg.rescorers
