@@ -416,7 +416,12 @@ class ReplicationService:
         crc = 0
         footer = None
         if dest is not None:
-            tmp = dest.with_suffix(dest.suffix + ".tmp")
+            # unique tmp per stream: a merge pre-copy and a point-driven copy
+            # of the SAME file may run concurrently; sharing one .tmp name
+            # makes the loser's atomic rename fail on a vanished source
+            tmp = dest.with_suffix(
+                dest.suffix + f".{threading.get_ident():x}.tmp"
+            )
         else:
             fd, tmp_name = tempfile.mkstemp(suffix=".tmp")
             import os as _os
@@ -530,7 +535,11 @@ class ReplicationService:
         acked = bool(getattr(cfg, "acked_copy", False))
         ack_every = int(getattr(cfg, "ack_every", 1000) or 1000)
         for name in files:
-            tmp = Path(rt.index_dir) / (name + ".tmp")
+            # unique tmp per fetch (concurrent pre-copy/point copies of the
+            # same file must not share a tmp name — see recvRawFileV2)
+            tmp = Path(rt.index_dir) / (
+                name + f".{threading.get_ident():x}.tmp"
+            )
             crc = 0
             footer = None
             stream = (
