@@ -365,7 +365,7 @@ class Searcher:
             if cl.occur == qp.Occur.MUST:
                 if self.fast_query_spec(cl.node) is not None:
                     scored_text.append(cl.node)
-                elif _columnar_scorable(cl.node):
+                elif _columnar_scorable(cl.node, self.field_defs):
                     scored_columnar.append(cl.node)
                 else:
                     return None
@@ -594,21 +594,28 @@ class Searcher:
         return TopDocs(hits[:top_hits], total)
 
 
-def _columnar_scorable(node: qp.QueryNode) -> bool:
+def _columnar_scorable(node: qp.QueryNode, field_defs) -> bool:
     """True when the dense evaluator scores ``node`` from columnar doc
     values / masks alone — no postings gather+scatter — so a decomposed
     boolean tree can push it down as (AND-mask + additive score) beside the
     merge-kernel text clause (see Searcher._fast_filtered_text)."""
     if isinstance(node, (
-        qp.RangeQueryNode, qp.TermInSetNode, qp.ExistsQueryNode,
+        qp.RangeQueryNode, qp.ExistsQueryNode,
         qp.MatchAllNode, qp.GeoBoundingBoxNode, qp.GeoRadiusNode,
         qp.GeoPolygonNode, qp.PolygonContainsNode,
     )):
         return True
+    if isinstance(node, (qp.TermQueryNode, qp.TermInSetNode)):
+        # constant-score columnar when matched via doc values; a searchable
+        # TEXT field would take the postings path instead
+        fd = field_defs.get(node.field)
+        return fd is not None and not (fd.is_text and fd.search)
     if isinstance(node, qp.ConstantScoreNode):
         return True  # constant score; its inner node is mask-only
     if isinstance(node, qp.BooleanQueryNode):
         if node.minimum_number_should_match:
             return False
-        return all(_columnar_scorable(cl.node) for cl in node.clauses)
+        return all(
+            _columnar_scorable(cl.node, field_defs) for cl in node.clauses
+        )
     return False

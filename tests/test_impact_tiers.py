@@ -168,6 +168,7 @@ def test_decomposed_boolean_with_scored_columnar_must(monkeypatch):
             {"occur": "SHOULD", "query": {"rangeQuery": {"field": "price", "lower": "0", "upper": "250"}}},
             {"occur": "SHOULD", "query": {"rangeQuery": {"field": "price", "lower": "251", "upper": "500"}}},
             {"occur": "SHOULD", "query": {"rangeQuery": {"field": "price", "lower": "501", "upper": "901"}}},
+            {"occur": "SHOULD", "query": {"termQuery": {"field": "price", "longValue": 42}}},
         ]}}},
         {"occur": "FILTER", "query": {"existsQuery": {"field": "price"}}},
         {"occur": "MUST_NOT", "query": {"termQuery": {"field": "price", "longValue": 13}}},
