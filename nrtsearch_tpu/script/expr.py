@@ -213,8 +213,26 @@ def _eval_ast(node, doc_values, score):
     raise ValueError(f"bad AST node: {node!r}")
 
 
-def compile_expression(source: str) -> Callable:
-    """Compile expression source -> ``fn(doc_values, score) -> array``."""
+# plugin script engines: lang -> compile(source) -> fn(doc_values, score)
+# (reference: ScriptPlugin engines registered by lang beside the built-in
+# js-expression engine, server/script/ScriptService)
+SCRIPT_ENGINES: dict[str, Callable[[str], Callable]] = {}
+
+
+def register_script_engine(lang: str, compile_fn: Callable[[str], Callable]) -> None:
+    SCRIPT_ENGINES[lang] = compile_fn
+
+
+def compile_expression(source: str, lang: str = "") -> Callable:
+    """Compile script source -> ``fn(doc_values, score) -> array``.
+
+    The default/"js" lang uses the built-in vectorized expression compiler;
+    other langs dispatch to a registered plugin engine."""
+    if lang and lang not in ("js", "expression"):
+        engine = SCRIPT_ENGINES.get(lang)
+        if engine is None:
+            raise ValueError(f"unknown script lang {lang!r}")
+        return engine(source)
     ast = _Parser(_tokenize(source)).parse()
 
     def fn(doc_values, score):

@@ -725,7 +725,7 @@ class Handlers:
 
         out = {}
         for vf in req.virtualFields:
-            fn = compile_expression(vf.script.source)
+            fn = compile_expression(vf.script.source, vf.script.lang)
             vals = []
             for idx, seg in enumerate(searcher.segments):
                 if arrays:

@@ -54,6 +54,11 @@ class PluginRegistry:
     def register_similarity(self, name: str, factory: Callable) -> None:
         self.similarities[name] = factory
 
+    def register_script_engine(self, lang: str, compile_fn) -> None:
+        from nrtsearch_tpu.script.expr import register_script_engine
+
+        register_script_engine(lang, compile_fn)
+
     def register_ingestor(self, ingestor) -> None:
         self.ingestors.append(ingestor)
 

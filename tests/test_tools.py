@@ -253,3 +253,21 @@ def test_remote_plugin_download(tmp_path, capsys):
     reg = PluginRegistry()
     load_plugins(["remote://dlplug"], reg, remote=remote, service="svc")
     assert "dl_test" in reg.rescorers
+
+
+def test_plugin_script_engine(tmp_path):
+    """ScriptPlugin parity: a registered engine handles non-default langs."""
+    import numpy as np
+
+    from nrtsearch_tpu.script.expr import compile_expression
+    from nrtsearch_tpu.server.plugins import PluginRegistry
+
+    reg = PluginRegistry()
+    reg.register_script_engine(
+        "const7", lambda src: (lambda dv, score: np.full(4, float(src)))
+    )
+    fn = compile_expression("7.5", lang="const7")
+    assert fn(None, None)[0] == 7.5
+    # default lang still the expression compiler
+    fn2 = compile_expression("1 + 2")
+    assert float(np.asarray(fn2({}, np.zeros(1)))) == 3.0
