@@ -190,10 +190,36 @@ class TieredIndex:
         imps_t[:P] = self.host_impacts[tiers.order]
         self.doc_ids = jax.device_put(ids_t)
         self.impacts = jax.device_put(imps_t)
-        try:
-            self.use_pallas = jax.devices()[0].platform == "tpu"
-        except Exception:
-            self.use_pallas = False
+        self.use_pallas = _on_tpu()
+
+    @classmethod
+    def from_device(
+        cls,
+        device_ids,                # int32 [P_pad] DEVICE, global ords
+        device_impacts,            # float32 [P_pad] DEVICE, live-folded
+        run_offsets: np.ndarray,
+        run_lengths: np.ndarray,
+        max_doc: int,
+    ) -> "TieredIndex":
+        """Untiered index over DEVICE-resident postings: no host mirror, no
+        impact partition, no host->device upload. This is the serving
+        default (full-width dispatch): the packed multi-segment view builds
+        its global arrays on device from the segments' existing buffers, so
+        an NRT refresh never re-ships postings through the host. Phase-1
+        (tier-pruned) search is unavailable; callers must pass
+        allow_phase1=False (search_batch's prune=False does)."""
+        self = cls.__new__(cls)
+        self.max_doc = max_doc
+        self.host_ids = None
+        self.host_impacts = None
+        self.run_offsets = np.asarray(run_offsets, np.int64)
+        self.run_lengths = np.asarray(run_lengths, np.int32)
+        self.t1_lens = self.run_lengths
+        self.cuts = np.zeros(len(self.run_lengths), np.float32)
+        self.doc_ids = device_ids
+        self.impacts = device_impacts
+        self.use_pallas = _on_tpu()
+        return self
 
     # -- run helpers ---------------------------------------------------------
 
@@ -232,7 +258,7 @@ class TieredIndex:
     # -- search ----------------------------------------------------------------
 
     def _dispatch(self, rows, n_terms, k: int, require_all: bool,
-                  filter_mask=None, additive=None, force=(0, 0)):
+                  filter_mask=None, additive=None, sort=None, force=(0, 0)):
         import jax
         import jax.numpy as jnp
 
@@ -257,6 +283,8 @@ class TieredIndex:
             use_pallas=self.use_pallas,
             filter_mask=filter_mask,
             additive=additive,
+            sort_keys=None if sort is None else sort[0],
+            sort_ascending=True if sort is None else bool(sort[1]),
         )
         return jax.device_get((scores, docs, hits)), (run_len, offs.shape[1])
 
@@ -288,12 +316,13 @@ class TieredIndex:
         p1_idx = [
             i for i, q in enumerate(queries)
             if allow_phase1 and not q.get("require_all") and q["entries"]
-            and q.get("additive") is None
+            and q.get("additive") is None and q.get("sort") is None
         ]
         escalate: list[int] = [
             i for i, q in enumerate(queries)
             if q["entries"] and (q.get("require_all") or not allow_phase1
-                                 or q.get("additive") is not None)
+                                 or q.get("additive") is not None
+                                 or q.get("sort") is not None)
         ]
         for i, q in enumerate(queries):
             if not q["entries"]:
@@ -303,7 +332,7 @@ class TieredIndex:
                 )
         if p1_idx:
             groups = _group_by_filter([queries[i] for i in p1_idx], p1_idx)
-            for (fmask, addv), idxs in groups:
+            for (fmask, addv, _srt), idxs in groups:
                 rows = [
                     [
                         (off, ln, w)
@@ -348,7 +377,7 @@ class TieredIndex:
         # phase 2: full-width dispatch for MUST queries + failed certifications
         if escalate:
             groups = _group_by_filter([queries[i] for i in escalate], escalate)
-            for (fmask, addv), idxs in groups:
+            for (fmask, addv, srt), idxs in groups:
                 rows = [
                     [
                         (off, ln, w)
@@ -362,7 +391,7 @@ class TieredIndex:
                 req = any(queries[i].get("require_all") for i in idxs)
                 (s2, d2, h2), shp = self._dispatch(
                     rows, n_terms, k, req, filter_mask=fmask, additive=addv,
-                    force=force_full,
+                    sort=srt, force=force_full,
                 )
                 if shape_log is not None:
                     prev = shape_log.get("full", (0, 0))
@@ -380,16 +409,26 @@ class TieredIndex:
 
 
 def _group_by_filter(queries, idxs):
-    """Group query indices by (filter, additive) identity so one dispatch
-    shares one [D] filter/additive array pair (per-query [B, D] arrays
-    would not fit HBM)."""
+    """Group query indices by (filter, additive, sort) identity so one
+    dispatch shares one [D] array set (per-query [B, D] arrays would not
+    fit HBM)."""
     groups: dict = {}
     for q, i in zip(queries, idxs):
-        f, a = q.get("filter"), q.get("additive")
+        f, a, srt = q.get("filter"), q.get("additive"), q.get("sort")
         key = (id(f) if f is not None else None,
-               id(a) if a is not None else None)
-        groups.setdefault(key, ((f, a), []))[1].append(i)
+               id(a) if a is not None else None,
+               (id(srt[0]), bool(srt[1])) if srt is not None else None)
+        groups.setdefault(key, ((f, a, srt), []))[1].append(i)
     return list(groups.values())
+
+
+def _on_tpu() -> bool:
+    try:
+        import jax
+
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
 
 def _pow2(n: int, minimum: int = 1) -> int:

@@ -43,6 +43,9 @@ class QuerySpec:
     boost: float = 1.0
     filter: Optional[object] = dc_field(default=None, compare=False, hash=False)
     additive: Optional[object] = dc_field(default=None, compare=False, hash=False)
+    # (keys f32 [max_doc] device, ascending): rank matched docs by this
+    # doc-value key instead of score (field-sorted search on the fused path)
+    sort: Optional[tuple] = dc_field(default=None, compare=False, hash=False)
 
 
 @dataclass
@@ -59,6 +62,8 @@ class PackedFieldView:
     """All live segments' postings for one field, packed for fused search."""
 
     def __init__(self, searcher, field: str):
+        import os
+
         from nrtsearch_tpu.core.impact_tiers import TieredIndex
         from nrtsearch_tpu.ops.pallas_merge import GATHER_TILE
 
@@ -70,11 +75,12 @@ class PackedFieldView:
         self.doc_count = int(searcher.stats.doc_count(field))
         self.stats = searcher.stats
         self.max_doc = int(searcher.max_doc)
+        tiering = os.environ.get("NRT_IMPACT_TIERS", "") == "1"
 
-        host_ids_parts, host_imp_parts = [], []
         run_off_parts, run_len_parts = [], []
         # (segment_idx, tfi, run_index_base) for term lookups
         self.seg_entries: list[tuple[int, object, int]] = []
+        parts: list[tuple[object, int]] = []   # (segment, global base)
         cursor = 0
         run_base = 0
         for idx, seg in enumerate(searcher.segments):
@@ -82,16 +88,7 @@ class PackedFieldView:
             if tfi is None or tfi.postings_len == 0:
                 continue
             base = int(searcher.bases[idx])
-            # host mirrors (live-folded, matching what device impacts would
-            # be) are both the tiered-build source and the exact-rescore
-            # source
-            hd = tfi.host_doc_ids
-            hf = tfi.host_freqs
-            dl = np.asarray(tfi.doc_lens)
-            him = hf / (hf + self.k1 * (1.0 - self.b + self.b * dl[hd] / self.avgdl))
-            him = np.where(seg.host_live[hd], him, 0.0).astype(np.float32)
-            host_ids_parts.append(hd.astype(np.int64) + base)
-            host_imp_parts.append(him)
+            parts.append((seg, base))
             run_off_parts.append(np.asarray(tfi.offsets, np.int64) + cursor)
             run_len_parts.append(np.asarray(tfi.lengths, np.int32))
             self.seg_entries.append((idx, tfi, run_base))
@@ -102,8 +99,37 @@ class PackedFieldView:
             self.index = None
             self.host_impacts = np.empty(0, np.float32)
             return
-        self.host_impacts = np.concatenate(host_imp_parts)
+        run_offs = np.concatenate(run_off_parts)
         run_lens = np.concatenate(run_len_parts)
+        if not tiering:
+            # DEVICE-SIDE build (the serving default): global doc ords and
+            # live-folded impacts compute from the segments' existing device
+            # buffers — an NRT refresh never re-ships postings through the
+            # host (the host path below uploads ~8 bytes/posting, minutes of
+            # wall clock at Lucene scale)
+            dev_ids, dev_imps = _device_packed(
+                self, parts, cursor, 2 * GATHER_TILE
+            )
+            self.host_impacts = None
+            self.index = TieredIndex.from_device(
+                dev_ids, dev_imps, run_offs, run_lens, self.max_doc
+            )
+            return
+
+        host_ids_parts, host_imp_parts = [], []
+        for seg, base in parts:
+            tfi = seg.fields[field]
+            # host mirrors (live-folded, matching what device impacts would
+            # be) are both the tiered-build source and the exact-rescore
+            # source
+            hd = tfi.host_doc_ids
+            hf = tfi.host_freqs
+            dl = np.asarray(tfi.doc_lens)
+            him = hf / (hf + self.k1 * (1.0 - self.b + self.b * dl[hd] / self.avgdl))
+            him = np.where(seg.host_live[hd], him, 0.0).astype(np.float32)
+            host_ids_parts.append(hd.astype(np.int64) + base)
+            host_imp_parts.append(him)
+        self.host_impacts = np.concatenate(host_imp_parts)
         # per-run idf from the GLOBAL term df (local run lengths dilute df
         # across segments, inflating stopword idf and defeating the tiering;
         # certification always uses the query's true weights, so this is a
@@ -126,7 +152,7 @@ class PackedFieldView:
         self.index = TieredIndex(
             np.concatenate(host_ids_parts),
             self.host_impacts,
-            np.concatenate(run_off_parts),
+            run_offs,
             run_lens,
             run_w,
             self.max_doc,
@@ -178,6 +204,11 @@ class PackedFieldView:
             import os
 
             prune = os.environ.get("NRT_IMPACT_TIERS", "") == "1"
+        if prune and self.index is not None and self.index.host_ids is None:
+            raise ValueError(
+                "impact tiering was not built for this view — set "
+                "NRT_IMPACT_TIERS=1 before the searcher/view is created"
+            )
         B = len(specs)
         empty = FastResult(
             np.full(k, -np.inf, np.float32), np.zeros(k, np.int64), 0, False
@@ -199,6 +230,7 @@ class PackedFieldView:
                 "n_terms": len(spec.terms) if spec.require_all else 1,
                 "filter": spec.filter,
                 "additive": spec.additive,
+                "sort": spec.sort,
             })
         results = self.index.search(queries, k, allow_phase1=prune)
         out = []
@@ -209,6 +241,47 @@ class PackedFieldView:
             s, d, total, count_exact = results[qi]
             out.append(FastResult(s, d, total, not count_exact))
         return out
+
+
+def _device_packed(view: "PackedFieldView", parts, total_len: int,
+                   pad_slack: int):
+    """Global (doc_ids, impacts) device arrays from segment device buffers.
+
+    Single segment at base 0: doc_ids is the segment's own buffer (no copy
+    at all, provided it carries the gather DMA slack). Otherwise: rebase +
+    per-segment impacts + one device concatenate."""
+    import jax
+    import jax.numpy as jnp
+
+    from nrtsearch_tpu.ops.bm25 import precompute_impacts
+
+    field = view.field
+    p_pad = _pow2(total_len + pad_slack)
+
+    def seg_impacts(seg):
+        tfi = seg.fields[field]
+        return precompute_impacts(
+            tfi.doc_ids, tfi.freqs, tfi.doc_lens, seg.live,
+            jnp.float32(view.k1), jnp.float32(view.b), jnp.float32(view.avgdl),
+        )
+
+    if len(parts) == 1 and parts[0][1] == 0:
+        seg = parts[0][0]
+        tfi = seg.fields[field]
+        n = int(tfi.doc_ids.shape[0])
+        if n >= total_len + pad_slack:
+            return tfi.doc_ids, seg_impacts(seg)
+
+    id_parts, imp_parts = [], []
+    for seg, base in parts:
+        tfi = seg.fields[field]
+        ln = tfi.postings_len
+        id_parts.append(tfi.doc_ids[:ln] + jnp.int32(base))
+        imp_parts.append(seg_impacts(seg)[:ln])
+    pad = p_pad - total_len
+    id_parts.append(jnp.zeros(pad, jnp.int32))
+    imp_parts.append(jnp.zeros(pad, jnp.float32))
+    return jnp.concatenate(id_parts), jnp.concatenate(imp_parts)
 
 
 def _pow2(n: int, minimum: int = 1) -> int:

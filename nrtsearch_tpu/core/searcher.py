@@ -108,17 +108,18 @@ class Searcher:
         if not self.segments:
             return (TopDocs([], 0), []) if return_arrays else TopDocs([], 0)
         if (
-            sort is None
-            and extra_filter is None
+            extra_filter is None
             and not return_arrays
             and not timeout_sec
             and not terminate_after
         ):
-            fast = self._fast_text_search(node, top_hits)
-            if fast is None:
-                fast = self._fast_filtered_text(node, top_hits)
-            if fast is not None:
-                return fast
+            gsort = self._global_sort_keys(sort) if sort is not None else None
+            if sort is None or gsort is not None:
+                fast = self._fast_text_search(node, top_hits, gsort)
+                if fast is None:
+                    fast = self._fast_filtered_text(node, top_hits, gsort)
+                if fast is not None:
+                    return fast
         t_start = _time.time()
         hit_timeout = False
         terminated_early = False
@@ -323,21 +324,55 @@ class Searcher:
             ):
                 self.packed_view(f)
 
-    def _fast_text_search(self, node: qp.QueryNode, top_hits: int):
+    def _global_sort_keys(self, sort: SortSpec):
+        """Concatenated device sort keys over global ords, or None when any
+        segment needs the exact-f64 host fallback (fused sorted search).
+        Cached per (field, direction) on this immutable snapshot."""
+        import jax.numpy as jnp
+
+        cache = getattr(self, "_gsort_cache", None)
+        if cache is None:
+            cache = {}
+            self._gsort_cache = cache
+        key = (sort.field, sort.reverse)
+        if key in cache:
+            return cache[key]
+        parts = []
+        out = None
+        for seg in self.segments:
+            keys = self._sort_keys(seg, sort)
+            if keys is None:
+                parts = None
+                break
+            parts.append(keys[: seg.num_docs])
+        if parts is not None:
+            g = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+            out = (g, not sort.reverse)
+        cache[key] = out
+        return out
+
+    def _fast_text_search(self, node: qp.QueryNode, top_hits: int, gsort=None):
         """Scatter-free path for plain text queries (the dominant query type).
 
         All segments are co-scheduled into ONE fused kernel dispatch over the
         packed view — global-ord postings runs from every segment merge in
         the same bitonic network (reference contrast: MyIndexSearcher fans
         segment slices to a thread pool). Returns None when the query shape
-        isn't eligible (caller falls back)."""
+        isn't eligible (caller falls back). ``gsort`` = (keys, ascending):
+        field-sorted search rides the same dispatch, ranking matched docs by
+        the doc-value key inside the kernel."""
         spec = self.fast_query_spec(node)
         if spec is None:
             return None
+        if gsort is not None:
+            from dataclasses import replace as dc_replace
+
+            spec = dc_replace(spec, sort=gsort)
         results = self.fast_search_batch([spec], top_hits)
         return results[0]
 
-    def _fast_filtered_text(self, node: qp.QueryNode, top_hits: int):
+    def _fast_filtered_text(self, node: qp.QueryNode, top_hits: int,
+                            gsort=None):
         """Decomposed boolean pushdown: a tree of ONE scored MUST text clause
         plus any mix of (a) pure FILTER / MUST_NOT clauses and (b) scored
         non-text MUST clauses whose scores are columnar (ranges, termInSet,
@@ -407,7 +442,7 @@ class Searcher:
 
         spec = dc_replace(
             spec, boost=spec.boost * float(node.boost), filter=gfilter,
-            additive=additive,
+            additive=additive, sort=gsort,
         )
         return self.fast_search_batch([spec], top_hits)[0]
 
@@ -415,14 +450,19 @@ class Searcher:
         """Batched fast path: N queries against one field in one dispatch."""
         view = self.packed_view(specs[0].field)
         out = []
-        for res in view.search_batch(specs, top_hits):
+        for spec, res in zip(specs, view.search_batch(specs, top_hits)):
             hits: list[Hit] = []
             for s, d in zip(res.scores, res.docs):
                 if s == -np.inf:
                     break
                 seg_idx = int(np.searchsorted(self.bases, d, side="right")) - 1
                 local = int(d) - int(self.bases[seg_idx])
-                hits.append(Hit(seg_idx, local, int(d), float(s)))
+                if spec.sort is not None:
+                    hits.append(
+                        Hit(seg_idx, local, int(d), 0.0, sort_key=float(s))
+                    )
+                else:
+                    hits.append(Hit(seg_idx, local, int(d), float(s)))
             td = TopDocs(hits[:top_hits], res.total_hits)
             if res.pruned:
                 # block-max pruning skipped provably non-competitive blocks:

@@ -305,7 +305,10 @@ def segmented_scores(docs_sorted, contribs, max_seg: int = 0):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("run_len", "k", "require_all_terms", "use_pallas")
+    jax.jit,
+    static_argnames=(
+        "run_len", "k", "require_all_terms", "use_pallas", "sort_ascending",
+    ),
 )
 def merge_score_topk(
     post_docs: jax.Array,      # int32 [P_pad] doc-sorted postings (flat)
@@ -330,6 +333,11 @@ def merge_score_topk(
                                # columnar score mass of non-text MUST clauses
                                # in a decomposed boolean tree; match/hit
                                # semantics are untouched)
+    sort_keys=None,            # optional f32 [D] (global ords): rank matched
+                               # docs by this doc-value key instead of score
+                               # (field-sorted search on the fused path; the
+                               # returned "scores" are the key values)
+    sort_ascending: bool = True,   # static, used with sort_keys
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fused scatter-free retrieval. Returns (scores [B,k], docs [B,k], hits [B]).
 
@@ -364,16 +372,23 @@ def merge_score_topk(
                 max_seg=term_offsets.shape[1], require_all=require_all_terms,
             )
             total_hits = jnp.sum(masked > -jnp.inf, axis=-1, dtype=jnp.int32)
-            if additive is not None:
+            if sort_keys is not None:
+                masked = _rank_by_keys(masked, docs, sort_keys, sort_ascending)
+            elif additive is not None:
                 D = additive.shape[0]
                 extra = additive[jnp.clip(docs, 0, D - 1)]
                 masked = jnp.where(masked > -jnp.inf, masked + extra, -jnp.inf)
             top_scores, pos = _hierarchical_topk(masked, k)
             top_docs = jnp.take_along_axis(docs, pos, axis=-1)
+            if sort_keys is not None and sort_ascending:
+                top_scores = jnp.where(
+                    top_scores > -jnp.inf, -top_scores, top_scores
+                )
             return top_scores, top_docs, total_hits
         return _finish(
             docs, contribs, n_terms, k, require_all_terms,
             max_seg=term_offsets.shape[1], additive=additive,
+            sort_keys=sort_keys, sort_ascending=sort_ascending,
         )
 
     def gather_runs(offs, lens, weights):
@@ -404,6 +419,7 @@ def merge_score_topk(
     return _finish(
         docs, contribs, n_terms, k, require_all_terms,
         max_seg=term_offsets.shape[1], additive=additive,
+        sort_keys=sort_keys, sort_ascending=sort_ascending,
     )
 
 
@@ -458,17 +474,33 @@ def _filter_gate(docs, filter_mask):
     return filter_mask[idx].astype(jnp.float32)
 
 
+def _rank_by_keys(masked, docs, sort_keys, ascending: bool):
+    """Replace matched positions' values with the doc-value sort key (negated
+    when ascending, so top_k ranks correctly; ties break to lower position =
+    lower doc id, the Lucene sort tie-break)."""
+    D = sort_keys.shape[0]
+    keys = sort_keys[jnp.clip(docs, 0, D - 1)]
+    if ascending:
+        keys = -keys
+    return jnp.where(masked > -jnp.inf, keys, -jnp.inf)
+
+
 def _finish(docs, contribs, n_terms, k: int, require_all_terms: bool,
-            max_seg: int = 0, additive=None):
+            max_seg: int = 0, additive=None, sort_keys=None,
+            sort_ascending: bool = True):
     seg_scores, seg_counts, tail, valid = segmented_scores(docs, contribs, max_seg)
     ok = tail & valid & (seg_scores > 0.0)
     if require_all_terms:
         ok = ok & (seg_counts >= n_terms[:, None])
-    if additive is not None:
+    if additive is not None and sort_keys is None:
         D = additive.shape[0]
         seg_scores = seg_scores + additive[jnp.clip(docs, 0, D - 1)]
     masked = jnp.where(ok, seg_scores, -jnp.inf)
+    if sort_keys is not None:
+        masked = _rank_by_keys(masked, docs, sort_keys, sort_ascending)
     top_scores, pos = jax.lax.top_k(masked, k)
     top_docs = jnp.take_along_axis(docs, pos, axis=-1)
+    if sort_keys is not None and sort_ascending:
+        top_scores = jnp.where(top_scores > -jnp.inf, -top_scores, top_scores)
     total_hits = jnp.sum(ok, axis=-1, dtype=jnp.int32)
     return top_scores, top_docs, total_hits

@@ -163,9 +163,10 @@ class DistributedBM25:
             raise ValueError(f"field {field!r} has no postings to distribute")
         # global term dictionary across segments
         vocab: dict[str, int] = {}
-        entry_term_parts, entry_doc_parts = [], []
+        entry_term_parts, entry_doc_parts, entry_imp_parts = [], [], []
         for idx, tfi, _pack_off in view.seg_entries:
             base = int(searcher.bases[idx])
+            seg = searcher.segments[idx]
             inv = [None] * len(tfi.terms)
             for term, tid in tfi.terms.items():
                 inv[tid] = term
@@ -179,9 +180,19 @@ class DistributedBM25:
             # entries are laid out in tid order (builder packs contiguously)
             entry_term_parts.append(np.repeat(gids, tfi.lengths[: len(inv)]))
             entry_doc_parts.append(tfi.host_doc_ids.astype(np.int64) + base)
+            # live-folded host impacts (the packed view keeps these only in
+            # tiered mode; the repartition is host-side regardless)
+            hd, hf = tfi.host_doc_ids, tfi.host_freqs
+            dl = np.asarray(tfi.doc_lens)
+            him = hf / (
+                hf + view.k1 * (1.0 - view.b + view.b * dl[hd] / view.avgdl)
+            )
+            entry_imp_parts.append(
+                np.where(seg.host_live[hd], him, 0.0).astype(np.float32)
+            )
         entry_term = np.concatenate(entry_term_parts)
         entry_doc = np.concatenate(entry_doc_parts)
-        entry_impact = view.host_impacts
+        entry_impact = np.concatenate(entry_imp_parts)
         V = len(vocab)
         df = np.zeros(V, np.int64)
         np.add.at(df, entry_term, 1)

@@ -79,7 +79,8 @@ def _zipf_searcher(n_docs=4000, vocab=400, seed=11, uniform=False):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_tiered_matches_full(seed):
+def test_tiered_matches_full(seed, monkeypatch):
+    monkeypatch.setenv("NRT_IMPACT_TIERS", "1")
     searcher = _zipf_searcher(seed=20 + seed)
     view = searcher.packed_view("body")
     rng = np.random.default_rng(seed)
@@ -100,7 +101,8 @@ def test_tiered_matches_full(seed):
             assert t.total_hits == f.total_hits
 
 
-def test_adversarial_ties_escalate_exactly():
+def test_adversarial_ties_escalate_exactly(monkeypatch):
+    monkeypatch.setenv("NRT_IMPACT_TIERS", "1")
     searcher = _zipf_searcher(n_docs=1200, uniform=True)
     view = searcher.packed_view("body")
     specs = [QuerySpec("body", ("aa", "bb"))]
@@ -140,8 +142,8 @@ def test_filtered_fast_path_used(monkeypatch):
     called = {}
     orig = Searcher._fast_filtered_text
 
-    def spy(self, node, top_hits):
-        out = orig(self, node, top_hits)
+    def spy(self, node, top_hits, gsort=None):
+        out = orig(self, node, top_hits, gsort)
         called["result"] = out
         return out
 
@@ -176,8 +178,8 @@ def test_decomposed_boolean_with_scored_columnar_must(monkeypatch):
     called = {}
     orig = Searcher._fast_filtered_text
 
-    def spy(self, node, top_hits):
-        out = orig(self, node, top_hits)
+    def spy(self, node, top_hits, gsort=None):
+        out = orig(self, node, top_hits, gsort)
         called["result"] = out
         return out
 

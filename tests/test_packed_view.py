@@ -65,6 +65,7 @@ def test_packed_view_single_dispatch_matches_general(searcher):
 
 
 def test_pruned_topk_bit_identical(searcher, monkeypatch):
+    monkeypatch.setenv("NRT_IMPACT_TIERS", "1")  # build the tiered view
     # the 900-df 'common' term has idf ~ 0.0006: the score-budget rule
     # tiers it out naturally
     view = Searcher(searcher.segments, FIELDS, version=3).packed_view("t")
@@ -174,6 +175,7 @@ def test_custom_similarity_in_fast_path():
 def test_two_phase_pruning_bit_identical(searcher, monkeypatch):
     """Tiering must return exactly the full top-k across query shapes —
     certification failures escalate."""
+    monkeypatch.setenv("NRT_IMPACT_TIERS", "1")
     s = Searcher(searcher.segments, FIELDS, version=4)
     view = s.packed_view("t")
     for terms in [("common", "x"), ("common", "x", "y", "z"), ("rare", "w")]:
