@@ -81,17 +81,45 @@ def _iter_field_values(seg, field: str):
     return docs, vals, None
 
 
+_ONEHOT_MAX_ORDS = 512
+_ONEHOT_CHUNK = 65536
+
+
 def _device_ordinal_counts(mask, dv) -> np.ndarray:
-    """Per-ordinal match counts on device; ships [n_ords] back, not [D]."""
+    """Per-ordinal match counts on device; ships [n_ords] back, not [D].
+
+    Low-cardinality fields count via a chunked one-hot reduction (compare +
+    sum riding the VPU/MXU) — XLA scatter-add serializes at ~11 ns/entry on
+    TPU, ~100 ms for an 8.8M-doc mask, vs ~5 ms for the scanned one-hot.
+    High-cardinality fields keep the scatter (one-hot width would explode).
+    """
+    import jax
     import jax.numpy as jnp
 
+    n_ords = max(len(dv.ord_terms), 1)
     eff = jnp.asarray(mask) & dv.present
+    if n_ords <= _ONEHOT_MAX_ORDS:
+        D = eff.shape[0]
+        pad = (-D) % _ONEHOT_CHUNK
+        vals = jnp.pad(dv.values.astype(jnp.int32), (0, pad))
+        effp = jnp.pad(eff, (0, pad))
+        n_chunks = (D + pad) // _ONEHOT_CHUNK
+        ords = jnp.arange(n_ords, dtype=jnp.int32)
+
+        def body(acc, chunk):
+            v, m = chunk
+            onehot = (v[:, None] == ords[None, :]) & m[:, None]
+            return acc + onehot.sum(axis=0, dtype=jnp.int32), None
+
+        acc, _ = jax.lax.scan(
+            body,
+            jnp.zeros(n_ords, jnp.int32),
+            (vals.reshape(n_chunks, _ONEHOT_CHUNK),
+             effp.reshape(n_chunks, _ONEHOT_CHUNK)),
+        )
+        return np.asarray(acc)
     idx = jnp.where(eff, dv.values, 0).astype(jnp.int32)
-    counts = (
-        jnp.zeros(max(len(dv.ord_terms), 1), jnp.int32)
-        .at[idx]
-        .add(eff.astype(jnp.int32))
-    )
+    counts = jnp.zeros(n_ords, jnp.int32).at[idx].add(eff.astype(jnp.int32))
     return np.asarray(counts)
 
 
