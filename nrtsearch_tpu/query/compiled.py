@@ -137,9 +137,14 @@ def _prep_text(
         weights[i] = bm25_ops.lucene_idf(dc, df) * tb * boost if df else 0.0
     cap = pad_to_bucket(max(int(lens.sum()), 1))
     need = n if operator == "MUST" else max(1, msm)
+    # SHOULD / single-required-term with positive boosts: presence == score>0,
+    # the counts scatter is elided (scored=False keeps it: constant clauses
+    # may carry zero weights)
+    need_counts = not (scored and need <= 1
+                       and all(b_ > 0 for b_ in term_boosts) and boost > 0)
     return CNode(
         "text",
-        static=(cap, scored),
+        static=(cap, scored, need_counts),
         slots=(
             prep.slot(tfi.doc_ids),
             prep.slot(tfi.freqs),
@@ -672,11 +677,12 @@ def _run(c: CNode, inp: tuple, D: int):
         match = jnp.arange(D) < num_docs
         return jnp.full(D, jnp.float32(1.0)) * boost, match
     if c.kind == "text":
-        cap, scored = c.static
+        cap, scored, need_counts = c.static
         s = c.slots
         scores, counts = bm25_ops.score_text_clause_impl(
             inp[s[0]], inp[s[1]], inp[s[2]], inp[s[3]], inp[s[4]], inp[s[5]],
             inp[s[6]], inp[s[7]], inp[s[8]], cap=cap, num_docs=D,
+            need_counts=need_counts,
         )
         scores, counts = scores[0], counts[0]
         match = counts >= inp[s[9]]
