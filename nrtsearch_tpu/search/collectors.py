@@ -119,6 +119,139 @@ def _ordinal_counts_vmapped(vals, eff, *, n_ords: int):
     return jax.vmap(lambda o: jnp.sum(eff & (vals == o), dtype=jnp.int32))(ords)
 
 
+# ---------------------------------------------------------------------------
+# Fused flat reductions: every eligible collector of one request reduces in a
+# SINGLE device call per segment. Each standalone collector call costs one
+# device round trip (~35 ms through a remote-device tunnel); a request with
+# terms + sum + max + hitCount collectors pays it once, not four times.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("specs",))
+def _fused_reduce_step(specs, mask, *arrays):
+    """specs: tuple of ('ordinal', n_ords) | ('stat', op) | ('count',).
+    ``arrays`` holds (values, present) pairs for ordinal/stat entries in
+    spec order. Returns a flat tuple of per-spec results."""
+    import jax.numpy as jnp
+
+    outs = []
+    i = 0
+    for sp in specs:
+        if sp[0] == "ordinal":
+            vals, present = arrays[i], arrays[i + 1]
+            i += 2
+            eff = mask & present
+            ords = jnp.arange(sp[1], dtype=jnp.int32)
+            outs.append(jax.vmap(
+                lambda o, _e=eff, _v=vals: jnp.sum(
+                    _e & (_v == o), dtype=jnp.int32
+                )
+            )(ords))
+        elif sp[0] == "stat":
+            vals, present = arrays[i], arrays[i + 1]
+            i += 2
+            eff = mask & present
+            v = vals.astype(jnp.float32)
+            if sp[1] == "sum":
+                stat = jnp.sum(jnp.where(eff, v, 0.0))
+            elif sp[1] == "min":
+                stat = jnp.min(jnp.where(eff, v, np.inf))
+            else:
+                stat = jnp.max(jnp.where(eff, v, -np.inf))
+            outs.append(stat)
+            outs.append(jnp.sum(eff, dtype=jnp.int32))
+        else:  # count
+            outs.append(jnp.sum(mask, dtype=jnp.int32))
+    return tuple(outs)
+
+
+def fused_flat_reductions(matches: SegmentMatches, plan: list[dict]):
+    """Execute a list of flat reductions in one device call per segment.
+
+    ``plan`` entries: {"kind": "ordinal"|"stat"|"count", "field": ...,
+    "op": "sum"|"min"|"max"}. Returns per-entry results matching
+    terms_counts / numeric_stat / hit_count semantics. Entries whose columns
+    are ineligible on ANY segment (multi-valued, f64, non-ordinal terms)
+    return None — the caller falls back to the standalone path for those.
+    """
+    n = len(plan)
+    term_acc: list[dict] = [defaultdict(int) for _ in range(n)]
+    stat_acc: list[list[float]] = [[] for _ in range(n)]
+    count_acc = [0] * n
+    eligible = [True] * n
+    for si, seg in enumerate(matches.searcher.segments):
+        specs = []
+        arrays = []
+        seg_slots = []
+        for pi, p in enumerate(plan):
+            if not eligible[pi]:
+                continue
+            if p["kind"] == "count":
+                specs.append(("count",))
+                seg_slots.append(pi)
+                continue
+            dv = seg.doc_values.get(p["field"])
+            if dv is None:
+                continue  # no values in this segment: contributes nothing
+            if dv.mv_offsets is not None or dv.values.dtype == jnp.float64:
+                eligible[pi] = False
+                continue
+            if p["kind"] == "ordinal":
+                if dv.kind != DocValueKind.ORDINAL or not dv.ord_terms or (
+                    len(dv.ord_terms) > _ONEHOT_MAX_ORDS
+                ):
+                    eligible[pi] = False
+                    continue
+                specs.append(("ordinal", len(dv.ord_terms)))
+            else:
+                specs.append(("stat", p["op"]))
+            arrays.append(dv.values)
+            arrays.append(dv.present)
+            seg_slots.append(pi)
+        if not specs:
+            continue
+        out = jax.device_get(_fused_reduce_step(
+            tuple(specs), jnp.asarray(matches.raw_masks[si]), *arrays
+        ))
+        oi = 0
+        for sp, pi in zip(specs, seg_slots):
+            if sp[0] == "ordinal":
+                counts = out[oi]
+                oi += 1
+                terms = matches.searcher.segments[si].doc_values[
+                    plan[pi]["field"]
+                ].ord_terms
+                for o in np.nonzero(counts)[0]:
+                    term_acc[pi][terms[int(o)]] += int(counts[o])
+            elif sp[0] == "stat":
+                stat, cnt = out[oi], out[oi + 1]
+                oi += 2
+                if int(cnt):
+                    stat_acc[pi].append(float(stat))
+            else:
+                count_acc[pi] += int(out[oi])
+                oi += 1
+    results = []
+    for pi, p in enumerate(plan):
+        if not eligible[pi]:
+            results.append(None)
+        elif p["kind"] == "ordinal":
+            results.append(dict(term_acc[pi]))
+        elif p["kind"] == "stat":
+            vals = stat_acc[pi]
+            if not vals:
+                results.append(0.0)
+            elif p["op"] == "sum":
+                results.append(float(np.sum(vals)))
+            else:
+                results.append(float(
+                    np.min(vals) if p["op"] == "min" else np.max(vals)
+                ))
+        else:
+            results.append(count_acc[pi])
+    return results
+
+
 def terms_counts(
     matches: SegmentMatches, field: str
 ) -> dict[str, int]:

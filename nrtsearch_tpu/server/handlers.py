@@ -1127,10 +1127,52 @@ class Handlers:
         return out
 
     def _run_collectors(self, specs, results_map, matches) -> None:
+        # fused pre-pass: every flat field-sourced reduction in this request
+        # (terms counts, sum/min/max, hitCount) executes in ONE device call
+        # per segment instead of one round trip per collector
+        fused: dict[str, object] = {}
+        plan, plan_names = [], []
+        for name, spec in specs.items():
+            which = spec.WhichOneof("collectors")
+            if which == "terms" and spec.terms.field and not \
+                    spec.terms.HasField("script") and not spec.nestedCollectors:
+                plan.append({"kind": "ordinal", "field": spec.terms.field})
+            elif which in ("max", "min", "sum") and not \
+                    getattr(spec, which).HasField("script"):
+                plan.append({
+                    "kind": "stat", "field": getattr(spec, which).field,
+                    "op": which,
+                })
+            elif which == "hitCount":
+                plan.append({"kind": "count"})
+            else:
+                continue
+            plan_names.append(name)
+        if len(plan) > 1:
+            for name, res in zip(
+                plan_names, coll.fused_flat_reductions(matches, plan)
+            ):
+                if res is not None:
+                    fused[name] = res
         for name, spec in specs.items():
             result = results_map[name]
             which = spec.WhichOneof("collectors")
             if which == "terms":
+                if name in fused:
+                    counts = fused[name]
+                    size = spec.terms.size or 10
+                    ordered = sorted(
+                        counts.items(), key=lambda kv: (-kv[1], kv[0])
+                    )
+                    for key, count in ordered[:size]:
+                        b = result.bucketResult.buckets.add()
+                        b.key = key
+                        b.count = count
+                    result.bucketResult.totalBuckets = len(counts)
+                    result.bucketResult.totalOtherCounts = sum(
+                        c for _, c in ordered[size:]
+                    )
+                    continue
                 field = spec.terms.field or None
                 script = (
                     spec.terms.script.source if spec.terms.HasField("script") else None
@@ -1155,12 +1197,18 @@ class Handlers:
                     c for _, c in ordered[size:]
                 )
             elif which in ("max", "min", "sum"):
+                if name in fused:
+                    result.doubleResult.value = fused[name]
+                    continue
                 sub = getattr(spec, which)
                 script = sub.script.source if sub.HasField("script") else None
                 result.doubleResult.value = coll.numeric_stat(
                     matches, sub.field or "", which, script
                 )
             elif which == "hitCount":
+                if name in fused:
+                    result.hitCountResult.value = fused[name]
+                    continue
                 result.hitCountResult.value = coll.hit_count(matches)
             elif which == "topHitsCollector":
                 self._top_hits_collector(spec.topHitsCollector, result, matches)

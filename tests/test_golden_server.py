@@ -93,6 +93,8 @@ def test_golden_server(path, case_idx, golden_root):
         cr = resp.collectorResults[cname]
         got = {b.key: b.count for b in cr.bucketResult.buckets}
         assert got == want, (cname, got)
+    for cname, want in expect.get("collectorCounts", {}).items():
+        assert resp.collectorResults[cname].hitCountResult.value == want
     for cname, nested in expect.get("nestedCollectorSum", {}).items():
         cr = resp.collectorResults[cname]
         for nname, want in nested.items():
