@@ -932,6 +932,22 @@ class Handlers:
         # in FILTER clauses on a facet's own dimension, that dimension's
         # counts are computed with its own filter EXCLUDED
         sideways = self._drill_sideways_matches(req, matches)
+        # fused pre-pass: plain terms facets over the shared match set reduce
+        # in one device call (one round trip per dim otherwise); sideways/
+        # sampled/range/hierarchy dims keep their own paths
+        fused_facets: dict[str, dict] = {}
+        plain_dims = [
+            f.dim for f in req.facets
+            if not f.sampleTopDocs and not f.numericRange and not f.paths
+            and f.dim not in sideways
+        ]
+        if len(plain_dims) > 1:
+            res = coll.fused_flat_reductions(
+                matches, [{"kind": "ordinal", "field": d} for d in plain_dims]
+            )
+            fused_facets = {
+                d: r for d, r in zip(plain_dims, res) if r is not None
+            }
         for facet in req.facets:
             if facet.sampleTopDocs > 0 and ranked_hits is not None:
                 self._sampled_facet(facet, resp, searcher, ranked_hits, field_defs)
@@ -965,7 +981,11 @@ class Handlers:
                     lv.label = label
                     lv.value = count
                 continue
-            counts = coll.terms_counts(facet_matches, facet.dim)
+            counts = (
+                fused_facets[facet.dim]
+                if facet.dim in fused_facets
+                else coll.terms_counts(facet_matches, facet.dim)
+            )
             top_n = facet.topN or 10
             fr.childCount = len(counts)
             fr.value = sum(counts.values())
