@@ -92,6 +92,38 @@ def main() -> int:
             for j in range(docs.shape[0]):
                 qid = queries[start + j][0]
                 results[qid] = docs[j].tolist()
+    # parity: exact numpy BM25 over the same postings for a query sample —
+    # top-k doc-set overlap should be 1.0 modulo f32 boundary ties
+    parity = None
+    if model is not None and results:
+        from nrtsearch_tpu.ops.bm25 import lucene_idf
+
+        tfi = segments[0].fields["text"]
+        dl_host = np.asarray(tfi.doc_lens)
+        dc = model.num_docs_real
+        overlaps = []
+        sample = queries[: min(16, len(queries))]
+        for qid, terms in sample:
+            scores = np.zeros(segments[0].capacity, np.float32)
+            for t in terms:
+                tid = model.terms.get(t)
+                if tid is None or not model.lengths[tid]:
+                    continue
+                off, ln = int(model.offsets[tid]), int(model.lengths[tid])
+                ids = tfi.host_doc_ids[off : off + ln]
+                tf = tfi.host_freqs[off : off + ln].astype(np.float32)
+                w = np.float32(lucene_idf(dc, ln))
+                denom = tf + np.float32(model.k1) * (
+                    1.0 - model.b + model.b * dl_host[ids] / model.avgdl
+                ).astype(np.float32)
+                np.add.at(scores, ids, w * tf / denom)
+            ref_top = np.argsort(-scores, kind="stable")[: args.top_k]
+            ref_top = ref_top[scores[ref_top] > 0]
+            got = [d for d in results[qid] if d < len(scores)][: len(ref_top)]
+            inter = len(set(got) & set(ref_top.tolist()))
+            overlaps.append(inter / max(len(ref_top), 1))
+        parity = round(float(np.mean(overlaps)), 4)
+
     lat.sort()
     total = sum(lat)
     print(json.dumps({
@@ -100,6 +132,7 @@ def main() -> int:
         "qps": round(len(queries) / total, 1) if total else None,
         "p50_ms": round(lat[len(lat) // 2] / args.batch * 1e3, 2) if lat else None,
         "p99_ms": round(lat[int(len(lat) * 0.99)] * 1e3, 2) if lat else None,
+        "parity_topk_overlap": parity,
     }))
     return 0
 
