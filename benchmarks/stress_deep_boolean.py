@@ -222,8 +222,13 @@ def main():
     def run_faceted():
         td, arrays = searcher.search(next_q(), TOP_K, return_arrays=True)
         matches = SegmentMatches(searcher, [m for _, m in arrays])
-        facets = terms_counts(matches, "tag")
-        total_price = numeric_stat(matches, "price", "sum")
+        # the serving path (handlers) fuses flat reductions into one call
+        from nrtsearch_tpu.search.collectors import fused_flat_reductions
+
+        facets, total_price = fused_flat_reductions(matches, [
+            {"kind": "ordinal", "field": "tag"},
+            {"kind": "stat", "field": "price", "op": "sum"},
+        ])
         assert facets and total_price > 0
 
     results = {}

@@ -941,6 +941,16 @@ def _run_multi_func(c: CNode, inp: tuple, D: int):
 # ---------------------------------------------------------------------------
 
 
+def _topk_1d(masked, k: int):
+    """Exact top-k over one [D] masked array via the hierarchical row-max
+    formulation (ops/merge_scoring._hierarchical_topk) — lax.top_k runs far
+    off bandwidth at Lucene-scale D."""
+    from nrtsearch_tpu.ops.merge_scoring import _hierarchical_topk
+
+    s2, i2 = _hierarchical_topk(masked[None, :], k)
+    return s2[0], i2[0]
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _exec(tree: CNode, extra: Optional[CNode], mode: tuple, inputs: tuple):
     live_root = inputs[0]
@@ -964,7 +974,7 @@ def _exec(tree: CNode, extra: Optional[CNode], mode: tuple, inputs: tuple):
             budget = inputs[-1]
             match = match & (jnp.cumsum(match.astype(jnp.int32)) <= budget)
         masked = jnp.where(match, scores, NEG_INF)
-        top_s, top_i = jax.lax.top_k(masked, k)
+        top_s, top_i = _topk_1d(masked, k)
         total = jnp.sum(match, dtype=jnp.int32)
         return top_s, top_i, total
     if mode[0] in ("topk_key", "topk_key_b"):
@@ -976,14 +986,14 @@ def _exec(tree: CNode, extra: Optional[CNode], mode: tuple, inputs: tuple):
             keys = inputs[-1]
         sortable = -keys if ascending else keys
         sortable = jnp.where(match, sortable, NEG_INF)
-        top_keys, top_i = jax.lax.top_k(sortable, k)
+        top_keys, top_i = _topk_1d(sortable, k)
         total = jnp.sum(match, dtype=jnp.int32)
         real_keys = -top_keys if ascending else top_keys
         return real_keys, top_i, total
     if mode[0] == "arrays_topk":
         k = mode[1]
         masked = jnp.where(match, scores, NEG_INF)
-        top_s, top_i = jax.lax.top_k(masked, k)
+        top_s, top_i = _topk_1d(masked, k)
         total = jnp.sum(match, dtype=jnp.int32)
         return scores, match, top_s, top_i, total
     raise AssertionError(f"unknown exec mode: {mode}")
