@@ -220,7 +220,11 @@ def main():
         assert td.hits
 
     def run_faceted():
-        td, arrays = searcher.search(next_q(), TOP_K, return_arrays=True)
+        # arrays_score_free mirrors the serving handler's decision for this
+        # collector set (terms + sum read masks only): recall rides the fast
+        # kernel and masks come from the compiled match program
+        td, arrays = searcher.search(next_q(), TOP_K, return_arrays=True,
+                                     arrays_score_free=True)
         matches = SegmentMatches(searcher, [m for _, m in arrays])
         # the serving path (handlers) fuses flat reductions into one call
         from nrtsearch_tpu.search.collectors import fused_flat_reductions

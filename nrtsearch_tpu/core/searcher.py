@@ -90,6 +90,7 @@ class Searcher:
         return_arrays: bool = False,
         timeout_sec: float = 0.0,
         terminate_after: int = 0,
+        arrays_score_free: bool = False,
     ):
         """Recall + top-k over all segments.
 
@@ -109,7 +110,7 @@ class Searcher:
             return (TopDocs([], 0), []) if return_arrays else TopDocs([], 0)
         if (
             extra_filter is None
-            and not return_arrays
+            and (not return_arrays or arrays_score_free)
             and not timeout_sec
             and not terminate_after
         ):
@@ -119,6 +120,14 @@ class Searcher:
                 if fast is None:
                     fast = self._fast_filtered_text(node, top_hits, gsort)
                 if fast is not None:
+                    if return_arrays:
+                        # score-free arrays: no consumer reads per-doc scores
+                        # (caller-asserted), so the match masks come from the
+                        # compiled match program — the dense SCORE
+                        # materialization (the expensive scatter) never runs
+                        return fast, [
+                            (None, m) for m in self.match_masks(node)
+                        ]
                     return fast
         t_start = _time.time()
         hit_timeout = False

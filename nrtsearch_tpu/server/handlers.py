@@ -519,6 +519,10 @@ class Handlers:
                 result = searcher.search(
                     node, fetch_n, sort=sort, return_arrays=need_arrays,
                     timeout_sec=timeout_sec, terminate_after=terminate_after,
+                    arrays_score_free=(
+                        need_arrays and not req.knn
+                        and not _needs_array_scores(req)
+                    ),
                 )
                 td, arrays = result if need_arrays else (result, None)
             if req.knn:
@@ -607,8 +611,10 @@ class Handlers:
         fetch_ms = (time.time() - t_fetch) * 1000
 
         if need_arrays:
+            score_parts = [s for s, _ in arrays]
             matches = coll.SegmentMatches(
-                searcher, [m for _, m in arrays], [s for s, _ in arrays]
+                searcher, [m for _, m in arrays],
+                None if any(s is None for s in score_parts) else score_parts,
             )
             self._run_facets(req, resp, matches, searcher, td.hits, field_defs)
             self._run_collectors(req.collectors, resp.collectorResults, matches)
@@ -1367,3 +1373,31 @@ def _dict_to_pb(d: dict, msg) -> None:
             setattr(msg, field.name, type(getattr(msg, field.name))(value))
         except (TypeError, ValueError):
             pass
+
+
+def _needs_array_scores(req) -> bool:
+    """True when any facet/collector of this request reads per-doc SCORES
+    from the match arrays (topHits sub-collections, script sources that can
+    reference _score); mask-only consumers let recall skip the dense score
+    materialization entirely (Searcher.search arrays_score_free)."""
+    def walk(specs) -> bool:
+        for spec in specs.values():
+            which = spec.WhichOneof("collectors")
+            if which == "topHitsCollector":
+                return True
+            if which == "terms" and spec.terms.HasField("script"):
+                return True
+            if which in ("max", "min", "sum") and getattr(
+                spec, which
+            ).HasField("script"):
+                return True
+            if spec.nestedCollectors and walk(spec.nestedCollectors):
+                return True
+        return False
+
+    if walk(req.collectors):
+        return True
+    for facet in req.facets:
+        if facet.HasField("script"):
+            return True
+    return False
