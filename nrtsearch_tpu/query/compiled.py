@@ -970,9 +970,15 @@ def _exec(tree: CNode, extra: Optional[CNode], mode: tuple, inputs: tuple):
             # within-segment terminateAfter: collect only the first ``budget``
             # matches in docid order (reference TerminateAfterWrapper stops
             # mid-collection; the fused analogue is a cumsum-limited mask).
-            # budget is a traced scalar: one program serves every budget.
-            budget = inputs[-1]
+            # Counting continues to recall_cap (terminateAfterMaxRecallCount:
+            # "max documents to count beyond terminateAfter"). Both are
+            # traced scalars: one program serves every budget.
+            budget, recall_cap = inputs[-2], inputs[-1]
+            full = jnp.sum(match, dtype=jnp.int32)
             match = match & (jnp.cumsum(match.astype(jnp.int32)) <= budget)
+            masked = jnp.where(match, scores, NEG_INF)
+            top_s, top_i = _topk_1d(masked, k)
+            return top_s, top_i, jnp.minimum(full, recall_cap)
         masked = jnp.where(match, scores, NEG_INF)
         top_s, top_i = _topk_1d(masked, k)
         total = jnp.sum(match, dtype=jnp.int32)
@@ -980,14 +986,16 @@ def _exec(tree: CNode, extra: Optional[CNode], mode: tuple, inputs: tuple):
     if mode[0] in ("topk_key", "topk_key_b"):
         k, ascending = mode[1], mode[2]
         if mode[0] == "topk_key_b":
-            keys, budget = inputs[-2], inputs[-1]
+            keys, budget, recall_cap = inputs[-3], inputs[-2], inputs[-1]
+            full = jnp.sum(match, dtype=jnp.int32)
             match = match & (jnp.cumsum(match.astype(jnp.int32)) <= budget)
+            total = jnp.minimum(full, recall_cap)
         else:
             keys = inputs[-1]
+            total = jnp.sum(match, dtype=jnp.int32)
         sortable = -keys if ascending else keys
         sortable = jnp.where(match, sortable, NEG_INF)
         top_keys, top_i = _topk_1d(sortable, k)
-        total = jnp.sum(match, dtype=jnp.int32)
         real_keys = -top_keys if ascending else top_keys
         return real_keys, top_i, total
     if mode[0] == "arrays_topk":
@@ -1012,19 +1020,22 @@ class CompiledQuery:
         self.extra = prepare(extra_filter, prep) if extra_filter is not None else None
         self.inputs = prep.inputs
 
-    def top_k(self, k: int, budget: int = 0):
+    def top_k(self, k: int, budget: int = 0, recall_cap: int = 0):
         if budget:
             return _exec(
                 self.tree, self.extra, ("topk_b", k),
-                tuple(self.inputs) + (jnp.int32(budget),),
+                tuple(self.inputs)
+                + (jnp.int32(budget), jnp.int32(max(recall_cap, budget))),
             )
         return _exec(self.tree, self.extra, ("topk", k), tuple(self.inputs))
 
-    def top_k_by_key(self, keys, k: int, ascending: bool, budget: int = 0):
+    def top_k_by_key(self, keys, k: int, ascending: bool, budget: int = 0,
+                     recall_cap: int = 0):
         if budget:
             return _exec(
                 self.tree, self.extra, ("topk_key_b", k, ascending),
-                tuple(self.inputs) + (keys, jnp.int32(budget)),
+                tuple(self.inputs)
+                + (keys, jnp.int32(budget), jnp.int32(max(recall_cap, budget))),
             )
         return _exec(
             self.tree, self.extra, ("topk_key", k, ascending),
