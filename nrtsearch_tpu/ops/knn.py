@@ -214,7 +214,10 @@ def _ivf_search_step(blocks, block_sq, block_ids, centroids, c_sq, queries,
     )
     flat_i = sub_ids.reshape(B, -1)
     top_s, pos = jax.lax.top_k(flat_s, k)
-    return top_s, jnp.take_along_axis(flat_i, pos, axis=1)
+    top_i = jnp.take_along_axis(flat_i, pos, axis=1)
+    # padding slots carry id -1 at -inf score; clamp so callers that index
+    # arrays with the ids never see the sentinel (scores mark invalid rows)
+    return top_s, jnp.maximum(top_i, 0)
 
 
 class IVFIndex:
@@ -238,30 +241,56 @@ class IVFIndex:
         )
         assign = np.argmin(d, axis=1)
         counts = np.bincount(assign, minlength=n_clusters)
-        cap = max(int(counts.max()), 1)
+        # cap per-block capacity at 4x the mean: one skewed k-means cluster
+        # would otherwise inflate device memory by up to n_clusters x (blocks
+        # are padded uniformly). Oversized clusters spill into extra blocks
+        # that share the centroid, so a probe of the centroid scores every
+        # spilled member (recall is unchanged; nprobe just sees duplicates).
+        mean = max(int(np.ceil(counts.sum() / max(n_clusters, 1))), 1)
+        cap = max(min(int(counts.max()), 4 * mean), 1)
         dims = vectors.shape[1]
-        blocks = np.zeros((n_clusters, cap, dims), np.float32)
-        block_ids = np.full((n_clusters, cap), -1, np.int32)
-        fill = np.zeros(n_clusters, np.int64)
+        centroid_of_block = []
+        members: list[list[int]] = [[] for _ in range(n_clusters)]
         for doc, c in enumerate(assign):
-            blocks[c, fill[c]] = vectors[doc]
-            block_ids[c, fill[c]] = doc
-            fill[c] += 1
+            members[c].append(doc)
+        block_members: list[list[int]] = []
+        for c, docs in enumerate(members):
+            for start in range(0, max(len(docs), 1), cap):
+                block_members.append(docs[start : start + cap])
+                centroid_of_block.append(c)
+        n_blocks = len(block_members)
+        blocks = np.zeros((n_blocks, cap, dims), np.float32)
+        block_ids = np.full((n_blocks, cap), -1, np.int32)
+        for bi, docs in enumerate(block_members):
+            for j, doc in enumerate(docs):
+                blocks[bi, j] = vectors[doc]
+                block_ids[bi, j] = doc
         self.blocks = jax.device_put(blocks)
         self.block_sq = jax.device_put((blocks * blocks).sum(-1).astype(np.float32))
         self.block_ids = jax.device_put(block_ids)
-        self.centroids_dev = jax.device_put(self.centroids.astype(np.float32))
+        # probing is per BLOCK: spilled blocks carry their parent centroid,
+        # so a probe that selects the centroid scores every spilled member
+        block_centroids = self.centroids[centroid_of_block].astype(np.float32)
+        self.n_blocks = n_blocks
+        self.cap = cap
+        self.centroids_dev = jax.device_put(block_centroids)
         self.c_sq = jax.device_put(
-            np.sum(self.centroids * self.centroids, axis=1).astype(np.float32)
+            np.sum(block_centroids * block_centroids, axis=1).astype(np.float32)
         )
 
     def search(self, queries: np.ndarray, k: int, nprobe: int = 8):
         """Approximate top-k. Returns (scores [B, k] np, ids [B, k] np)."""
-        nprobe = min(nprobe, self.centroids.shape[0])
+        nprobe = min(nprobe, self.n_blocks)
+        # top_k over the probed members needs k <= nprobe * cap
+        k_eff = min(k, nprobe * self.cap)
         s, i = _ivf_search_step(
             self.blocks, self.block_sq, self.block_ids,
             self.centroids_dev, self.c_sq,
             jnp.asarray(np.asarray(queries, np.float32)),
-            similarity=self.similarity, k=k, nprobe=nprobe,
+            similarity=self.similarity, k=k_eff, nprobe=nprobe,
         )
-        return np.asarray(s), np.asarray(i)
+        s, i = np.asarray(s), np.asarray(i)
+        if k_eff < k:
+            s = np.pad(s, ((0, 0), (0, k - k_eff)), constant_values=-np.inf)
+            i = np.pad(i, ((0, 0), (0, k - k_eff)))
+        return s, i

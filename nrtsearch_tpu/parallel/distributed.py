@@ -392,24 +392,35 @@ class DistributedKNN:
             similarity=similarity,
         )
 
+    def _jitted(self, k: int):
+        """Memoized jitted shard_map per k: building a fresh jit closure per
+        call would pay full retrace on every search."""
+        cache = getattr(self, "_jit_cache", None)
+        if cache is None:
+            cache = self._jit_cache = {}
+        fn = cache.get(k)
+        if fn is None:
+            fn = cache[k] = jax.jit(
+                jax.shard_map(
+                    partial(
+                        _local_knn, similarity=self.similarity, k=k,
+                        shard_capacity=self.shard_capacity,
+                    ),
+                    mesh=self.mesh,
+                    in_specs=(
+                        P("shard", None, None), P("shard", None),
+                        P("shard", None), P("shard", "data", None),
+                    ),
+                    out_specs=(P("data", None), P("data", None)),
+                    check_vma=False,
+                )
+            )
+        return fn
+
     def search(self, queries: np.ndarray, k: int = 10):
         """Distributed exact kNN. Returns (scores [B, k], global ids [B, k])."""
         mesh = self.mesh
-        fn = jax.jit(
-            jax.shard_map(
-                partial(
-                    _local_knn, similarity=self.similarity, k=k,
-                    shard_capacity=self.shard_capacity,
-                ),
-                mesh=mesh,
-                in_specs=(
-                    P("shard", None, None), P("shard", None), P("shard", None),
-                    P("shard", "data", None),
-                ),
-                out_specs=(P("data", None), P("data", None)),
-                check_vma=False,
-            )
-        )
+        fn = self._jitted(k)
         q = jnp.asarray(np.asarray(queries, np.float32))
         qsharding = NamedSharding(mesh, P("shard", "data", None))
         S = mesh.shape["shard"]

@@ -299,7 +299,15 @@ def _device_masked_stat(eff, vals, op: str) -> Optional[float]:
 
     vals = vals.astype(jnp.float32)
     if op == "sum":
-        stat = jnp.sum(jnp.where(eff, vals, 0.0))
+        # accumulate in f64: each value fits f32 exactly (column routing
+        # guarantees it) but a sum over millions of large-magnitude values
+        # (epoch millis, counters) exceeds the f32 mantissa
+        import jax
+
+        with jax.enable_x64():
+            stat = jnp.sum(
+                jnp.where(eff, vals, jnp.float32(0.0)), dtype=jnp.float64
+            )
     elif op == "min":
         stat = jnp.min(jnp.where(eff, vals, np.inf))
     else:

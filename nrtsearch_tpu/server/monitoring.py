@@ -9,6 +9,7 @@ the text exposition format (MetricsHandler equivalent).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -160,7 +161,11 @@ class Metrics:
             import resource
 
             ru = resource.getrusage(resource.RUSAGE_SELF)
-            self._proc_rss.set(ru.ru_maxrss * 1024)  # linux: KiB
+            # CURRENT resident memory (Prometheus convention for
+            # process_resident_memory_bytes), not ru_maxrss's lifetime peak
+            with open("/proc/self/statm") as f:
+                rss_pages = int(f.read().split()[1])
+            self._proc_rss.set(rss_pages * os.sysconf("SC_PAGESIZE"))
             self._proc_cpu.set(ru.ru_utime + ru.ru_stime)
         except Exception:
             pass
