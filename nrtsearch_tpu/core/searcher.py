@@ -49,9 +49,55 @@ class TopDocs:
 
 
 @dataclass(frozen=True)
+class SortComponent:
+    """One sort key (reference: SortType, search.proto:1066-1081).
+
+    ``field`` may be a doc-value field, a VIRTUAL/RUNTIME field, or the
+    special names "docid" / "score" (SortParser.java:43-44).
+    ``missing_last`` places missing values at the end of the NATURAL order
+    (before ``reverse`` is applied, matching the reference contract)."""
+
+    field: str
+    reverse: bool = False
+    missing_last: bool = False
+
+
+@dataclass(frozen=True)
 class SortSpec:
+    """Sort specification: one or more components, primary first.
+
+    Single-component sorts ride the fused device kernel / device top-k
+    paths; multi-component sorts use the exact host lexicographic path
+    (reference: SortParser consumes repeated SortType,
+    server/search/sort/SortParser.java:39)."""
+
     field: str
     reverse: bool = False  # False = ascending
+    missing_last: bool = False
+    rest: tuple = ()       # additional SortComponent entries beyond the first
+
+    @property
+    def components(self) -> tuple:
+        return (
+            SortComponent(self.field, self.reverse, self.missing_last),
+            *self.rest,
+        )
+
+    @property
+    def is_multi(self) -> bool:
+        return bool(self.rest) or self.field in ("docid", "score")
+
+
+def sort_compare_key(sort: SortSpec, raw_values) -> tuple:
+    """ASCENDING-comparable key tuple from a hit's raw per-component sort
+    values: each component is sign-flipped by its effective direction
+    (reverse XOR natural-descending, the latter only for "score"). Shared by
+    segment-merge and searchAfter cursor comparisons."""
+    out = []
+    for comp, v in zip(sort.components, raw_values):
+        eff_rev = bool(comp.reverse) != (comp.field == "score")
+        out.append(-v if eff_rev else v)
+    return tuple(out)
 
 
 class Searcher:
@@ -148,7 +194,7 @@ class Searcher:
             if compiled:
                 s, ids, seg_total, arr = self._compiled_segment_topk(
                     seg, node, extra_filter, sort, k, return_arrays,
-                    budget=rem,
+                    budget=rem, seg_idx=idx,
                 )
                 if return_arrays:
                     arrays.append(arr)
@@ -181,10 +227,13 @@ class Searcher:
             else:
                 keys = self._sort_keys(seg, sort)
                 if keys is None:
-                    # exact-int64/f64 column: host-side sort fallback
-                    s, ids, seg_total = self._host_sorted_topk(seg, match, sort, k)
+                    # exact-int64/f64 column or multi-component sort:
+                    # host-side exact fallback
+                    s, ids, seg_total = self._host_sorted_topk(
+                        idx, match, sort, k, scores=scores
+                    )
                     per_segment.append(
-                        (np.asarray(s[0]), np.asarray(ids[0]), idx, min(seg_total, k))
+                        (np.asarray(s), np.asarray(ids), idx, min(seg_total, k))
                     )
                     total += seg_total
                     if rem and seg_total >= rem:
@@ -213,7 +262,7 @@ class Searcher:
 
     def _compiled_segment_topk(
         self, seg: Segment, node, extra_filter, sort, k: int,
-        return_arrays: bool, budget: int = 0,
+        return_arrays: bool, budget: int = 0, seg_idx: int = 0,
     ):
         """Recall + top-k for one segment as ONE fused program
         (query/compiled.py). Returns (scores [k], ids [k], seg_total,
@@ -258,9 +307,11 @@ class Searcher:
                 )
             arr = (sc, match)
             if keys is None:
-                # exact-int64/f64 column: host-side sort fallback
-                s, ids, seg_total = self._host_sorted_topk(seg, match, sort, k)
-                return np.asarray(s[0]), np.asarray(ids[0]), seg_total, arr
+                # exact-int64/f64 column or multi-component sort: host path
+                s, ids, seg_total = self._host_sorted_topk(
+                    seg_idx, match, sort, k, scores=np.asarray(sc)
+                )
+                return np.asarray(s), np.asarray(ids), seg_total, arr
             s, ids, th = jax.device_get(masked_top_k_by_key(
                 keys[None, :], match[None, :], k=k, ascending=not sort.reverse
             ))
@@ -343,7 +394,7 @@ class Searcher:
         if cache is None:
             cache = {}
             self._gsort_cache = cache
-        key = (sort.field, sort.reverse)
+        key = (sort.field, sort.reverse, sort.missing_last)
         if key in cache:
             return cache[key]
         parts = []
@@ -583,9 +634,81 @@ class Searcher:
 
     # -- internals -----------------------------------------------------------
 
+    def _component_values(
+        self, seg_idx: int, comp: SortComponent, scores=None
+    ) -> tuple[np.ndarray, bool]:
+        """Host values [num_docs] f64 for one sort component with missing
+        values filled (sentinel = +inf when missing_last else -inf, applied
+        BEFORE reverse per the reference contract). Returns (values,
+        natural_desc): natural_desc=True means the component's natural order
+        is descending (the "score" pseudo-field, SortParser.java:66-70)."""
+        seg = self.segments[seg_idx]
+        n = seg.num_docs
+        if comp.field == "docid":
+            return (
+                float(self.bases[seg_idx]) + np.arange(n, dtype=np.float64)
+            ), False
+        if comp.field == "score":
+            if scores is None:
+                raise ValueError(
+                    "sort on 'score' requires scores for the match set"
+                )
+            return np.asarray(scores)[:n].astype(np.float64), True
+        missing = np.inf if comp.missing_last else -np.inf
+        fd = self.field_defs.get(comp.field)
+        if fd is not None and fd.type.value in ("VIRTUAL", "RUNTIME"):
+            from nrtsearch_tpu.search.fetch import virtual_field_column
+
+            vals = virtual_field_column(self, seg_idx, fd)[:n]
+            return np.asarray(vals, np.float64), False
+        dv = seg.doc_values.get(comp.field)
+        if dv is None:
+            return np.full(n, missing, np.float64), False
+        vals = dv.host_values[:n].astype(np.float64)
+        present = dv.host_present[:n]
+        return np.where(present, vals, missing), False
+
+    def _host_multisort_topk(
+        self, seg_idx: int, match, sort: SortSpec, k: int, scores=None
+    ):
+        """Exact lexicographic multi-component sort of one segment's match
+        set on the host (reference: SortParser builds a Lucene Sort over
+        repeated SortType; ties break by doc id ascending).
+
+        Returns (raw [k, C] f64 per-component values for the response,
+        ids [k] local, total)."""
+        seg = self.segments[seg_idx]
+        m = np.asarray(match)[: seg.num_docs]
+        ids = np.nonzero(m)[0]
+        comps = sort.components
+        comp_raw, comp_keys = [], []
+        for comp in comps:
+            vals, nat_desc = self._component_values(seg_idx, comp, scores)
+            raw = vals[ids]
+            eff_rev = bool(comp.reverse) != nat_desc
+            comp_raw.append(raw)
+            comp_keys.append(-raw if eff_rev else raw)
+        # np.lexsort: LAST key is primary; doc id (ids) is the final tie-break
+        order = np.lexsort([ids] + comp_keys[::-1])[:k] if len(ids) else (
+            np.empty(0, np.int64)
+        )
+        top = ids[order]
+        raws = np.stack(
+            [r[order] for r in comp_raw], axis=1
+        ) if len(order) else np.empty((0, len(comps)))
+        pad = k - len(top)
+        if pad > 0:
+            top = np.concatenate([top, np.zeros(pad, np.int64)])
+            raws = np.concatenate(
+                [raws, np.full((pad, len(comps)), -np.inf)], axis=0
+            )
+        return raws, top, int(m.sum())
+
     def _sort_keys(self, seg: Segment, sort: SortSpec):
         import jax.numpy as jnp
 
+        if sort.is_multi:
+            return None  # exact host lexicographic path
         fd = self.field_defs.get(sort.field)
         if fd is not None and fd.type.value in ("VIRTUAL", "RUNTIME"):
             from nrtsearch_tpu.search.fetch import virtual_field_column
@@ -595,19 +718,34 @@ class Searcher:
                 virtual_field_column(self, idx, fd).astype(np.float32)
             )
         dv = seg.doc_values.get(sort.field)
+        # missing sentinel beyond any stored f32 doc value: missing_last
+        # places missing at the end of the NATURAL (ascending) order
+        miss = jnp.float32(1e38 if sort.missing_last else -1e38)
         if dv is None:
-            return jnp.zeros(seg.capacity, jnp.float32)
+            return jnp.full(seg.capacity, miss, jnp.float32)
         if dv.kind == DocValueKind.ORDINAL:
-            return dv.values.astype(jnp.float32)  # ordinals are sort-consistent
+            # ordinals are sort-consistent
+            return jnp.where(dv.present, dv.values.astype(jnp.float32), miss)
         if dv.values.dtype == jnp.float64:
             return None  # host fallback for exactness
-        return dv.values.astype(jnp.float32)
+        return jnp.where(dv.present, dv.values.astype(jnp.float32), miss)
 
-    def _host_sorted_topk(self, seg: Segment, match, sort: SortSpec, k: int):
+    def _host_sorted_topk(self, seg_idx: int, match, sort: SortSpec, k: int,
+                          scores=None):
+        """Exact host sort fallback. Single exact-f64 field: stable argsort.
+        Multi-component / docid / score sorts: lexicographic path.
+
+        Returns (keys [k] f64 or [k, C] f64, ids [k], total)."""
+        if sort.is_multi:
+            return self._host_multisort_topk(seg_idx, match, sort, k, scores)
+        seg = self.segments[seg_idx]
         dv = seg.doc_values[sort.field]
         m = np.asarray(match)[: seg.num_docs]
         ids = np.nonzero(m)[0]
-        vals = dv.host_values[ids]
+        miss = np.inf if sort.missing_last else -np.inf
+        vals = np.where(
+            dv.host_present[ids], dv.host_values[ids].astype(np.float64), miss
+        )
         order = np.argsort(-vals if sort.reverse else vals, kind="stable")
         top = ids[order[:k]]
         keys = vals[order[:k]].astype(np.float64)
@@ -615,7 +753,7 @@ class Searcher:
         if pad > 0:
             top = np.concatenate([top, np.zeros(pad, np.int64)])
             keys = np.concatenate([keys, np.full(pad, -np.inf)])
-        return keys[None, :], top[None, :], int(m.sum())
+        return keys, top, int(m.sum())
 
     def _merge_top(
         self,
@@ -625,11 +763,17 @@ class Searcher:
         total: int,
     ) -> TopDocs:
         hits: list[Hit] = []
+        multi = sort is not None and sort.is_multi
         for scores, ids, seg_idx, valid in per_segment:
             base = int(self.bases[seg_idx])
             for s, i in zip(scores[:valid], ids[:valid]):
                 if sort is None:
                     hits.append(Hit(seg_idx, int(i), base + int(i), float(s)))
+                elif multi:
+                    hits.append(
+                        Hit(seg_idx, int(i), base + int(i), 0.0,
+                            sort_key=tuple(float(v) for v in np.atleast_1d(s)))
+                    )
                 else:
                     hits.append(
                         Hit(seg_idx, int(i), base + int(i), 0.0, sort_key=float(s))
@@ -637,6 +781,9 @@ class Searcher:
         if sort is None:
             # score desc, then global ord asc (Lucene tie-break)
             hits.sort(key=lambda h: (-h.score, h.global_ord))
+        elif multi:
+            hits.sort(key=lambda h: (sort_compare_key(sort, h.sort_key),
+                                     h.global_ord))
         else:
             sign = -1.0 if sort.reverse else 1.0
             hits.sort(key=lambda h: (sign * (h.sort_key or 0.0), h.global_ord))

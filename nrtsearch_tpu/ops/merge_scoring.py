@@ -338,8 +338,14 @@ def merge_score_topk(
                                # (field-sorted search on the fused path; the
                                # returned "scores" are the key values)
     sort_ascending: bool = True,   # static, used with sort_keys
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Fused scatter-free retrieval. Returns (scores [B,k], docs [B,k], hits [B]).
+    count_threshold=None,      # optional f32 [B]: ALSO return per query the
+                               # number of matched docs with score >= this
+                               # (the MaxScore window-coverage certificate,
+                               # core/maxscore.py — counting is one extra
+                               # reduce over the already-masked stream)
+):
+    """Fused scatter-free retrieval. Returns (scores [B,k], docs [B,k], hits [B])
+    plus, when ``count_threshold`` is given, counts [B] of docs at/above it.
 
     Deletions are handled upstream: ``post_impacts`` of deleted docs are
     zeroed at refresh (ops/bm25.py:precompute_impacts), so they surface here
@@ -384,11 +390,18 @@ def merge_score_topk(
                 top_scores = jnp.where(
                     top_scores > -jnp.inf, -top_scores, top_scores
                 )
+            if count_threshold is not None:
+                n_above = jnp.sum(
+                    masked >= count_threshold[:, None], axis=-1,
+                    dtype=jnp.int32,
+                )
+                return top_scores, top_docs, total_hits, n_above
             return top_scores, top_docs, total_hits
         return _finish(
             docs, contribs, n_terms, k, require_all_terms,
             max_seg=term_offsets.shape[1], additive=additive,
             sort_keys=sort_keys, sort_ascending=sort_ascending,
+            count_threshold=count_threshold,
         )
 
     def gather_runs(offs, lens, weights):
@@ -420,6 +433,7 @@ def merge_score_topk(
         docs, contribs, n_terms, k, require_all_terms,
         max_seg=term_offsets.shape[1], additive=additive,
         sort_keys=sort_keys, sort_ascending=sort_ascending,
+        count_threshold=count_threshold,
     )
 
 
@@ -487,7 +501,7 @@ def _rank_by_keys(masked, docs, sort_keys, ascending: bool):
 
 def _finish(docs, contribs, n_terms, k: int, require_all_terms: bool,
             max_seg: int = 0, additive=None, sort_keys=None,
-            sort_ascending: bool = True):
+            sort_ascending: bool = True, count_threshold=None):
     seg_scores, seg_counts, tail, valid = segmented_scores(docs, contribs, max_seg)
     ok = tail & valid & (seg_scores > 0.0)
     if require_all_terms:
@@ -503,4 +517,9 @@ def _finish(docs, contribs, n_terms, k: int, require_all_terms: bool,
     if sort_keys is not None and sort_ascending:
         top_scores = jnp.where(top_scores > -jnp.inf, -top_scores, top_scores)
     total_hits = jnp.sum(ok, axis=-1, dtype=jnp.int32)
+    if count_threshold is not None:
+        n_above = jnp.sum(
+            masked >= count_threshold[:, None], axis=-1, dtype=jnp.int32
+        )
+        return top_scores, top_docs, total_hits, n_above
     return top_scores, top_docs, total_hits

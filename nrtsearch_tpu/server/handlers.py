@@ -471,10 +471,7 @@ class Handlers:
             has_query = True
         node = self._resolve_cross_index(node)
 
-        sort = None
-        if req.HasField("querySort") and req.querySort.fields.sortedFields:
-            sf = req.querySort.fields.sortedFields[0]
-            sort = SortSpec(sf.fieldName, reverse=sf.reverse)
+        sort = self._parse_sort(req, field_defs)
 
         # reference semantics (SearchHandler.getHitsFromOffset:696): topHits is
         # the end of the collected window; the page is [startHit, topHits)
@@ -577,6 +574,13 @@ class Handlers:
             pb_hit.luceneDocId = h.global_ord
             if sort is None:
                 pb_hit.score = h.score
+            elif sort.is_multi:
+                vals = h.sort_key if isinstance(h.sort_key, tuple) else (
+                    (h.sort_key or 0.0),
+                )
+                for comp, v in zip(sort.components, vals):
+                    sf_val = pb_hit.sortedFields[comp.field].fieldValue.add()
+                    sf_val.doubleValue = float(v)
             else:
                 sf_val = pb_hit.sortedFields[sort.field].fieldValue.add()
                 sf_val.doubleValue = h.sort_key or 0.0
@@ -626,6 +630,12 @@ class Handlers:
             resp.searchState.lastDocId = hits[-1].global_ord
             resp.searchState.lastScore = hits[-1].score
             resp.searchState.lastHitIndex = req.startHit + len(hits) - 1
+            if sort is not None and hits[-1].sort_key is not None:
+                vals = hits[-1].sort_key
+                if not isinstance(vals, tuple):
+                    vals = (vals,)
+                for v in vals:
+                    resp.searchState.lastFieldValues.append(repr(float(v)))
 
         resp.diagnostics.firstPassSearchTimeMs = recall_ms
         resp.diagnostics.getFieldsTimeMs = fetch_ms
@@ -704,20 +714,69 @@ class Handlers:
             )
         return TopDocs(merged[:fetch_n], len(merged))
 
+    @staticmethod
+    def _parse_sort(req, field_defs):
+        """All sortedFields -> SortSpec (reference: SortParser.java:39
+        consumes the full repeated SortType list). Unsupported sort fields
+        fail LOUDLY instead of being silently dropped."""
+        if not (req.HasField("querySort") and req.querySort.fields.sortedFields):
+            return None
+        from nrtsearch_tpu.core.searcher import SortComponent
+
+        comps = []
+        for sf in req.querySort.fields.sortedFields:
+            name = sf.fieldName
+            if name not in ("docid", "score"):
+                fd = field_defs.get(name)
+                if fd is None:
+                    raise ValueError(f"unknown sort field: {name!r}")
+                sortable = (
+                    fd.type.value in ("VIRTUAL", "RUNTIME")
+                    or fd.store_doc_values
+                )
+                if not sortable:
+                    raise ValueError(
+                        f"field {name!r} is not sortable (no doc values)"
+                    )
+            missing_last = str(sf.missingLast).lower() in ("true", "1")
+            comps.append(
+                SortComponent(name, reverse=sf.reverse,
+                              missing_last=missing_last)
+            )
+        return SortSpec(
+            comps[0].field, comps[0].reverse, comps[0].missing_last,
+            rest=tuple(comps[1:]),
+        )
+
     def _after_cursor(self, hits, search_after, sort):
-        """Drop hits at or before the searchAfter cursor."""
+        """Drop hits at or before the searchAfter cursor (reference:
+        LastHitInfo; the cursor is the last hit's (sort keys, doc id) and
+        pagination resumes strictly after it)."""
+        from nrtsearch_tpu.core.searcher import sort_compare_key
+
         out = []
+        if sort is not None and search_after.lastFieldValues:
+            last_key = sort_compare_key(
+                sort, [float(v) for v in search_after.lastFieldValues]
+            )
+        else:
+            last_key = None
         for h in hits:
             if sort is None:
                 key_ok = h.score < search_after.lastScore or (
                     h.score == search_after.lastScore
                     and h.global_ord > search_after.lastDocId
                 )
-            else:
-                key_ok = h.global_ord > search_after.lastDocId or (
-                    search_after.lastFieldValues
-                    and (h.sort_key or 0.0) != float(search_after.lastFieldValues[0])
+            elif last_key is not None:
+                vals = h.sort_key if isinstance(h.sort_key, tuple) else (
+                    (h.sort_key or 0.0),
                 )
+                hk = sort_compare_key(sort, [float(v) for v in vals])
+                key_ok = (hk, h.global_ord) > (
+                    last_key[: len(hk)], search_after.lastDocId
+                )
+            else:
+                key_ok = h.global_ord > search_after.lastDocId
             if key_ok:
                 out.append(h)
         return out
