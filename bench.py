@@ -30,6 +30,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", 32))
 TERMS_PER_QUERY = int(os.environ.get("BENCH_TERMS", 4))
 TOP_K = int(os.environ.get("BENCH_TOPK", 100))
 ITERS = int(os.environ.get("BENCH_ITERS", 20))
+MAXSCORE = int(os.environ.get("BENCH_MAXSCORE", 1))
 CPU_QUERIES = int(os.environ.get("BENCH_CPU_QUERIES", 32))
 CPU_REPLICA_CORES = int(os.environ.get("BENCH_CPU_REPLICA_CORES", 32))
 SINGLE_ITERS = int(os.environ.get("BENCH_SINGLE_ITERS", 30))
@@ -114,11 +115,8 @@ def main() -> None:
     on_tpu = accel.platform == "tpu"
 
     # fixed query sets (steady-state serving shape): batch sets + singles.
-    # Serving is full-width (exact scores, docs, AND hit counts by
-    # construction — impact tiering measured net-negative at this shape:
-    # pow2 padding erased the tier-1 width cut and ~65% of batches failed
-    # certification, paying both dispatches). Shapes are frozen jointly so
-    # every iteration reuses one compiled program.
+    # Two serving modes are timed: the exact full-width dispatch and the
+    # MaxScore certify-or-escalate pruned path (core/maxscore.py).
     query_sets = [corpus.sample_queries(BATCH, TERMS_PER_QUERY) for _ in range(8)]
     singles = [corpus.sample_queries(1, TERMS_PER_QUERY) for _ in range(8)]
 
@@ -208,6 +206,65 @@ def main() -> None:
     drain_s()
     log(f"batch-1: p50 {sp50*1e3:.1f} ms, p99 {sp99*1e3:.1f} ms")
 
+    ms_stats = {}
+    if MAXSCORE:
+        # MaxScore pruned serving (core/maxscore.py): theta dispatch ->
+        # split -> essential dispatch -> probe/finish, certify-or-escalate.
+        # Exact top-k touching a fraction of the postings — the role
+        # BlockMaxWAND plays in Lucene's hot loop. Host planning runs per
+        # batch (honest serving cost); jit's shape-bucketed program cache
+        # covers the small set of natural pow2 shapes.
+        log("attaching maxscore pruned index")
+        model.attach_maxscore()
+        shape_log = {}
+        qsets = [s for s in query_sets]
+        log("warming maxscore programs (all shape buckets)")
+        for qs in qsets:
+            model.serve_maxscore_batch(qs, TOP_K, shape_log=shape_log)
+        log(f"  maxscore shapes: {shape_log}")
+        n_pruned_total = 0
+        st = {"i": 0}
+
+        def run_ms():
+            qs = qsets[st["i"] % len(qsets)]
+            st["i"] += 1
+            return model.serve_maxscore_batch(qs, TOP_K)
+
+        log("timing maxscore path (synchronous per-batch)")
+        _, ms_p50, ms_p99 = _timeit(lambda: run_ms(), ITERS)
+        log(f"batch-{BATCH} maxscore: p50 {ms_p50*1e3:.1f} ms/batch")
+        # pipelined: overlap host planning of batch i+1 with device work of
+        # batch i (a real serving frontend runs exactly this overlap)
+        from concurrent.futures import ThreadPoolExecutor
+
+        st["i"] = 0
+        with ThreadPoolExecutor(2) as pool:
+            futs = []
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                futs.append(pool.submit(run_ms))
+                while len(futs) > 2:
+                    futs.pop(0).result()
+            for f in futs:
+                r = f.result()
+                n_pruned_total += r[3]
+            ms_total = time.perf_counter() - t0
+        ms_qps = BATCH * ITERS / ms_total
+        log(
+            f"batch-{BATCH} maxscore: {ms_qps:.1f} qps pipelined "
+            f"({ms_total/ITERS*1e3:.1f} ms/batch effective)"
+        )
+        ms_stats = {
+            "maxscore_qps": round(ms_qps, 2),
+            "maxscore_p50_ms": round(ms_p50 * 1e3, 3),
+            "maxscore_p99_ms": round(ms_p99 * 1e3, 3),
+            "maxscore_pruned_frac": round(
+                n_pruned_total / (ITERS * BATCH), 3
+            ),
+        }
+        if ms_qps > qps:
+            qps, p50, p99 = ms_qps, ms_p50, ms_p99
+
     log("building cpu baseline (scipy CSR term-at-a-time)")
     cpu_queries = [q for qs in query_sets for q in qs][:CPU_QUERIES]
     cpu_run = cpu_bm25_topk(corpus, cpu_queries, TOP_K)
@@ -239,6 +296,7 @@ def main() -> None:
                 "cpu_replica_cores_assumed": CPU_REPLICA_CORES,
                 "cpu_replica_qps": round(cpu_replica_qps, 2),
                 "device": str(accel),
+                **ms_stats,
             }
         )
     )

@@ -371,6 +371,15 @@ class PrunedIndex:
             if self.run_lengths[r]
         ]
 
+    @staticmethod
+    def _pad_rows(rows: list) -> list:
+        """Pad the BATCH dim to a pow2 bucket: a varying batch size would
+        recompile the dispatch per distinct count (20-40s each on TPU).
+        Empty padded rows contribute zero runs — no extra postings work,
+        only the B-dim of the [B, R] tables grows."""
+        b = _pow2(max(len(rows), 1))
+        return rows + [[] for _ in range(b - len(rows))]
+
     def _run_pruned(self, queries, pruned, k, results, full_idx,
                     shape_log, force_theta, force_essential):
         import jax
@@ -382,9 +391,11 @@ class PrunedIndex:
         for (fmask, addv), pidx in groups:
             plans = [pruned[j] for j in pidx]
             # ---- theta dispatch (tiny) ----
-            rows_t = [self._rows_for(p["theta_terms"]) for p in plans]
+            rows_t = self._pad_rows(
+                [self._rows_for(p["theta_terms"]) for p in plans]
+            )
             (s_t, _d_t, _h_t), shp = self._dispatch(
-                rows_t, [1] * len(plans), k, False,
+                rows_t, [1] * len(rows_t), k, False,
                 filter_mask=fmask, additive=addv, force=force_theta,
             )
             _log_shape(shape_log, "theta", shp)
@@ -422,6 +433,8 @@ class PrunedIndex:
             if not ess_rows:
                 continue
             live_plans = [plans[j] for j in run_idx]
+            ess_rows = self._pad_rows(ess_rows)
+            taus = taus + [np.inf] * (len(ess_rows) - len(taus))
 
             # ---- essential dispatch (device-resident output) ----
             # the kernel also counts docs with score >= tau: if that count
@@ -440,9 +453,9 @@ class PrunedIndex:
             # pow2-pad the probe-table width so steady-state serving reuses
             # one compiled probe program across batches
             TN = _pow2(max((len(t) for t in probe_tables), default=1) or 1)
-            po = np.zeros((len(probe_tables), TN), np.int32)
-            pl = np.zeros((len(probe_tables), TN), np.int32)
-            pw = np.zeros((len(probe_tables), TN), np.float32)
+            po = np.zeros((len(ess_rows), TN), np.int32)
+            pl = np.zeros((len(ess_rows), TN), np.int32)
+            pw = np.zeros((len(ess_rows), TN), np.float32)
             for bi, table in enumerate(probe_tables):
                 for ti, (o, ln, w) in enumerate(table):
                     po[bi, ti], pl[bi, ti], pw[bi, ti] = o, ln, w
@@ -502,7 +515,7 @@ class PrunedIndex:
         for key, gidx in groups:
             fmask, addv = key[0], key[1]
             srt = queries[gidx[0]].get("sort")
-            rows = [
+            rows = self._pad_rows([
                 [
                     (int(self.run_offsets[r]), int(self.run_lengths[r]), w)
                     for w, runs in queries[i]["entries"]
@@ -510,8 +523,9 @@ class PrunedIndex:
                     if self.run_lengths[r]
                 ]
                 for i in gidx
-            ]
+            ])
             n_terms = [queries[i]["n_terms"] for i in gidx]
+            n_terms = n_terms + [1] * (len(rows) - len(n_terms))
             req = any(queries[i].get("require_all") for i in gidx)
             (s2, d2, h2), shp = self._dispatch(
                 rows, n_terms, k, req, filter_mask=fmask, additive=addv,

@@ -10,12 +10,14 @@ This is the TPU re-expression of the reference's segment-slice fan-out
 (MyIndexSearcher.java:79,117): where Lucene co-schedules segments onto a
 thread pool, we co-schedule them into one XLA program.
 
-Work reduction (the Lucene impacts/BlockMaxWAND analogue) is IMPACT-TIERED:
-the flat postings are reordered so each term run is [tier-1 | tier-2] (both
-doc-sorted), disjunctions dispatch tier-1 only, and the result window is
-exactly rescored and certified on the host — see core/impact_tiers.py for
-the bound. Certified counts are lower bounds (relation
-GREATER_THAN_OR_EQUAL_TO), the same contract Lucene exposes under WAND.
+Work reduction (the Lucene impacts/BlockMaxWAND analogue) is MAXSCORE
+pruning (core/maxscore.py): a tiny theta dispatch over the rarest terms
+lower-bounds the k-th score, the MaxScore term split drops provably
+non-competitive terms from the main dispatch, and a device-side probe
+recovers the dropped mass for the candidate window exactly, with a
+window-coverage certificate (escalating to the full-width dispatch when it
+fails). Pruned counts are lower bounds (relation GREATER_THAN_OR_EQUAL_TO),
+the same contract Lucene exposes under WAND.
 """
 
 from __future__ import annotations
@@ -62,9 +64,7 @@ class PackedFieldView:
     """All live segments' postings for one field, packed for fused search."""
 
     def __init__(self, searcher, field: str):
-        import os
-
-        from nrtsearch_tpu.core.impact_tiers import TieredIndex
+        from nrtsearch_tpu.core.maxscore import PrunedIndex
         from nrtsearch_tpu.ops.pallas_merge import GATHER_TILE
 
         self.field = field
@@ -75,7 +75,6 @@ class PackedFieldView:
         self.doc_count = int(searcher.stats.doc_count(field))
         self.stats = searcher.stats
         self.max_doc = int(searcher.max_doc)
-        tiering = os.environ.get("NRT_IMPACT_TIERS", "") == "1"
 
         run_off_parts, run_len_parts = [], []
         # (segment_idx, tfi, run_index_base) for term lookups
@@ -101,62 +100,16 @@ class PackedFieldView:
             return
         run_offs = np.concatenate(run_off_parts)
         run_lens = np.concatenate(run_len_parts)
-        if not tiering:
-            # DEVICE-SIDE build (the serving default): global doc ords and
-            # live-folded impacts compute from the segments' existing device
-            # buffers — an NRT refresh never re-ships postings through the
-            # host (the host path below uploads ~8 bytes/posting, minutes of
-            # wall clock at Lucene scale)
-            dev_ids, dev_imps = _device_packed(
-                self, parts, cursor, 2 * GATHER_TILE
-            )
-            self.host_impacts = None
-            self.index = TieredIndex.from_device(
-                dev_ids, dev_imps, run_offs, run_lens, self.max_doc
-            )
-            return
-
-        host_ids_parts, host_imp_parts = [], []
-        for seg, base in parts:
-            tfi = seg.fields[field]
-            # host mirrors (live-folded, matching what device impacts would
-            # be) are both the tiered-build source and the exact-rescore
-            # source
-            hd = tfi.host_doc_ids
-            hf = tfi.host_freqs
-            dl = np.asarray(tfi.doc_lens)
-            him = hf / (hf + self.k1 * (1.0 - self.b + self.b * dl[hd] / self.avgdl))
-            him = np.where(seg.host_live[hd], him, 0.0).astype(np.float32)
-            host_ids_parts.append(hd.astype(np.int64) + base)
-            host_imp_parts.append(him)
-        self.host_impacts = np.concatenate(host_imp_parts)
-        # per-run idf from the GLOBAL term df (local run lengths dilute df
-        # across segments, inflating stopword idf and defeating the tiering;
-        # certification always uses the query's true weights, so this is a
-        # sizing heuristic only)
-        gdf: dict[str, int] = {}
-        for _, tfi, _rb in self.seg_entries:
-            lens_arr = tfi.lengths
-            for term, tid in tfi.terms.items():
-                gdf[term] = gdf.get(term, 0) + int(lens_arr[tid])
-        run_df = np.zeros(len(run_lens), np.int64)
-        for _, tfi, run_base in self.seg_entries:
-            for term, tid in tfi.terms.items():
-                run_df[run_base + tid] = gdf[term]
-        dc = max(self.doc_count, 1)
-        with np.errstate(divide="ignore"):
-            run_w = np.log1p(
-                (dc - run_df + 0.5) / (run_df + 0.5)
-            ).astype(np.float32)
-        run_w = np.where(run_lens > 0, run_w, 0.0)
-        self.index = TieredIndex(
-            np.concatenate(host_ids_parts),
-            self.host_impacts,
-            run_offs,
-            run_lens,
-            run_w,
-            self.max_doc,
-            pad_slack=2 * GATHER_TILE,
+        # DEVICE-SIDE build: global doc ords and live-folded impacts compute
+        # from the segments' existing device buffers — an NRT refresh never
+        # re-ships postings through the host (a host re-upload costs ~8
+        # bytes/posting, minutes of wall clock at Lucene scale)
+        dev_ids, dev_imps = _device_packed(
+            self, parts, cursor, 2 * GATHER_TILE
+        )
+        self.host_impacts = None
+        self.index = PrunedIndex(
+            dev_ids, dev_imps, run_offs, run_lens, self.max_doc
         )
 
     # -- term plumbing ---------------------------------------------------------
@@ -185,30 +138,21 @@ class PackedFieldView:
         specs: Sequence[QuerySpec],
         k: int,
         prune: Optional[bool] = None,
-        two_phase: bool = True,  # kept for API compat (tiering is one phase)
     ) -> list[FastResult]:
         """Fused batched search over all segments in one dispatch.
 
-        Default (``prune=None`` -> NRT_IMPACT_TIERS env, off by default):
-        full-width dispatch — exact scores, docs, AND hit counts in one
-        program. With pruning on, the impact-tiered certify-or-escalate path
-        (core/impact_tiers.py) dispatches tier-1 runs for disjunctions,
-        exactly rescores the top window on the host, and certifies against
-        the tier-2 bound; failures (plus MUST queries, whose matched-term
-        counting needs every entry) take the full-width dispatch. Measured at
-        the 1M-doc Zipf bench shape, tiering lost: pow2 run padding erased
-        the tier-1 width cut and ~65% of batches failed certification (top-100
-        score gaps are tighter than the tier-2 bound), paying both
-        dispatches — hence full width as the default."""
+        Default (``prune=None`` -> NRT_MAXSCORE env, ON by default): the
+        MaxScore certify-or-escalate path (core/maxscore.py) for wide
+        disjunctions — exact top-k docs and scores touching a fraction of
+        the postings; hit counts become lower bounds (relation
+        GREATER_THAN_OR_EQUAL_TO, the Lucene WAND contract). Pruning only
+        engages above a postings-width floor (PRUNE_MIN_WIDTH), so small
+        indexes — and every conjunction, sorted, or sub-floor query — keep
+        the single exact full-width dispatch."""
         if prune is None:
             import os
 
-            prune = os.environ.get("NRT_IMPACT_TIERS", "") == "1"
-        if prune and self.index is not None and self.index.host_ids is None:
-            raise ValueError(
-                "impact tiering was not built for this view — set "
-                "NRT_IMPACT_TIERS=1 before the searcher/view is created"
-            )
+            prune = os.environ.get("NRT_MAXSCORE", "1") == "1"
         B = len(specs)
         empty = FastResult(
             np.full(k, -np.inf, np.float32), np.zeros(k, np.int64), 0, False
@@ -232,7 +176,7 @@ class PackedFieldView:
                 "additive": spec.additive,
                 "sort": spec.sort,
             })
-        results = self.index.search(queries, k, allow_phase1=prune)
+        results = self.index.search(queries, k, prune=prune)
         out = []
         for qi in range(B):
             if dead[qi] or not queries[qi]["entries"]:

@@ -178,31 +178,29 @@ class BatchedBM25:
             use_pallas=_on_tpu(),
         )
 
-    def attach_tiers(self, host_doc_ids: np.ndarray, host_impacts: np.ndarray):
-        """Build the impact-tiered index (core/impact_tiers.py) over the
-        packed postings: the steady-state serving dispatch touches only
-        tier-1 runs, host-rescores the top window exactly, and certifies
-        against the tier-2 bound (escalating the rare failures)."""
-        from nrtsearch_tpu.core.impact_tiers import TieredIndex
-        from nrtsearch_tpu.ops.pallas_merge import GATHER_TILE
+    def attach_maxscore(self) -> "PrunedIndexHandle":
+        """Build the MaxScore pruned-search engine (core/maxscore.py) over
+        the already-device-resident packed postings. Zero extra device
+        memory: PrunedIndex shares doc_ids/impacts; it only adds per-term
+        impact upper bounds (one [P/512] device reduce + host pull).
 
-        lens = np.asarray(self.lengths, np.int32)
-        with np.errstate(divide="ignore"):
-            run_w = np.log1p(
-                (self.num_docs_real - lens + 0.5) / (lens + 0.5)
-            ).astype(np.float32)
-        run_w = np.where(lens > 0, run_w, 0.0)
-        self.index = TieredIndex(
-            host_doc_ids.astype(np.int64),
-            host_impacts,
+        This is the TPU analogue of Lucene enabling impacts/BlockMaxWAND on
+        its BulkScorer (reference server/search/MyIndexSearcher.java): the
+        serving dispatch touches only postings that can still reach the
+        top-k, with a certify-or-escalate guarantee of exactness.
+        """
+        from nrtsearch_tpu.core.maxscore import PrunedIndex
+
+        self.maxscore = PrunedIndex(
+            self.doc_ids, self.impacts,
             np.asarray(self.offsets, np.int64),
-            lens,
-            run_w,
+            np.asarray(self.lengths, np.int32),
             self.num_docs_real,
-            pad_slack=2 * GATHER_TILE,
         )
+        return self.maxscore
 
-    def _tier_queries(self, queries, max_terms: int = 8) -> list[dict]:
+    def maxscore_queries(self, queries, max_terms: int = 8) -> list[dict]:
+        """Analyzed query term lists -> PrunedIndex query dicts."""
         out = []
         for qterms in queries:
             entries = []
@@ -213,66 +211,31 @@ class BatchedBM25:
                 w = lucene_idf(self.num_docs_real, int(self.lengths[tid]))
                 entries.append((w, [tid]))
             out.append({"entries": entries, "require_all": False,
-                        "n_terms": 1, "filter": None})
+                        "n_terms": 1})
         return out
 
-    def serve_batch(self, queries, k: int, *, max_terms: int = 8,
-                    phase1_shapes: tuple = (0, 0), full_shapes: tuple = (0, 0),
-                    shape_log: dict = None):
-        """The FULL steady-state serving pipeline for one batch: tier-1
-        dispatch + exact host rescore + certification, with the rare
-        escalations taking the full-width dispatch. Shapes can be frozen
-        (phase1_shapes / full_shapes) so every batch reuses compiled
-        programs — what bench.py times as the honest per-batch serving cost.
-
-        Returns (scores [B, k] f32 np, docs [B, k] int64 np, hits [B] np,
-        n_escalated)."""
-        tq = self._tier_queries(queries, max_terms)
-        results = self.index.search(
-            tq, k, shape_log=shape_log,
-            force_phase1=phase1_shapes, force_full=full_shapes,
+    def serve_maxscore_batch(self, queries, k: int, *, max_terms: int = 8,
+                             shape_log: dict = None,
+                             force_theta=(0, 0), force_essential=(0, 0),
+                             force_full=(0, 0)):
+        """One serving batch on the MaxScore path: theta dispatch ->
+        split -> essential dispatch -> probe/finish -> certify-or-escalate.
+        Shapes can be frozen (force_*) so steady-state batches reuse the
+        compiled programs. Returns (scores [B,k], docs [B,k], hits [B],
+        n_pruned) — n_pruned counts queries whose results came from the
+        pruned path (their hit counts are lower bounds); the rest escalated
+        to (or were planned onto) the exact full-width dispatch."""
+        tq = self.maxscore_queries(queries, max_terms)
+        results = self.maxscore.search(
+            tq, k, shape_log=shape_log, force_theta=force_theta,
+            force_essential=force_essential, force_full=force_full,
         )
         scores = np.stack([r[0] for r in results])
         docs = np.stack([r[1] for r in results])
         hits = np.asarray([r[2] for r in results], np.int64)
-        n_esc = sum(1 for r in results if r[3])
-        return scores, docs, hits, n_esc
+        n_pruned = sum(1 for r in results if not r[3])
+        return scores, docs, hits, n_pruned
 
-    def compile_pruned_batches(
-        self,
-        batches: Sequence[Sequence[Sequence[str]]],
-        k: int,
-        max_terms: int = 8,
-        shape_log: dict = None,
-    ) -> dict:
-        """Warm the tiered serving programs over all batches and report the
-        work reduction: postings entries actually dispatched (tier-1 for
-        certified queries, full width for escalations) vs the unpruned
-        width, plus the certification rate."""
-        before = after = 0
-        n_q = n_esc = 0
-        for batch in batches:
-            tq = self._tier_queries(batch, max_terms)
-            results = self.index.search(tq, k, shape_log=shape_log)
-            for q, r in zip(tq, results):
-                full = sum(
-                    int(self.lengths[t]) for _, tids in q["entries"]
-                    for t in tids
-                )
-                t1 = sum(
-                    int(self.index.t1_lens[t]) for _, tids in q["entries"]
-                    for t in tids
-                )
-                before += full
-                after += full if r[3] else t1
-                n_q += 1
-                n_esc += int(r[3])
-        return {
-            "postings_before": before,
-            "postings_after": after,
-            "kept_frac": (after / before) if before else 1.0,
-            "escalation_rate": (n_esc / n_q) if n_q else 0.0,
-        }
 
 
 def _on_tpu() -> bool:
@@ -340,12 +303,7 @@ class SyntheticCorpus:
         np.add.at(self.doc_lens, u_docs, counts)
         self.rng = rng
 
-    def to_model(self, tiers: bool = False) -> BatchedBM25:
-        """``tiers``: also build the impact-tiered index (only needed for the
-        opt-in certify-or-escalate serving mode — serve_batch /
-        compile_pruned_batches; the default full-width path doesn't use it
-        and the per-run partition over the whole postings space is a
-        significant host cost at bench scale)."""
+    def to_model(self) -> BatchedBM25:
         from nrtsearch_tpu.ops.pallas_merge import GATHER_TILE
 
         d_pad = _pad_pow2(self.num_docs)
@@ -369,13 +327,6 @@ class SyntheticCorpus:
             live=jax.device_put(live),
             num_docs_real=self.num_docs,
         )
-        if tiers:
-            dl = self.doc_lens[self.post_docs]
-            host_imp = self.post_freqs / (
-                self.post_freqs
-                + model.k1 * (1.0 - model.b + model.b * dl / model.avgdl)
-            )
-            model.attach_tiers(self.post_docs, host_imp.astype(np.float32))
         return model
 
     def sample_queries(self, batch: int, terms_per_query: int = 4) -> list[list[str]]:

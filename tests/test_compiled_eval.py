@@ -129,7 +129,7 @@ def searcher():
 def _run(searcher, q, monkeypatch, compiled: bool, **kw):
     # pin the GENERAL evaluator: the filtered-text pushdown (which is only
     # active in compiled mode) has its own equivalence suite in
-    # test_impact_tiers.py; here we compare compiled-vs-eager tree evaluation
+    # test_packed_view.py; here we compare compiled-vs-eager tree evaluation
     from nrtsearch_tpu.core.searcher import Searcher
 
     monkeypatch.setattr(Searcher, "_fast_filtered_text", lambda *a, **k: None)

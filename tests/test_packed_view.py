@@ -1,14 +1,15 @@
-"""Packed multi-segment view + impact-tiered pruning.
+"""Packed multi-segment view + MaxScore pruning.
 
-The tiered (certified) program must return the same top-k docs as the
+The pruned (certified) program must return the same top-k docs as the
 full-width one with scores equal to f32 rounding, with the hit count
-downgraded to a lower bound (GREATER_THAN_OR_EQUAL_TO) when tiering actually
+downgraded to a lower bound (GREATER_THAN_OR_EQUAL_TO) when pruning actually
 withheld postings — matching Lucene's WAND contract.
 """
 
 import numpy as np
 import pytest
 
+import nrtsearch_tpu.core.maxscore as ms
 import nrtsearch_tpu.core.packed_view as pv
 from nrtsearch_tpu.core.packed_view import QuerySpec
 from nrtsearch_tpu.core.searcher import Searcher
@@ -64,29 +65,34 @@ def test_packed_view_single_dispatch_matches_general(searcher):
         assert hf.score == pytest.approx(hs.score, rel=2e-5)
 
 
-def test_pruned_topk_bit_identical(searcher, monkeypatch):
-    monkeypatch.setenv("NRT_IMPACT_TIERS", "1")  # build the tiered view
-    # the 900-df 'common' term has idf ~ 0.0006: the score-budget rule
-    # tiers it out naturally
+@pytest.fixture()
+def force_prune(monkeypatch):
+    """Shrink MaxScore engagement floors so the tiny test corpus prunes."""
+    monkeypatch.setattr(ms, "PRUNE_MIN_WIDTH", 16)
+    monkeypatch.setattr(ms, "THETA_BUDGET", 64)
+    monkeypatch.setattr(ms, "WINDOW_MIN", 64)
+
+
+def test_pruned_topk_bit_identical(searcher, force_prune):
+    # the 900-df 'common' term has idf ~ 0.0006: the MaxScore split drops
+    # it from the essential dispatch naturally
     view = Searcher(searcher.segments, FIELDS, version=3).packed_view("t")
     spec = QuerySpec(field="t", terms=("rare", "common"), require_all=False)
     k = 10
     pruned = view.search_batch([spec], k, prune=True)[0]
     full = view.search_batch([spec], k, prune=False)[0]
-    assert pruned.pruned, "tiering should certify on this skewed query"
+    assert pruned.pruned, "maxscore should certify on this skewed query"
     valid = full.scores > -np.inf
     np.testing.assert_array_equal(pruned.docs[valid], full.docs[valid])
-    # certified scores are exact host rescores of the same postings: equal
-    # to the full program up to f32 summation order
+    # pruned scores = essential kernel partials + probed mass: equal to the
+    # full program up to f32 summation order
     np.testing.assert_allclose(pruned.scores[valid], full.scores[valid],
-                               rtol=2e-6)
+                               rtol=2e-5, atol=2e-6)
     # hit count is a lower bound, never an overcount
     assert pruned.total_hits <= full.total_hits
 
 
-def test_pruned_relation_via_searcher(searcher, monkeypatch):
-    # tiering is opt-in (full width is the serving default)
-    monkeypatch.setenv("NRT_IMPACT_TIERS", "1")
+def test_pruned_relation_via_searcher(searcher, force_prune):
     # fresh searcher so the packed-view cache is clean
     s = Searcher(searcher.segments, FIELDS, version=2)
     node = parse_query({"matchQuery": {"field": "t", "query": "rare common"}})
@@ -172,18 +178,17 @@ def test_custom_similarity_in_fast_path():
         assert hf.score == pytest.approx(hs.score, rel=2e-5)
 
 
-def test_two_phase_pruning_bit_identical(searcher, monkeypatch):
-    """Tiering must return exactly the full top-k across query shapes —
+def test_maxscore_pruning_bit_identical(searcher, force_prune):
+    """MaxScore must return exactly the full top-k across query shapes —
     certification failures escalate."""
-    monkeypatch.setenv("NRT_IMPACT_TIERS", "1")
     s = Searcher(searcher.segments, FIELDS, version=4)
     view = s.packed_view("t")
     for terms in [("common", "x"), ("common", "x", "y", "z"), ("rare", "w")]:
         spec = QuerySpec(field="t", terms=terms, require_all=False)
-        two = view.search_batch([spec], 10, prune=True, two_phase=True)[0]
+        two = view.search_batch([spec], 10, prune=True)[0]
         full = view.search_batch([spec], 10, prune=False)[0]
         valid = full.scores > -np.inf
         np.testing.assert_array_equal(two.docs[valid], full.docs[valid], terms)
         np.testing.assert_allclose(two.scores[valid], full.scores[valid],
-                                   rtol=2e-6)
+                                   rtol=2e-5, atol=2e-6)
         assert two.total_hits <= full.total_hits
