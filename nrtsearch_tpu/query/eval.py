@@ -780,6 +780,14 @@ def _eval_geo_polygon(node: qp.GeoPolygonNode, ctx: EvalContext):
     return _const_score(match, node.boost), match
 
 
+def _device_phrase_enabled() -> bool:
+    """Device phrase verification (ops/phrase.py) is the default; set
+    NRT_DEVICE_PHRASE=0 to A/B against the host position loop."""
+    import os
+
+    return os.environ.get("NRT_DEVICE_PHRASE", "1") == "1"
+
+
 def _eval_phrase(node, ctx: EvalContext):
     """Phrase matching: device AND-candidate recall + host position verify.
 
@@ -815,12 +823,26 @@ def _eval_phrase(node, ctx: EvalContext):
     )
     cand_ids = np.nonzero(np.asarray(cand_mask)[: seg.num_docs])[0]
 
-    # stage 2: host position verification
+    # stage 2: position verification + phrase-freq BM25 scoring
     dc = ctx.stats.doc_count(node.field)
     sum_idf = sum(
         bm25_ops.lucene_idf(dc, ctx.stats.doc_freq(node.field, t)) for t in set(terms)
     )
     avgdl = ctx.stats.avgdl(node.field)
+    if _device_phrase_enabled() and len(cand_ids):
+        from nrtsearch_tpu.ops import phrase as phrase_ops
+
+        res = phrase_ops.run_phrase(
+            tfi, cand_ids, terms, req_offsets, slop
+        )
+        if res is not None:
+            freqs_dev, cand_pad = res
+            return phrase_ops.phrase_scatter(
+                freqs_dev, jnp.asarray(cand_pad), tfi.doc_lens,
+                jnp.float32(sum_idf), jnp.float32(node.boost),
+                jnp.float32(ctx.k1), jnp.float32(ctx.b), jnp.float32(avgdl),
+            )
+
     doc_lens = np.asarray(tfi.doc_lens)
     scores_host = np.zeros(seg.capacity, np.float32)
     match_host = np.zeros(seg.capacity, bool)
@@ -891,6 +913,20 @@ def _eval_phrase_prefix_impl(
         bm25_ops.lucene_idf(dc, ctx.stats.doc_freq(field, t)) for t in set(fixed)
     ) + bm25_ops.lucene_idf(dc, df_exp)
     avgdl = ctx.stats.avgdl(field)
+    if _device_phrase_enabled() and len(cand_ids) and fixed:
+        from nrtsearch_tpu.ops import phrase as phrase_ops
+
+        res = phrase_ops.run_phrase(
+            tfi, cand_ids, fixed, req_offsets[:-1], slop,
+            expansions=expansions, exp_req=req_offsets[-1],
+        )
+        if res is not None:
+            freqs_dev, cand_pad = res
+            return phrase_ops.phrase_scatter(
+                freqs_dev, jnp.asarray(cand_pad), tfi.doc_lens,
+                jnp.float32(sum_idf), jnp.float32(boost),
+                jnp.float32(ctx.k1), jnp.float32(ctx.b), jnp.float32(avgdl),
+            )
     doc_lens = np.asarray(tfi.doc_lens)
     scores_host = np.zeros(seg.capacity, np.float32)
     match_host = np.zeros(seg.capacity, bool)
