@@ -293,6 +293,249 @@ class DistributedBM25:
             out_w[s, :, : w.shape[1]] = w
         return out_offs, out_lens, out_w, n_terms, run_len
 
+    # -- general query path: filters / sort / facets over the mesh -----------
+
+    def attach_columns(self, searcher, fields: Sequence[str]) -> None:
+        """Ship doc-value columns onto the mesh for the general query path.
+
+        Columns are re-laid-out with the SAME round-robin doc->shard map as
+        the postings (shard = ord % S, local = ord // S), so filter masks,
+        sort keys and facet ordinals line up with the kernel's local doc ids.
+        ORDINAL columns get a GLOBAL ordinal dictionary (union over segments,
+        sorted) — the mesh analogue of the reference's global-ordinal build
+        (SsdvOrdinalsCache / GlobalOrdinalable, server/field/properties/).
+        """
+        S = getattr(self, "shard_count", self.mesh.shape["shard"])
+        cap = self.shard_capacity
+        max_doc = int(searcher.max_doc)
+        doc_ord = np.arange(max_doc, dtype=np.int64)
+        sh, loc = doc_ord % S, doc_ord // S
+        col_sh = NamedSharding(self.mesh, P("shard", None))
+        self.columns: dict[str, dict] = getattr(self, "columns", {})
+        for field in fields:
+            ord_terms_union: list[str] = []
+            seen: dict[str, int] = {}
+            is_ordinal = False
+            for seg in searcher.segments:
+                dv = seg.doc_values.get(field)
+                if dv is not None and dv.ord_terms is not None:
+                    is_ordinal = True
+                    for t in dv.ord_terms:
+                        if t not in seen:
+                            seen[t] = 1
+                            ord_terms_union.append(t)
+            ord_terms_union.sort()
+            gidx = {t: i for i, t in enumerate(ord_terms_union)}
+
+            vals = np.full(max_doc, -1.0 if is_ordinal else np.nan, np.float64)
+            present = np.zeros(max_doc, bool)
+            for idx, seg in enumerate(searcher.segments):
+                dv = seg.doc_values.get(field)
+                if dv is None:
+                    continue
+                base = int(searcher.bases[idx])
+                n = seg.num_docs
+                hp = dv.host_present[:n]
+                if is_ordinal:
+                    remap = np.array(
+                        [gidx[t] for t in (dv.ord_terms or [])], np.int64
+                    )
+                    hv = dv.host_values[:n].astype(np.int64)
+                    safe = np.clip(hv, 0, max(len(remap) - 1, 0))
+                    v = np.where(hp & (len(remap) > 0), remap[safe], -1)
+                else:
+                    v = dv.host_values[:n].astype(np.float64)
+                vals[base : base + n] = np.where(hp, v, vals[base : base + n])
+                present[base : base + n] = hp
+            grid_v = np.zeros((S, cap), np.float32)
+            grid_p = np.zeros((S, cap), bool)
+            grid_v[sh, loc] = np.where(present, vals, 0.0).astype(np.float32)
+            grid_p[sh, loc] = present
+            self.columns[field] = {
+                "values": jax.device_put(jnp.asarray(grid_v), col_sh),
+                "present": jax.device_put(jnp.asarray(grid_p), col_sh),
+                "ord_terms": ord_terms_union if is_ordinal else None,
+            }
+
+    def search_general(
+        self, offs, lens, weights, n_terms, *, run_len: int, k: int = 10,
+        filters: Sequence[tuple] = (),       # (field, op, value): op in
+                                             # {'<=', '>=', '==', 'ord=='}
+        sort: tuple | None = None,           # (field, ascending, missing_last)
+        facet_fields: Sequence[str] = (),
+    ):
+        """Distributed filtered + dv-sorted + faceted retrieval.
+
+        One SPMD program: each shard gates postings through its local filter
+        mask and ranks by local sort keys inside the fused kernel
+        (merge_score_topk's decomposed pushdown), facet counts are
+        per-shard masked ordinal bincounts combined with a ``psum`` over ICI,
+        and candidates merge with the same all_gather + top-k as plain BM25.
+        Returns (rank_vals [B,k], global ids [B,k], hits [B],
+        {facet_field: counts [B, n_ords]}).
+
+        Reference roles: virtual shards (MyIndexSearcher.slicesForShards) +
+        DrillSidewaysImpl one-pass counting, re-expressed as mesh collectives.
+        """
+        mesh = self.mesh
+        use_pallas = all(d.platform == "tpu" for d in mesh.devices.flat)
+        S = getattr(self, "shard_count", mesh.shape["shard"])
+        cap = self.shard_capacity
+
+        filter_cols = []
+        filter_specs = []
+        for field, op, value in filters:
+            col = self.columns[field]
+            if op == "ord==":
+                value = float((col["ord_terms"] or []).index(value))
+                op = "=="
+            filter_cols.append((col["values"], col["present"]))
+            filter_specs.append((op, float(value)))
+        sort_col = self.columns[sort[0]] if sort is not None else None
+        facet_cols = [self.columns[f] for f in facet_fields]
+        facet_sizes = tuple(
+            len(c["ord_terms"] or []) for c in facet_cols
+        )
+        if any(n == 0 for n in facet_sizes):
+            raise ValueError("facet fields must be ORDINAL columns")
+        sort_spec = (bool(sort[1]), bool(sort[2])) if sort is not None else None
+
+        def body(post_docs, post_impacts, t_offs, t_lens, t_w, t_n, *cols):
+            i = 0
+            mask = None
+            for op, value in filter_specs:
+                cv, cp = cols[i][0], cols[i + 1][0]
+                i += 2
+                if op == "<=":
+                    m = cv <= value
+                elif op == ">=":
+                    m = cv >= value
+                else:
+                    m = cv == value
+                m = m & cp
+                mask = m if mask is None else (mask & m)
+            sort_keys = None
+            ascending = True
+            if sort_spec is not None:
+                sv, sp = cols[i][0], cols[i + 1][0]
+                i += 2
+                ascending, missing_last = sort_spec
+                missing = jnp.float32(
+                    jnp.inf if (missing_last == ascending) else -jnp.inf
+                )
+                sort_keys = jnp.where(sp, sv, missing)
+            facet_ords = []
+            for _ in facet_sizes:
+                facet_ords.append((cols[i][0], cols[i + 1][0]))
+                i += 2
+
+            local_scores, local_docs, local_hits = merge_score_topk(
+                post_docs[0], post_impacts[0],
+                t_offs[0], t_lens[0], t_w[0], t_n[0],
+                run_len=run_len, k=k, use_pallas=use_pallas,
+                filter_mask=mask, sort_keys=sort_keys,
+                sort_ascending=ascending,
+            )
+            shard_idx = jax.lax.axis_index("shard")
+            global_ids = local_docs + shard_idx * cap
+
+            facet_counts = []
+            if facet_sizes:
+                # dense match mask per query: OR of this shard's posting runs
+                # (score > 0 semantics, matching the single-chip counts path)
+                B, R = t_offs[0].shape
+                i_idx = jnp.arange(run_len)
+                pos = t_offs[0][:, :, None] + i_idx[None, None, :]
+                valid = i_idx[None, None, :] < t_lens[0][:, :, None]
+                pos = jnp.clip(pos, 0, post_docs.shape[1] - 1)
+                g_docs = post_docs[0][pos]
+                g_imp = post_impacts[0][pos] * (t_w[0][:, :, None] != 0.0)
+                hit = valid & (g_imp > 0.0)
+                matched = jnp.zeros((B, cap), bool)
+                flat_doc = jnp.where(hit, g_docs, cap - 1).reshape(B, -1)
+                matched = matched.at[
+                    jnp.arange(B)[:, None], flat_doc
+                ].max(hit.reshape(B, -1))
+                if mask is not None:
+                    matched = matched & mask[None, :]
+                for (fv, fp), n_ords in zip(facet_ords, facet_sizes):
+                    ords = fv.astype(jnp.int32)
+                    ok = matched & fp[None, :] & (ords[None, :] >= 0)
+                    counts = jnp.zeros((B, n_ords), jnp.int32)
+                    counts = counts.at[
+                        jnp.arange(B)[:, None],
+                        jnp.clip(ords, 0, n_ords - 1)[None, :],
+                    ].add(ok.astype(jnp.int32))
+                    facet_counts.append(jax.lax.psum(counts, "shard"))
+
+            # merge across shards: merge_score_topk returns TRUE key values
+            # (un-negated), so ascending sorts rank by the negated key here
+            # and flip back after the merge
+            flip = sort_spec is not None and sort_spec[0]
+            merge_vals = (
+                jnp.where(local_scores > -jnp.inf, -local_scores, -jnp.inf)
+                if flip else local_scores
+            )
+            cand_scores = jax.lax.all_gather(merge_vals, "shard", axis=0)
+            cand_ids = jax.lax.all_gather(global_ids, "shard", axis=0)
+            S_, B, k_ = cand_scores.shape
+            cand_scores = jnp.transpose(cand_scores, (1, 0, 2)).reshape(B, S_ * k_)
+            cand_ids = jnp.transpose(cand_ids, (1, 0, 2)).reshape(B, S_ * k_)
+            top_scores, pos2 = jax.lax.top_k(cand_scores, k)
+            top_ids = jnp.take_along_axis(cand_ids, pos2, axis=1)
+            if flip:
+                top_scores = jnp.where(
+                    top_scores > -jnp.inf, -top_scores, -jnp.inf
+                )
+            total_hits = jax.lax.psum(local_hits, "shard")
+            return (top_scores, top_ids, total_hits, *facet_counts)
+
+        qspec = P("shard", "data", None)
+        col_in = []
+        col_args = []
+        for cv, cp in filter_cols:
+            col_args += [cv, cp]
+            col_in += [P("shard", None), P("shard", None)]
+        if sort_col is not None:
+            col_args += [sort_col["values"], sort_col["present"]]
+            col_in += [P("shard", None), P("shard", None)]
+        for c in facet_cols:
+            col_args += [c["values"], c["present"]]
+            col_in += [P("shard", None), P("shard", None)]
+
+        out_specs = (P("data", None), P("data", None), P("data"))
+        out_specs = out_specs + tuple(P("data", None) for _ in facet_sizes)
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(
+                    P("shard", None), P("shard", None),
+                    qspec, qspec, qspec, P("shard", "data"),
+                ) + tuple(col_in),
+                out_specs=out_specs,
+                check_vma=False,
+            )
+        )
+        qsharding = NamedSharding(mesh, P("shard", "data", None))
+        nsharding = NamedSharding(mesh, P("shard", "data"))
+        out = fn(
+            self.post_docs, self.post_impacts,
+            jax.device_put(jnp.asarray(offs), qsharding),
+            jax.device_put(jnp.asarray(lens), qsharding),
+            jax.device_put(jnp.asarray(weights), qsharding),
+            jax.device_put(jnp.asarray(n_terms), nsharding),
+            *col_args,
+        )
+        scores, ids, hits = out[0], out[1], out[2]
+        facets = {
+            f: np.asarray(c) for f, c in zip(facet_fields, out[3:])
+        }
+        return scores, ids, hits, facets
+
+    def facet_labels(self, field: str) -> list[str]:
+        return list(self.columns[field]["ord_terms"] or [])
+
     def search(self, offs, lens, weights, n_terms, *, run_len: int, k: int = 10):
         """One distributed search step. Returns (scores [B,k], ids [B,k], hits [B])."""
         mesh = self.mesh
