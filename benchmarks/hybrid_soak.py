@@ -118,15 +118,19 @@ def main() -> int:
         def hybrid_request(qrng):
             req = pb.SearchRequest(indexName="docs", topHits=10,
                                    retrieveFields=["id"])
-            req.retrievers["text"].query.matchQuery.field = "text"
-            req.retrievers["text"].query.matchQuery.query = (
+            rt = req.multiRetriever.retrievers.add()
+            rt.name = "text"
+            rt.textRetriever.query.matchQuery.field = "text"
+            rt.textRetriever.query.matchQuery.query = (
                 f"{qrng.choice(WORDS)} {qrng.choice(WORDS)}"
             )
-            req.retrievers["vector"].knn.field = "vec"
-            req.retrievers["vector"].knn.queryVector.extend(
+            rv = req.multiRetriever.retrievers.add()
+            rv.name = "vector"
+            rv.knnRetriever.knnQuery.field = "vec"
+            rv.knnRetriever.knnQuery.query_vector.extend(
                 [qrng.gauss(0, 1) for _ in range(DIMS)]
             )
-            req.retrievers["vector"].knn.k = 10
+            rv.knnRetriever.knnQuery.k = 10
             return req
 
         # warm: one small batch so replicas have a searchable point

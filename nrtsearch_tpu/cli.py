@@ -258,7 +258,7 @@ def cmd_custom(client, args) -> None:
 
 def cmd_metrics(client, args) -> None:
     """Prometheus exposition text (reference: MetricsCommand.java)."""
-    sys.stdout.write(client.metrics().metrics)
+    sys.stdout.write(client.metrics().data.decode())
 
 
 def cmd_current_searcher_version(client, args) -> None:
@@ -269,7 +269,7 @@ def cmd_current_searcher_version(client, args) -> None:
     target = f"{args.host}:{args.replicationPort}"
     with _grpc.insecure_channel(target) as ch:
         call = ch.unary_unary(
-            "/nrtsearch_tpu.ReplicationServer/replicaCurrentSearchingVersion",
+            "/luceneserver.ReplicationServer/getCurrentSearcherVersion",
             request_serializer=pb.IndexName.SerializeToString,
             response_deserializer=pb.SearcherVersion.FromString,
         )

@@ -13,7 +13,7 @@ import grpc
 
 from nrtsearch_tpu.gen import pb
 
-_SERVICE = "nrtsearch_tpu.LuceneServer"
+_SERVICE = "luceneserver.LuceneServer"
 
 
 class NrtsearchClient:
@@ -203,10 +203,8 @@ class NrtsearchClient:
     def settings_v2(self, request: pb.SettingsV2Request) -> pb.SettingsV2Response:
         return self._u("settingsV2", pb.SettingsV2Request, pb.SettingsV2Response)(request)
 
-    def metrics(self) -> pb.MetricsResponse:
-        return self._u("metrics", pb.MetricsRequest, pb.MetricsResponse)(
-            pb.MetricsRequest()
-        )
+    def metrics(self) -> "pb.HttpBody":
+        return self._u("metrics", pb.Empty, pb.HttpBody)(pb.Empty())
 
     def custom(self, request: pb.CustomRequest) -> pb.CustomResponse:
         return self._u("custom", pb.CustomRequest, pb.CustomResponse)(request)

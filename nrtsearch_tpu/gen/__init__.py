@@ -17,42 +17,34 @@ caring which .proto file defines a symbol — exactly how the reference's
 ``com.yelp.nrtsearch.server.grpc`` flat java package reads.
 """
 
-# TRANSITION: the engine still speaks the legacy single-file schema while
-# the wire-compat port is in progress; flip NRT_WIRE_COMPAT=1 (or finish the
-# port and delete the legacy module) to serve the luceneserver schema.
-import os as _os
+import types as _types
 
-if _os.environ.get("NRT_WIRE_COMPAT", "0") == "1":
-    import types as _types
+from google.api import httpbody_pb2 as _httpbody
+from google.protobuf import empty_pb2 as _empty
+from google.protobuf import wrappers_pb2 as _wrappers
+from google.type import latlng_pb2 as _latlng
 
-    from google.api import httpbody_pb2 as _httpbody
-    from google.protobuf import empty_pb2 as _empty
-    from google.protobuf import wrappers_pb2 as _wrappers
-    from google.type import latlng_pb2 as _latlng
+from nrtsearch_tpu.gen.yelp.nrtsearch import (  # noqa: F401
+    analysis_pb2,
+    luceneserver_pb2,
+    search_pb2,
+)
 
-    from nrtsearch_tpu.gen.yelp.nrtsearch import (  # noqa: F401
-        analysis_pb2,
-        luceneserver_pb2,
-        search_pb2,
-    )
-
-    pb = _types.SimpleNamespace()
-    for _mod in (analysis_pb2, search_pb2, luceneserver_pb2):
-        for _name in dir(_mod):
-            if not _name.startswith("_") and _name not in ("DESCRIPTOR",):
-                setattr(pb, _name, getattr(_mod, _name))
-    pb.HttpBody = _httpbody.HttpBody
-    pb.Empty = _empty.Empty
-    pb.LatLng = _latlng.LatLng
-    pb.Int32Value = _wrappers.Int32Value
-    pb.Int64Value = _wrappers.Int64Value
-    pb.UInt32Value = _wrappers.UInt32Value
-    pb.UInt64Value = _wrappers.UInt64Value
-    pb.DoubleValue = _wrappers.DoubleValue
-    pb.FloatValue = _wrappers.FloatValue
-    pb.BoolValue = _wrappers.BoolValue
-    pb.StringValue = _wrappers.StringValue
-else:
-    from nrtsearch_tpu.gen import nrtsearch_tpu_pb2 as pb  # noqa: F401
+pb = _types.SimpleNamespace()
+for _mod in (analysis_pb2, search_pb2, luceneserver_pb2):
+    for _name in dir(_mod):
+        if not _name.startswith("_") and _name not in ("DESCRIPTOR",):
+            setattr(pb, _name, getattr(_mod, _name))
+pb.HttpBody = _httpbody.HttpBody
+pb.Empty = _empty.Empty
+pb.LatLng = _latlng.LatLng
+pb.Int32Value = _wrappers.Int32Value
+pb.Int64Value = _wrappers.Int64Value
+pb.UInt32Value = _wrappers.UInt32Value
+pb.UInt64Value = _wrappers.UInt64Value
+pb.DoubleValue = _wrappers.DoubleValue
+pb.FloatValue = _wrappers.FloatValue
+pb.BoolValue = _wrappers.BoolValue
+pb.StringValue = _wrappers.StringValue
 
 __all__ = ["pb"]

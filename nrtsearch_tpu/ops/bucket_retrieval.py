@@ -459,10 +459,11 @@ def _hierarchical_topk_i32(masked, k: int):
         cand = jnp.take_along_axis(m3, rows_sorted[..., None], axis=1)
         cs, ci = jax.lax.top_k(cand.reshape(B, r_take * 128), k)
         row = jnp.take_along_axis(rows_sorted, ci // 128, axis=1)
-        return cs, row * 128 + ci % 128
+        return (cs, row * 128 + ci % 128)
 
     def full(_):
-        return jax.lax.top_k(masked, k)
+        vs, idx = jax.lax.top_k(masked, k)
+        return (vs, idx)
 
     return jax.lax.cond(safe, hier, full, None)
 

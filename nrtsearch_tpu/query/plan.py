@@ -1,7 +1,7 @@
 """Query plan nodes and the proto-dict -> plan parser.
 
 The node set mirrors the reference's proto Query oneof (search.proto:722-760
-in the reference; our proto/nrtsearch_tpu.proto). ``parse_query`` accepts the
+in the reference; our proto/yelp/nrtsearch/search.proto). ``parse_query`` accepts the
 proto-JSON dict shape so JSON test resources and pb-to-dict both feed it.
 """
 
@@ -498,7 +498,10 @@ def parse_query(q: dict) -> QueryNode:
         p = q["prefixQuery"]
         return PrefixQueryNode(
             boost=boost, field=p["field"], prefix=p.get("prefix", ""),
-            max_expansions=int(p.get("maxExpansions", 128)),
+            max_expansions=int(
+                p.get("maxExpansions", 0) or p.get("rewriteTopTermsSize", 0)
+                or 128
+            ),
         )
     if "geoBoundingBoxQuery" in q:
         g = q["geoBoundingBoxQuery"]
@@ -527,13 +530,20 @@ def parse_query(q: dict) -> QueryNode:
             boost=boost, field=f["field"], text=f.get("text", ""),
             max_edits=int(f.get("maxEdits", 2)),
             prefix_length=int(f.get("prefixLength", 0)),
-            max_expansions=int(f.get("maxExpansions", 50)),
+            max_expansions=int(
+                f.get("maxExpansions", 0) or f.get("rewriteTopTermsSize", 0)
+                or 50
+            ),
         )
     if "wildcardQuery" in q:
         w = q["wildcardQuery"]
         return WildcardQueryNode(
-            boost=boost, field=w["field"], pattern=w.get("pattern", ""),
-            max_expansions=int(w.get("maxExpansions", 128)),
+            boost=boost, field=w["field"],
+            pattern=w.get("text") or w.get("pattern", ""),
+            max_expansions=int(
+                w.get("maxExpansions", 0) or w.get("rewriteTopTermsSize", 0)
+                or 128
+            ),
         )
     if "constantScoreQuery" in q:
         return ConstantScoreNode(
@@ -683,7 +693,7 @@ def parse_query(q: dict) -> QueryNode:
         c = q["completionQuery"]
         return CompletionQueryNode(
             boost=boost, field=c["field"], text=c.get("text", ""),
-            fuzzy=bool(c.get("fuzzy", False)),
+            fuzzy=c.get("queryType") == "FUZZY_QUERY" or bool(c.get("fuzzy")),
             contexts=tuple(c.get("contexts", [])),
         )
     if "nestedQuery" in q:

@@ -101,3 +101,18 @@ def blend_raw(results: dict[str, TopDocs], order: Sequence[str]) -> list[Hit]:
                 seen.add(h.global_ord)
                 out.append(h)
     return out
+
+
+def blend_plugin(
+    registry,
+    name: str,
+    results: dict[str, TopDocs],
+    weights: dict[str, float],
+    params: dict,
+) -> list[Hit]:
+    """Plugin-provided blender (reference: PluginBlender + BlenderCreator,
+    search.proto:554). Fails loudly on an unregistered name."""
+    fn = (registry.blenders if registry is not None else {}).get(name)
+    if fn is None:
+        raise ValueError(f"unknown plugin blender: {name!r}")
+    return fn(results, weights, params)

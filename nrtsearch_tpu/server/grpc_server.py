@@ -118,7 +118,7 @@ _LUCENE_RPCS = {
     "status": (pb.HealthCheckRequest, pb.HealthCheckResponse, "unary"),
     "ready": (pb.ReadyCheckRequest, pb.HealthCheckResponse, "unary"),
     "forceMerge": (pb.ForceMergeRequest, pb.ForceMergeResponse, "unary"),
-    "metrics": (pb.MetricsRequest, pb.MetricsResponse, "unary"),
+    "metrics": (pb.Empty, pb.HttpBody, "unary"),
     "custom": (pb.CustomRequest, pb.CustomResponse, "unary"),
     "createSnapshot": (pb.CreateSnapshotRequest, pb.CreateSnapshotResponse, "unary"),
     "releaseSnapshot": (pb.ReleaseSnapshotRequest, pb.ReleaseSnapshotResponse, "unary"),
@@ -158,7 +158,7 @@ def make_lucene_service(handlers: Handlers, metrics=None) -> grpc.GenericRpcHand
         response_serializer=pb.AddDocumentResponse.SerializeToString,
     )
     return grpc.method_handlers_generic_handler(
-        "nrtsearch_tpu.LuceneServer", method_handlers
+        "luceneserver.LuceneServer", method_handlers
     )
 
 

@@ -216,15 +216,19 @@ class Handlers:
         return pb.StateResponse(response=info.to_json())
 
     def indexState(self, req: pb.IndexStateRequest) -> pb.IndexStateResponse:
+        from google.protobuf.json_format import ParseDict
+
         info = self.gs.get_state(req.index_name)
         resp = pb.IndexStateResponse()
         m = resp.index_state
-        m.index_name = info.index_name
-        m.index_id = info.index_id
+        m.indexName = info.index_name
         m.gen = info.gen
-        _dict_to_struct(info.settings, m.settings)
-        _dict_to_struct(info.live_settings, m.live_settings)
-        _dict_to_struct(info.fields, m.fields)
+        m.committed = bool(info.gen)
+        ParseDict(info.settings, m.settings, ignore_unknown_fields=True)
+        ParseDict(info.live_settings, m.liveSettings, ignore_unknown_fields=True)
+        for fname, spec in info.fields.items():
+            fmsg = m.fields[fname]
+            ParseDict(dict(spec, name=fname), fmsg, ignore_unknown_fields=True)
         return resp
 
     def forceMergeDeletes(
@@ -286,13 +290,13 @@ class Handlers:
         return resp
 
     def status(self, req: pb.HealthCheckRequest) -> pb.HealthCheckResponse:
-        return pb.HealthCheckResponse(health=pb.TransferStatusCode.DONE)
+        return pb.HealthCheckResponse(health=pb.TransferStatusCode.Done)
 
     def ready(self, req: pb.ReadyCheckRequest) -> pb.HealthCheckResponse:
         names = [n for n in req.indexNames.split(",") if n] or list(self.gs.runtimes)
         ok = all(n in self.gs.runtimes for n in names)
         return pb.HealthCheckResponse(
-            health=pb.TransferStatusCode.DONE if ok else pb.TransferStatusCode.FAILED
+            health=pb.TransferStatusCode.Done if ok else pb.TransferStatusCode.Failed
         )
 
     # -- indexing ----------------------------------------------------------------
@@ -419,10 +423,13 @@ class Handlers:
         )
         return pb.BackupWarmingQueriesResponse(numQueriesBackedUp=n)
 
-    def metrics(self, req: pb.MetricsRequest) -> pb.MetricsResponse:
+    def metrics(self, req) -> "pb.HttpBody":
         if self.metrics_provider is None:
-            return pb.MetricsResponse(metrics="")
-        return pb.MetricsResponse(metrics=self.metrics_provider.scrape())
+            return pb.HttpBody(content_type="text/plain", data=b"")
+        return pb.HttpBody(
+            content_type="text/plain; version=0.0.4",
+            data=self.metrics_provider.scrape().encode(),
+        )
 
     def custom(self, req: pb.CustomRequest) -> pb.CustomResponse:
         if self.plugins is None or req.id not in self.plugins.custom_request_handlers:
@@ -449,10 +456,19 @@ class Handlers:
     def search(self, req: pb.SearchRequest) -> pb.SearchResponse:
         t_start = time.time()
         rt = self.gs.get_runtime(req.indexName)
+        which_searcher = req.WhichOneof("Searcher")
         if req.snapshotGen:
             searcher = rt.searcher_for_snapshot(req.snapshotGen)
+        elif which_searcher == "snapshot":
+            # reference snapshot ids are "indexGen:taxonomyGen:stateGen"
+            searcher = rt.searcher_for_snapshot(int(req.snapshot.split(":")[0]))
+        elif which_searcher == "indexGen":
+            raise ValueError(
+                "SearchRequest.indexGen pinning is not supported; use "
+                "version or snapshot"
+            )
         else:
-            searcher = rt.acquire(req.searcherVersion or None)
+            searcher = rt.acquire(req.version or None)
         field_defs = rt.field_defs
         self._warmer(req.indexName).add_search_request(req)
         if self.metrics_provider is not None:
@@ -483,21 +499,29 @@ class Handlers:
         search_after = req.searchAfter if req.HasField("searchAfter") else None
         if search_after is not None:
             fetch_n += search_after.lastHitIndex + 1
+        if req.HasField("loggingHits"):
+            # the logger may ask for more hits than the returned page
+            # (reference: LoggingHits.hitsToLog, search.proto:940)
+            fetch_n = max(fetch_n, req.loggingHits.hitsToLog)
 
         need_arrays = bool(req.facets) or bool(req.collectors) or bool(req.knn)
-        if req.retrievers:
-            # multi-retriever hybrid mode: retrievers recall independently,
-            # then blend (reference: executeMultiRetriever, SearchHandler:528)
-            td = self._multi_retriever(searcher, req, fetch_n)
-            arrays = self._hits_as_arrays(searcher, td) if need_arrays else None
-        elif req.knn and not has_query:
-            # knn-only request: results come from the vector queries alone
-            td = self._knn_only(searcher, req.knn, fetch_n)
-            arrays = [] if need_arrays else None
-            if req.facets or req.collectors:
-                # facets still need match arrays: matches = knn result docs
-                arrays = self._hits_as_arrays(searcher, td)
-        else:
+
+        def _recall(fetch_n):
+            if req.HasField("multiRetriever") and req.multiRetriever.retrievers:
+                # multi-retriever hybrid mode: retrievers recall
+                # independently, then blend (reference:
+                # executeMultiRetriever, SearchHandler:528)
+                td = self._multi_retriever(searcher, req, fetch_n)
+                arrays = self._hits_as_arrays(searcher, td) if need_arrays else None
+                return td, arrays
+            if req.knn and not has_query:
+                # knn-only request: results come from the vector queries alone
+                td = self._knn_only(searcher, req.knn, fetch_n)
+                arrays = [] if need_arrays else None
+                if req.facets or req.collectors:
+                    # facets still need match arrays: matches = knn result docs
+                    arrays = self._hits_as_arrays(searcher, td)
+                return td, arrays
             ls = rt.state_info.live_settings
             timeout_sec = req.timeoutSec or float(ls.get("defaultSearchTimeoutSec", 0))
             terminate_after = req.terminateAfter or int(ls.get("defaultTerminateAfter", 0))
@@ -524,34 +548,35 @@ class Handlers:
                 td, arrays = result if need_arrays else (result, None)
             if req.knn:
                 td = self._merge_knn(searcher, td, arrays, req.knn, fetch_n)
+            return td, arrays
+
+        td, arrays = _recall(fetch_n)
         recall_ms = (time.time() - t_start) * 1000
 
         # rescorers run sequentially over the top window (SearchHandler:270-281)
         t_rescore = time.time()
         for rescorer in req.rescorers:
-            window = rescorer.windowSize or len(td.hits)
-            which = rescorer.WhichOneof("rescorers")
-            if which == "queryRescorer":
-                from nrtsearch_tpu.search.rescore import query_rescore
-
-                qr = rescorer.queryRescorer
-                rescore_node = self._resolve_cross_index(
-                    parse_query(MessageToDict(qr.rescoreQuery))
-                )
-                td.hits = query_rescore(
-                    searcher, td.hits, window, rescore_node,
-                    qr.queryWeight or 1.0, qr.rescoreQueryWeight or 1.0,
-                )
-            elif which == "scriptRescorer":
-                from nrtsearch_tpu.search.rescore import script_rescore
-
-                td.hits = script_rescore(
-                    searcher, td.hits, window, rescorer.scriptRescorer.script.source
-                )
+            self._apply_rescorer(searcher, td, rescorer)
         rescore_ms = (time.time() - t_rescore) * 1000
 
         if search_after is not None:
-            td.hits = self._after_cursor(td.hits, search_after, sort)
+            kept = self._after_cursor(td.hits, search_after, sort)
+            # stock clients don't send the lastHitIndex extension, so the
+            # cursor's rank is unknown: when the filtered page comes up short
+            # and deeper candidates exist, widen the window and re-collect
+            # (reference collects past the cursor inside Lucene's
+            # searchAfter collector, so it never under-fills)
+            while (
+                len(kept) < top_hits
+                and len(td.hits) >= fetch_n
+                and td.total_hits > fetch_n
+            ):
+                fetch_n = min(max(fetch_n * 4, 64), int(td.total_hits))
+                td, arrays = _recall(fetch_n)
+                for rescorer in req.rescorers:
+                    self._apply_rescorer(searcher, td, rescorer)
+                kept = self._after_cursor(td.hits, search_after, sort)
+            td.hits = kept
 
         resp = pb.SearchResponse()
         resp.totalHits.value = td.total_hits
@@ -599,7 +624,7 @@ class Handlers:
                 self._highlight_hit(pb_hit, searcher, h, hfield, terms, settings)
 
         pairs = list(zip(pb_hits, hits))
-        if len(pairs) > 8 and not req.innerHits:
+        if len(pairs) > 8 and not req.inner_hits:
             # parallel fetch by doc chunk (reference: FillDocsTask on the
             # FETCH pool, parallelFetchChunkSize semantics)
             from nrtsearch_tpu.server.concurrent import ExecutorFactory
@@ -610,8 +635,10 @@ class Handlers:
                 fill_one(pair)
         # inner hits mutate a shared eval cache: keep them on the caller thread
         for pb_hit, h in pairs:
-            for ih in req.innerHits:
-                self._inner_hits(pb_hit, searcher, h, ih, field_defs, inner_cache)
+            for ih_name, ih in req.inner_hits.items():
+                self._inner_hits(
+                    pb_hit, searcher, h, ih_name, ih, field_defs, inner_cache
+                )
         fetch_ms = (time.time() - t_fetch) * 1000
 
         if need_arrays:
@@ -629,7 +656,9 @@ class Handlers:
         if hits:
             resp.searchState.lastDocId = hits[-1].global_ord
             resp.searchState.lastScore = hits[-1].score
-            resp.searchState.lastHitIndex = req.startHit + len(hits) - 1
+            resp.searchState.lastHitInfo.lastHitIndex = (
+                req.startHit + len(hits) - 1
+            )
             if sort is not None and hits[-1].sort_key is not None:
                 vals = hits[-1].sort_key
                 if not isinstance(vals, tuple):
@@ -651,15 +680,31 @@ class Handlers:
 
         if req.profile:
             # ProfileResult (reference: SearchStatsWrapper, search.proto:1403)
-            resp.profileResult.parsedQueryText = repr(node)
+            resp.profileResult.parsedQuery = repr(node)
+            stats = resp.profileResult.searchStats
+            stats.totalCollectTimeMs = recall_ms
+            cs = stats.collectorStats.add()
+            cs.totalCollectTimeMs = recall_ms
+            cs.totalCollectedCount = len(td.hits)
             for seg in searcher.segments:
-                ss = resp.profileResult.segmentStats.add()
+                ss = cs.segmentStats.add()
                 ss.maxDoc = seg.num_docs
                 ss.numDocs = seg.live_doc_count
                 ss.collectTimeMs = recall_ms / max(len(searcher.segments), 1)
 
         # hits loggers (reference: HitsLoggerFetchTask, server/logging/)
-        if self.plugins is not None and self.plugins.hits_loggers:
+        if req.HasField("loggingHits"):
+            lh = req.loggingHits
+            logger = (self.plugins.hits_loggers.get(lh.name)
+                      if self.plugins is not None else None)
+            if logger is None:
+                raise ValueError(f"unknown hits logger: {lh.name!r}")
+            params = MessageToDict(lh.params) if lh.HasField("params") else {}
+            n_log = lh.hitsToLog or top_hits
+            logger(req.indexName, req, td.hits[:n_log], **(
+                {"params": params} if params else {}
+            ))
+        elif self.plugins is not None and self.plugins.hits_loggers:
             for logger in self.plugins.hits_loggers.values():
                 try:
                     logger(req.indexName, req, td.hits[: top_hits])
@@ -670,48 +715,70 @@ class Handlers:
     # -- search sub-features -------------------------------------------------------
 
     def _multi_retriever(self, searcher, req, fetch_n: int):
+        """Hybrid recall: named retrievers run independently, then blend.
+
+        Reference: MultiRetrieverRequest (search.proto:863-953) —
+        Retriever{textRetriever|knnRetriever, boost, rescorer} + Blender
+        oneof {weightedRrf, weightedScoreOrder, scorelessRawMerge, plugin};
+        executed by SearchHandler.executeMultiRetriever (:528)."""
         from nrtsearch_tpu.core.searcher import TopDocs
         from nrtsearch_tpu.search import retrievers as rtr
 
+        mreq = req.multiRetriever
         specs = []
-        for name, mr in req.retrievers.items():
-            which = mr.WhichOneof("retriever")
-            if which == "query":
-                specs.append(
-                    rtr.RetrieverSpec(
-                        name=name,
-                        query=parse_query(MessageToDict(mr.query)),
-                        window_size=mr.windowSize or 100,
-                        weight=mr.weight or 1.0,
-                    )
-                )
-            else:
-                knn = mr.knn
+        order = []
+        for r in mreq.retrievers:
+            name = r.name
+            order.append(name)
+            weight = r.boost if r.HasField("boost") else 1.0
+            which = r.WhichOneof("retrieverType")
+            if which == "knnRetriever":
+                knn = r.knnRetriever.knnQuery
                 specs.append(
                     rtr.RetrieverSpec(
                         name=name,
                         knn_field=knn.field,
-                        knn_vector=np.asarray(list(knn.queryVector), np.float32),
+                        knn_vector=np.asarray(list(knn.query_vector), np.float32),
                         knn_k=knn.k or 10,
                         knn_filter=parse_query(MessageToDict(knn.filter))
                         if knn.HasField("filter") else None,
-                        window_size=mr.windowSize or (knn.k or 100),
-                        weight=mr.weight or 1.0,
+                        window_size=knn.num_candidates or knn.k or 100,
+                        weight=weight,
+                    )
+                )
+            else:
+                tr = r.textRetriever
+                specs.append(
+                    rtr.RetrieverSpec(
+                        name=name,
+                        query=parse_query(MessageToDict(tr.query)),
+                        window_size=tr.topHits or 100,
+                        weight=weight,
                     )
                 )
         results = rtr.run_retrievers(searcher, specs)
         weights = {s.name: s.weight for s in specs}
-        blender = req.blender
-        btype = pb.BlenderSettings.BlenderType.Name(blender.type)
-        if btype == "WEIGHTED_SCORE":
-            stype = pb.BlenderSettings.ScoreType.Name(blender.scoreType)
-            merged = rtr.blend_weighted_score(results, weights, stype)
-        elif btype == "RAW":
-            merged = rtr.blend_raw(results, sorted(results))
-        else:
-            merged = rtr.blend_rrf(
-                results, weights, blender.rrfRankConstant or 60
+        blender = mreq.blender
+        which_b = blender.WhichOneof("blenderType") if mreq.HasField("blender") else None
+        if which_b == "weightedScoreOrder":
+            stype = pb.WeightedScoreOrderBlender.ScoreMode.Name(
+                blender.weightedScoreOrder.scoreMode
             )
+            merged = rtr.blend_weighted_score(results, weights, stype)
+        elif which_b == "scorelessRawMerge":
+            merged = rtr.blend_raw(results, order)
+        elif which_b == "plugin":
+            merged = rtr.blend_plugin(
+                self.plugins, blender.plugin.name, results, weights,
+                MessageToDict(blender.plugin.params)
+                if blender.plugin.HasField("params") else {},
+            )
+        else:
+            rank_c = (
+                blender.weightedRrf.rankConstant
+                if which_b == "weightedRrf" else 0
+            )
+            merged = rtr.blend_rrf(results, weights, rank_c or 60)
         return TopDocs(merged[:fetch_n], len(merged))
 
     @staticmethod
@@ -747,6 +814,29 @@ class Handlers:
             comps[0].field, comps[0].reverse, comps[0].missing_last,
             rest=tuple(comps[1:]),
         )
+
+    def _apply_rescorer(self, searcher, td, rescorer) -> None:
+        """One rescorer pass over td.hits in place (reference:
+        QueryRescore/ScriptRescore, search.proto Rescorer oneof)."""
+        window = rescorer.windowSize or len(td.hits)
+        which = rescorer.WhichOneof("Rescorers")
+        if which == "queryRescorer":
+            from nrtsearch_tpu.search.rescore import query_rescore
+
+            qr = rescorer.queryRescorer
+            rescore_node = self._resolve_cross_index(
+                parse_query(MessageToDict(qr.rescoreQuery))
+            )
+            td.hits = query_rescore(
+                searcher, td.hits, window, rescore_node,
+                qr.queryWeight or 1.0, qr.rescoreQueryWeight or 1.0,
+            )
+        elif which == "scriptRescorer":
+            from nrtsearch_tpu.search.rescore import script_rescore
+
+            td.hits = script_rescore(
+                searcher, td.hits, window, rescorer.scriptRescorer.script.source
+            )
 
     def _after_cursor(self, hits, search_after, sort):
         """Drop hits at or before the searchAfter cursor (reference:
@@ -813,17 +903,18 @@ class Handlers:
         )
 
         def settings_for(fname):
-            s = req.highlight.fieldSettings.get(fname) or req.highlight.settings
+            s = req.highlight.field_settings.get(fname) or req.highlight.settings
             hs = HighlightSettings()
-            if s.preTags:
-                hs.pre_tag = s.preTags[0]
-            if s.postTags:
-                hs.post_tag = s.postTags[0]
-            if s.fragmentSize:
-                hs.fragment_size = s.fragmentSize
-            if s.maxNumberOfFragments:
-                hs.max_fragments = s.maxNumberOfFragments
-            hs.score_ordered = s.scoreOrdered or hs.score_ordered
+            if s.pre_tags:
+                hs.pre_tag = s.pre_tags[0]
+            if s.post_tags:
+                hs.post_tag = s.post_tags[0]
+            if s.HasField("fragment_size"):
+                hs.fragment_size = s.fragment_size.value
+            if s.HasField("max_number_of_fragments"):
+                hs.max_fragments = s.max_number_of_fragments.value
+            if s.HasField("score_ordered"):
+                hs.score_ordered = s.score_ordered.value
             return s, hs
 
         plan = {}
@@ -832,8 +923,8 @@ class Handlers:
             # per-field highlightQuery override (reference:
             # HighlightSettings.highlightQuery)
             hl_node = node
-            if s.HasField("highlightQuery"):
-                hl_node = parse_query(MessageToDict(s.highlightQuery))
+            if s.HasField("highlight_query"):
+                hl_node = parse_query(MessageToDict(s.highlight_query))
             plan[fname] = (build_highlight_query(hl_node, fname), hs)
         return plan
 
@@ -860,7 +951,7 @@ class Handlers:
         )
         return searcher.knn_search(
             knn_req.field,
-            np.asarray(list(knn_req.queryVector), np.float32),
+            np.asarray(list(knn_req.query_vector), np.float32),
             max(knn_req.k or 10, fetch_n),
             filter_node=filter_node,
             boost=knn_req.boost or 1.0,
@@ -927,7 +1018,8 @@ class Handlers:
             arrays.append((s, m))
         return arrays
 
-    def _inner_hits(self, pb_hit, searcher, hit, ih, field_defs, inner_cache) -> None:
+    def _inner_hits(self, pb_hit, searcher, hit, ih_name, ih, field_defs,
+                    inner_cache) -> None:
         """Per-parent child sub-search (reference: InnerHitFetchTask,
         server/innerhit/; proto search.proto:965-982)."""
         from nrtsearch_tpu.core.segment import SegmentBuilder
@@ -936,10 +1028,10 @@ class Handlers:
         seg = searcher.segments[hit.segment_idx]
         parents = seg.parent_positions()
         dv = seg.doc_values.get(SegmentBuilder.NESTED_PATH_FIELD)
-        result = pb_hit.innerHits[ih.innerHitName or ih.queryNestedPath]
+        result = pb_hit.innerHits[ih_name or ih.query_nested_path]
         if parents is None or dv is None:
             return
-        path_ord = (dv.ord_index or {}).get(ih.queryNestedPath)
+        path_ord = (dv.ord_index or {}).get(ih.query_nested_path)
         if path_ord is None:
             return
         idx = int(np.searchsorted(parents, hit.local_id))
@@ -955,8 +1047,8 @@ class Handlers:
         cache_key = (hit.segment_idx, ih.SerializeToString())
         if cache_key not in inner_cache:
             inner_node = (
-                parse_query(MessageToDict(ih.innerQuery))
-                if ih.HasField("innerQuery")
+                parse_query(MessageToDict(ih.inner_query))
+                if ih.HasField("inner_query")
                 else parse_query({})
             )
             ctx = qeval.EvalContext(seg, field_defs, searcher.stats)
@@ -969,8 +1061,8 @@ class Handlers:
         child_ids = np.nonzero(ok)[0] + start
         child_scores = scores[child_ids]
         order = np.argsort(-child_scores, kind="stable")
-        top = int(ih.topHits or 3)
-        sel = order[int(ih.startHit) : int(ih.startHit) + top]
+        top = int(ih.top_hits or 3)
+        sel = order[int(ih.start_hit) : int(ih.start_hit) + top]
         result.totalHits.value = len(child_ids)
         from nrtsearch_tpu.core.searcher import Hit as CoreHit
 
@@ -984,9 +1076,9 @@ class Handlers:
             child_pb = result.hits.add()
             child_pb.luceneDocId = child_hit.global_ord
             child_pb.score = child_hit.score
-            if ih.retrieveFields:
+            if ih.retrieve_fields:
                 fill_hit_fields_pb(
-                    child_pb, searcher, child_hit, list(ih.retrieveFields),
+                    child_pb, searcher, child_hit, list(ih.retrieve_fields),
                     field_defs, pb,
                 )
 
@@ -1218,7 +1310,7 @@ class Handlers:
         fused: dict[str, object] = {}
         plan, plan_names = [], []
         for name, spec in specs.items():
-            which = spec.WhichOneof("collectors")
+            which = spec.WhichOneof("Collectors")
             if which == "terms" and spec.terms.field and not \
                     spec.terms.HasField("script") and not spec.nestedCollectors:
                 plan.append({"kind": "ordinal", "field": spec.terms.field})
@@ -1241,7 +1333,7 @@ class Handlers:
                     fused[name] = res
         for name, spec in specs.items():
             result = results_map[name]
-            which = spec.WhichOneof("collectors")
+            which = spec.WhichOneof("Collectors")
             if which == "terms":
                 if name in fused:
                     counts = fused[name]
@@ -1295,6 +1387,20 @@ class Handlers:
                     result.hitCountResult.value = fused[name]
                     continue
                 result.hitCountResult.value = coll.hit_count(matches)
+            elif which == "pluginCollector":
+                pc = spec.pluginCollector
+                fn = (self.plugins.collectors.get(pc.name)
+                      if self.plugins is not None else None)
+                if fn is None:
+                    raise ValueError(f"unknown plugin collector: {pc.name!r}")
+                params = (MessageToDict(pc.params)
+                          if pc.HasField("params") else {})
+                out = fn(matches, params)
+                from google.protobuf import struct_pb2
+
+                st = struct_pb2.Struct()
+                st.update(out or {})
+                result.anyResult.Pack(st)
             elif which == "topHitsCollector":
                 self._top_hits_collector(spec.topHitsCollector, result, matches)
             elif which == "filter":
@@ -1302,10 +1408,11 @@ class Handlers:
                 fnode = parse_query(MessageToDict(fq))
                 fmasks = matches.searcher.match_masks(fnode)
                 sub = matches.and_mask(fmasks)
-                result.hitCountResult.value = coll.hit_count(sub)
+                result.filterResult.docCount = coll.hit_count(sub)
                 if spec.nestedCollectors:
                     self._run_collectors(
-                        spec.nestedCollectors, result.nestedResults, sub
+                        spec.nestedCollectors,
+                        result.filterResult.nestedCollectorResults, sub,
                     )
             else:
                 raise NotImplementedError(f"collector type {which!r}")
@@ -1441,7 +1548,7 @@ def _needs_array_scores(req) -> bool:
     materialization entirely (Searcher.search arrays_score_free)."""
     def walk(specs) -> bool:
         for spec in specs.values():
-            which = spec.WhichOneof("collectors")
+            which = spec.WhichOneof("Collectors")
             if which == "topHitsCollector":
                 return True
             if which == "terms" and spec.terms.HasField("script"):

@@ -24,6 +24,7 @@ class PluginRegistry:
         self.hits_loggers: dict[str, Callable] = {}             # name -> fn(index, request, hits)
         self.rescorers: dict[str, Callable] = {}                # name -> fn(searcher, hits, params)
         self.blenders: dict[str, Callable] = {}                 # name -> fn(results, weights) -> hits
+        self.collectors: dict[str, Callable] = {}               # name -> fn(matches, params) -> dict
         self.similarities: dict[str, Callable] = {}             # name -> scorer factory
         self.ingestors: list = []                               # Ingestor instances
 
@@ -50,6 +51,12 @@ class PluginRegistry:
 
     def register_blender(self, name: str, fn: Callable) -> None:
         self.blenders[name] = fn
+
+    def register_collector(self, name: str, fn: Callable) -> None:
+        """Additional-collector plugin (reference: CollectorCreator +
+        PluginCollector, search.proto:859): fn(matches, params) -> dict
+        packed into CollectorResult.anyResult as a Struct."""
+        self.collectors[name] = fn
 
     def register_similarity(self, name: str, factory: Callable) -> None:
         self.similarities[name] = factory

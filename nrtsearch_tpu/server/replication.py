@@ -27,9 +27,15 @@ from nrtsearch_tpu.server.index_runtime import IndexRuntime
 
 log = logging.getLogger("nrtsearch_tpu.replication")
 
-_SERVICE = "nrtsearch_tpu.ReplicationServer"
+_SERVICE = "luceneserver.ReplicationServer"
 CHUNK_SIZE = 256 * 1024
 
+
+
+def _crc_i32(crc: int) -> int:
+    """CRC32 footer rides the int32 seqNum of the final chunk; reinterpret
+    the unsigned value as signed so it fits the wire type."""
+    return crc - 0x100000000 if crc >= 0x80000000 else crc
 
 class ReplicationClient:
     """Client to a node's ReplicationServer (ReplicationServerClient equiv)."""
@@ -66,8 +72,8 @@ class ReplicationClient:
 
     def new_nrt_point(self, index_name: str, index_id: str, version: int,
                       primary_gen: int) -> pb.TransferStatus:
-        return self._u("newNRTPoint", pb.NewNRTPointRequest, pb.TransferStatus)(
-            pb.NewNRTPointRequest(
+        return self._u("newNRTPoint", pb.NewNRTPoint, pb.TransferStatus)(
+            pb.NewNRTPoint(
                 indexName=index_name, version=version, primaryGen=primary_gen,
                 indexId=index_id,
             )
@@ -136,10 +142,13 @@ class ReplicationClient:
             request_serializer=pb.CopyFiles.SerializeToString,
             response_deserializer=pb.TransferStatus.FromString,
         )
+        fmd = pb.FilesMetadata(numFiles=len(file_names))
+        for name in file_names:
+            fmd.fileMetadata.add(fileName=name)
         return call(
             pb.CopyFiles(
                 indexName=index_name, indexId=index_id,
-                primaryGen=primary_gen, fileNames=file_names,
+                primaryGen=primary_gen, filesMetadata=fmd,
             ),
             timeout=timeout,
         )
@@ -171,7 +180,7 @@ class ReplicationClient:
                     content=b"", seqNum=0, fileName=file_name,
                     indexName=index_name,
                 )
-            yield pb.RawFileChunk(content=b"", seqNum=crc, ack=True)
+            yield pb.RawFileChunk(content=b"", seqNum=_crc_i32(crc), ack=True)
 
         call = self.channel.stream_unary(
             f"/{_SERVICE}/sendRawFile",
@@ -187,11 +196,11 @@ class ReplicationClient:
 
     def replica_current_searching_version(self, index_name: str) -> pb.SearcherVersion:
         return self._u(
-            "replicaCurrentSearchingVersion", pb.IndexName, pb.SearcherVersion
+            "getCurrentSearcherVersion", pb.IndexName, pb.SearcherVersion
         )(pb.IndexName(indexName=index_name))
 
     def get_nodes_info(self, index_name: str) -> pb.GetNodesResponse:
-        return self._u("getNodesInfo", pb.GetNodesRequest, pb.GetNodesResponse)(
+        return self._u("getConnectedNodes", pb.GetNodesRequest, pb.GetNodesResponse)(
             pb.GetNodesRequest(indexName=index_name)
         )
 
@@ -276,13 +285,23 @@ class ReplicationService:
 
     def recvCopyState(self, req: pb.CopyStateRequest, context) -> pb.CopyState:
         rt = self.gs.get_runtime(req.indexName)
+        self._check_index_id(rt, req.indexId, context)
         point = rt.current_point()
+        # infoBytes carries the serialized point manifest (the reference puts
+        # serialized SegmentInfos here: NrtPointState.java:33-41); per-file
+        # length/checksum ride FilesMetadata like NrtFileMetaData.
+        manifest = point.to_json().encode()
+        fmd = pb.FilesMetadata(numFiles=len(point.files))
+        for name in point.files:
+            length, crc = point.file_meta.get(name, (0, 0))
+            fmd.fileMetadata.add(fileName=name, len=length, checksum=crc)
         return pb.CopyState(
             gen=point.gen,
             version=point.version,
             primaryGen=point.primary_gen,
-            manifest=point.to_json().encode(),
-            files=point.files,
+            infoBytesLength=len(manifest),
+            infoBytes=manifest,
+            filesMetadata=fmd,
         )
 
     def recvRawFile(self, req: pb.FileInfo, context):
@@ -311,7 +330,7 @@ class ReplicationService:
                 crc = zlib.crc32(chunk, crc)
                 yield pb.RawFileChunk(content=chunk, seqNum=seq)
         # trailing checksum footer (ack=True marks it)
-        yield pb.RawFileChunk(content=b"", seqNum=crc, ack=True)
+        yield pb.RawFileChunk(content=b"", seqNum=_crc_i32(crc), ack=True)
 
     def recvRawFileV2(self, request_iterator, context):
         yield from self._paced(self._recv_raw_file_v2_impl(request_iterator, context))
@@ -358,7 +377,7 @@ class ReplicationService:
                         return  # receiver went away
                     last_ack = max(last_ack, ack.ackSeqNum)
                 yield pb.RawFileChunk(content=chunk, seqNum=seq)
-        yield pb.RawFileChunk(content=b"", seqNum=crc, ack=True)
+        yield pb.RawFileChunk(content=b"", seqNum=_crc_i32(crc), ack=True)
 
     def copyFiles(self, req: pb.CopyFiles, context):
         """Replica-side merge pre-copy: fetch the named files from the primary
@@ -374,20 +393,21 @@ class ReplicationService:
         client = self._primary_clients.get(req.indexName)
         if client is None:
             yield pb.TransferStatus(
-                code=pb.TransferStatusCode.FAILED, message="no primary connection"
+                Code=pb.TransferStatusCode.Failed, Message="no primary connection"
             )
             return
-        yield pb.TransferStatus(code=pb.TransferStatusCode.ONGOING)
+        yield pb.TransferStatus(Code=pb.TransferStatusCode.Ongoing)
         missing = [
-            f for f in req.fileNames if not (Path(rt.index_dir) / f).exists()
+            f.fileName for f in req.filesMetadata.fileMetadata
+            if not (Path(rt.index_dir) / f.fileName).exists()
         ]
         try:
             self._fetch_files(rt, client, req.indexName, missing)
-            yield pb.TransferStatus(code=pb.TransferStatusCode.DONE)
+            yield pb.TransferStatus(Code=pb.TransferStatusCode.Done)
         except Exception as e:
             log.warning("merge precopy failed: %s", e)
             yield pb.TransferStatus(
-                code=pb.TransferStatusCode.FAILED, message=str(e)
+                Code=pb.TransferStatusCode.Failed, Message=str(e)
             )
 
     def sendRawFile(self, request_iterator, context) -> pb.TransferStatus:
@@ -401,7 +421,7 @@ class ReplicationService:
         first = next(request_iterator, None)
         if first is None:
             return pb.TransferStatus(
-                code=pb.TransferStatusCode.FAILED, message="empty stream"
+                Code=pb.TransferStatusCode.Failed, Message="empty stream"
             )
         dest = None
         if first.fileName and first.indexName:
@@ -410,8 +430,8 @@ class ReplicationService:
                 dest = Path(rt.index_dir) / first.fileName
             except KeyError:
                 return pb.TransferStatus(
-                    code=pb.TransferStatusCode.FAILED,
-                    message=f"unknown index {first.indexName!r}",
+                    Code=pb.TransferStatusCode.Failed,
+                    Message=f"unknown index {first.indexName!r}",
                 )
         crc = 0
         footer = None
@@ -439,23 +459,23 @@ class ReplicationService:
             with open(tmp, "wb") as f:
                 for chunk in chunks:
                     if chunk.ack:
-                        footer = chunk.seqNum
+                        footer = chunk.seqNum & 0xFFFFFFFF
                         continue
                     crc = zlib.crc32(chunk.content, crc)
                     f.write(chunk.content)
             if footer is not None and footer != crc:
                 tmp.unlink(missing_ok=True)
                 return pb.TransferStatus(
-                    code=pb.TransferStatusCode.FAILED,
-                    message=f"checksum mismatch: {crc} != {footer}",
+                    Code=pb.TransferStatusCode.Failed,
+                    Message=f"checksum mismatch: {crc} != {footer}",
                 )
             if dest is not None:
                 tmp.replace(dest)
-            return pb.TransferStatus(code=pb.TransferStatusCode.DONE, message="ok")
+            return pb.TransferStatus(Code=pb.TransferStatusCode.Done, Message="ok")
         except Exception as e:
             tmp.unlink(missing_ok=True)
             return pb.TransferStatus(
-                code=pb.TransferStatusCode.FAILED, message=str(e)
+                Code=pb.TransferStatusCode.Failed, Message=str(e)
             )
 
     def writeNRTPoint(self, req: pb.IndexName, context) -> pb.SearcherVersion:
@@ -476,7 +496,7 @@ class ReplicationService:
 
     # -- replica-side RPCs ----------------------------------------------------------
 
-    def newNRTPoint(self, req: pb.NewNRTPointRequest, context) -> pb.TransferStatus:
+    def newNRTPoint(self, req: pb.NewNRTPoint, context) -> pb.TransferStatus:
         rt = self.gs.get_runtime(req.indexName)
         if rt.mode != "REPLICA":
             context.abort(
@@ -487,15 +507,15 @@ class ReplicationService:
         client = self._primary_clients.get(req.indexName)
         if client is None:
             return pb.TransferStatus(
-                code=pb.TransferStatusCode.FAILED, message="no primary connection"
+                Code=pb.TransferStatusCode.Failed, Message="no primary connection"
             )
         try:
             self.sync_from_primary(req.indexName, rt, client)
-            return pb.TransferStatus(code=pb.TransferStatusCode.DONE)
+            return pb.TransferStatus(Code=pb.TransferStatusCode.Done)
         except Exception as e:
             log.warning("nrt copy failed: %s", e)
             return pb.TransferStatus(
-                code=pb.TransferStatusCode.FAILED, message=str(e)
+                Code=pb.TransferStatusCode.Failed, Message=str(e)
             )
 
     def replicaCurrentSearchingVersion(
@@ -516,7 +536,7 @@ class ReplicationService:
     def sync_from_primary(self, index_name: str, rt: IndexRuntime,
                           client: ReplicationClient) -> bool:
         state = client.recv_copy_state(index_name)
-        point = NrtPointState.from_json(state.manifest)
+        point = NrtPointState.from_json(state.infoBytes)
         return rt.install_point(
             point,
             file_fetcher=lambda files: self._fetch_files(
@@ -550,7 +570,7 @@ class ReplicationService:
             with open(tmp, "wb") as f:
                 for chunk in stream:
                     if chunk.ack:  # checksum footer
-                        footer = chunk.seqNum
+                        footer = chunk.seqNum & 0xFFFFFFFF
                         continue
                     crc = zlib.crc32(chunk.content, crc)
                     f.write(chunk.content)
@@ -586,10 +606,10 @@ class ReplicationService:
                         index_name, rt.state_info.index_id,
                         point.primary_gen, warm, timeout=60,
                     ):
-                        if status.code == pb.TransferStatusCode.FAILED:
+                        if status.Code == pb.TransferStatusCode.Failed:
                             log.warning(
                                 "merge precopy to %s:%s failed: %s",
-                                conn.host, conn.port, status.message,
+                                conn.host, conn.port, status.Message,
                             )
                             break
             except grpc.RpcError as e:
@@ -699,16 +719,16 @@ def make_replication_service(service: ReplicationService) -> grpc.GenericRpcHand
     handlers = {
         "addReplicas": unary(service.addReplicas, pb.AddReplicaRequest,
                              pb.AddReplicaResponse),
-        "newNRTPoint": unary(service.newNRTPoint, pb.NewNRTPointRequest,
+        "newNRTPoint": unary(service.newNRTPoint, pb.NewNRTPoint,
                              pb.TransferStatus),
         "recvCopyState": unary(service.recvCopyState, pb.CopyStateRequest,
                                pb.CopyState),
         "writeNRTPoint": unary(service.writeNRTPoint, pb.IndexName,
                                pb.SearcherVersion),
-        "replicaCurrentSearchingVersion": unary(
+        "getCurrentSearcherVersion": unary(
             service.replicaCurrentSearchingVersion, pb.IndexName, pb.SearcherVersion
         ),
-        "getNodesInfo": unary(service.getNodesInfo, pb.GetNodesRequest,
+        "getConnectedNodes": unary(service.getNodesInfo, pb.GetNodesRequest,
                               pb.GetNodesResponse),
         "recvRawFile": grpc.unary_stream_rpc_method_handler(
             service.recvRawFile,

@@ -40,7 +40,7 @@ _ROUTES = {
     "stats": (pb.StatsRequest, "stats_raw", ("POST", "GET")),
     "indices": (pb.IndicesRequest, "indices", ("GET", "POST")),
     "status": (pb.HealthCheckRequest, "status", ("GET", "POST")),
-    "metrics": (pb.MetricsRequest, "metrics", ("GET", "POST")),
+    "metrics": (pb.Empty, "metrics", ("GET", "POST")),
     # round-2 surface (reference: grpc-gateway routes for the same RPCs)
     "updateFields": (pb.FieldDefRequest, "update_fields", ("POST",)),
     "settings": (pb.SettingsRequest, "settings", ("POST",)),

@@ -3,6 +3,7 @@ QueryNodeMapper.getCrossIndexQuery -> Lucene JoinUtil.createJoinQuery)."""
 
 import grpc
 import pytest
+from google.protobuf.json_format import ParseDict
 
 from nrtsearch_tpu.client import NrtsearchClient
 from nrtsearch_tpu.config import NrtsearchConfig
@@ -64,16 +65,26 @@ def server(tmp_path_factory):
     srv.stop()
 
 
+def _fill_join(x, text):
+    # camelCase JSON names work under both the legacy and the wire-compat
+    # (reference snake_case declared names) schemas
+    ParseDict(
+        {
+            "index": "brands",
+            "primaryField": "brand",
+            "secondaryField": "brand",
+            "query": {"matchQuery": {"field": "about", "query": text}},
+        },
+        x,
+    )
+
+
 def _join_request(text, score_mode=None):
     req = pb.SearchRequest(indexName="products", topHits=10, retrieveFields=["id"])
     x = req.query.crossIndexQuery
-    x.index = "brands"
-    x.primaryField = "brand"
-    x.secondaryField = "brand"
-    x.query.matchQuery.field = "about"
-    x.query.matchQuery.query = text
+    _fill_join(x, text)
     if score_mode is not None:
-        x.scoreMode = score_mode
+        ParseDict({"scoreMode": score_mode}, x)
     return req
 
 
@@ -114,12 +125,7 @@ def test_cross_index_inside_boolean(server):
     c1.query.matchQuery.query = "anvil skates board"
     c2 = bq.clauses.add()
     c2.occur = pb.BooleanClause.FILTER
-    x = c2.query.crossIndexQuery
-    x.index = "brands"
-    x.primaryField = "brand"
-    x.secondaryField = "brand"
-    x.query.matchQuery.field = "about"
-    x.query.matchQuery.query = "cartoon"
+    _fill_join(c2.query.crossIndexQuery, "cartoon")
     resp = server.search(req)
     assert _ids(resp) == ["p1", "p2"]  # only acme products
 
@@ -138,12 +144,7 @@ def test_cross_index_inside_rescorer(server):
     req.query.matchAllQuery.SetInParent()
     rs = req.rescorers.add()
     rs.windowSize = 10
-    x = rs.queryRescorer.rescoreQuery.crossIndexQuery
-    x.index = "brands"
-    x.primaryField = "brand"
-    x.secondaryField = "brand"
-    x.query.matchQuery.field = "about"
-    x.query.matchQuery.query = "dangerous"
+    _fill_join(rs.queryRescorer.rescoreQuery.crossIndexQuery, "dangerous")
     rs.queryRescorer.queryWeight = 1.0
     rs.queryRescorer.rescoreQueryWeight = 5.0
     resp = server.search(req)

@@ -98,7 +98,8 @@ def test_golden_server(path, case_idx, golden_root):
     for cname, nested in expect.get("nestedCollectorSum", {}).items():
         cr = resp.collectorResults[cname]
         for nname, want in nested.items():
-            assert cr.nestedResults[nname].doubleResult.value == pytest.approx(
+            nr = cr.filterResult.nestedCollectorResults
+            assert nr[nname].doubleResult.value == pytest.approx(
                 want
             ), (cname, nname, cr)
     if "idsUnordered" in expect:

@@ -100,9 +100,9 @@ def test_e2e_highlight_rpc(tmp_path):
         sreq.query.matchPhraseQuery.field = "body"
         sreq.query.matchPhraseQuery.query = "quick brown"
         sreq.highlight.fields.append("body")
-        fs = sreq.highlight.fieldSettings["body"]
-        fs.preTags.append("<b>")
-        fs.postTags.append("</b>")
+        fs = sreq.highlight.field_settings["body"]
+        fs.pre_tags.append("<b>")
+        fs.post_tags.append("</b>")
         r = client.search(sreq)
         assert r.totalHits.value == 1
         frags = r.hits[0].highlights["body"].fragments

@@ -151,7 +151,7 @@ def test_hybrid_search_over_grpc(tmp_path):
         sreq = pb.SearchRequest(indexName="hy", topHits=2, retrieveFields=["id"])
         knn = sreq.knn.add()
         knn.field = "v"
-        knn.queryVector.extend([1.0, 0.0, 0.0, 0.0])
+        knn.query_vector.extend([1.0, 0.0, 0.0, 0.0])
         knn.k = 2
         resp = client.search(sreq)
         ids = [h.fields["id"].fieldValue[0].textValue for h in resp.hits]
@@ -163,7 +163,7 @@ def test_hybrid_search_over_grpc(tmp_path):
         sreq2.query.matchQuery.query = "tpu"
         knn2 = sreq2.knn.add()
         knn2.field = "v"
-        knn2.queryVector.extend([1.0, 0.0, 0.0, 0.0])
+        knn2.query_vector.extend([1.0, 0.0, 0.0, 0.0])
         knn2.k = 2
         resp2 = client.search(sreq2)
         ids2 = [h.fields["id"].fieldValue[0].textValue for h in resp2.hits]

@@ -31,7 +31,7 @@ def _index_with_merges(client, name="midx", batches=6):
     ]))
     # tiny segmentsPerTier so a handful of flushes triggers tiered merges
     lsreq = pb.LiveSettingsV2Request(indexName=name)
-    lsreq.liveSettings.segmentsPerTier = 2
+    lsreq.liveSettings.segmentsPerTier.value = 2
     client.live_settings_v2(lsreq)
     client.start_index(pb.StartIndexRequest(indexName=name, mode=pb.Mode.STANDALONE))
     n = 0
@@ -60,7 +60,7 @@ def test_metrics_families(server):
     resp = client.search(req)
     assert resp.totalHits.value > 0
 
-    text = client.metrics().metrics
+    text = client.metrics().data.decode()
     # index + searcher-age gauges
     assert f'nrt_index_num_docs{{index="{name}"}}' in text
     assert f'nrt_searcher_age_seconds{{index="{name}"}}' in text

@@ -207,7 +207,7 @@ def _sorted_req(pb, top, comps, after=None):
         sf.reverse = rev
     if after is not None:
         sreq.searchAfter.lastDocId = after.lastDocId
-        sreq.searchAfter.lastHitIndex = after.lastHitIndex
+        sreq.searchAfter.lastHitIndex = after.lastHitInfo.lastHitIndex
         for v in after.lastFieldValues:
             sreq.searchAfter.lastFieldValues.append(v)
     return sreq

@@ -112,14 +112,13 @@ def test_inner_hits(server):
     nq.path = "partners"
     nq.query.matchQuery.field = "partners.name"
     nq.query.matchQuery.query = "alice"
-    ih = req.innerHits.add()
-    ih.innerHitName = "matched_partners"
-    ih.queryNestedPath = "partners"
-    ih.innerQuery.matchQuery.field = "partners.name"
-    ih.innerQuery.matchQuery.query = "alice"
-    ih.topHits = 5
-    ih.retrieveFields.append("partners.name")
-    ih.retrieveFields.append("partners.years")
+    ih = req.inner_hits["matched_partners"]
+    ih.query_nested_path = "partners"
+    ih.inner_query.matchQuery.field = "partners.name"
+    ih.inner_query.matchQuery.query = "alice"
+    ih.top_hits = 5
+    ih.retrieve_fields.append("partners.name")
+    ih.retrieve_fields.append("partners.years")
     resp = client.search(req)
     by_id = {h.fields["biz_id"].fieldValue[0].textValue: h for h in resp.hits}
     inner_a = by_id["A"].innerHits["matched_partners"]

@@ -51,7 +51,7 @@ def test_metrics_exposition(server):
     srv, client, _ = server
     _search(client)
     _search(client)
-    text = client.metrics().metrics
+    text = client.metrics().data.decode()
     assert "grpc_server_handled_total" in text
     assert 'method="search"' in text
     assert "nrt_index_num_docs" in text

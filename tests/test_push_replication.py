@@ -114,14 +114,16 @@ def test_replication_service_rpcs(cluster):
         assert v.didRefresh
         state = rc.recv_copy_state("idx")
         assert state.version == v.version
-        assert len(state.files) >= 3  # arrays + meta + live per segment
+        files = [fm.fileName for fm in state.filesMetadata.fileMetadata]
+        assert len(files) >= 3  # arrays + meta + live per segment
+        assert state.filesMetadata.numFiles == len(files)
 
         # getNodesInfo lists the registered replica
         nodes = rc.get_nodes_info("idx")
         assert len(nodes.nodes) == 1
 
         # raw file streaming
-        chunks = list(rc.recv_raw_file("idx", state.files[0]))
+        chunks = list(rc.recv_raw_file("idx", files[0]))
         assert sum(len(c.content) for c in chunks) > 0
     finally:
         rc.close()

@@ -146,7 +146,7 @@ def test_state_introspection_rpcs(server):
     assert parsed["indexName"] == "idx"
 
     ist = client.index_state("idx")
-    assert ist.index_state.index_name == "idx"
+    assert ist.index_state.indexName == "idx"
     assert "doc_id" in dict(ist.index_state.fields)
 
     client.reload_state()  # must not disturb the running index
@@ -192,7 +192,7 @@ def test_send_raw_file(server, tmp_path):
     rc = ReplicationClient(f"localhost:{srv.replication_port}")
     try:
         status = rc.send_raw_file("idx", "pushed.bin", src)
-        assert status.code == pb.TransferStatusCode.DONE
+        assert status.Code == pb.TransferStatusCode.Done
         rt = srv.global_state.get_runtime("idx")
         assert (rt.index_dir / "pushed.bin").read_bytes() == payload
     finally:

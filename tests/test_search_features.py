@@ -81,19 +81,24 @@ def test_script_rescorer(server):
 
 def test_multi_retriever_rrf(server):
     req = pb.SearchRequest(indexName="idx", topHits=4, retrieveFields=["doc_id"])
-    req.retrievers["text"].query.matchQuery.field = "body"
-    req.retrievers["text"].query.matchQuery.query = "quick"
-    req.retrievers["vector"].knn.field = "vec"
-    req.retrievers["vector"].knn.queryVector.extend([1.0, 0.0])
-    req.retrievers["vector"].knn.k = 2
+    rt = req.multiRetriever.retrievers.add()
+    rt.name = "text"
+    rt.textRetriever.query.matchQuery.field = "body"
+    rt.textRetriever.query.matchQuery.query = "quick"
+    rv = req.multiRetriever.retrievers.add()
+    rv.name = "vector"
+    rv.knnRetriever.knnQuery.field = "vec"
+    rv.knnRetriever.knnQuery.query_vector.extend([1.0, 0.0])
+    rv.knnRetriever.knnQuery.k = 2
     resp = server.search(req)
     ids = _ids(resp)
     assert ids[0] in ("0", "2")  # docs in both retrievers win RRF
     assert set(ids) >= {"0", "2"}
 
     # weighted score blending
-    req.blender.type = pb.BlenderSettings.BlenderType.WEIGHTED_SCORE
-    req.blender.scoreType = pb.BlenderSettings.ScoreType.MAX
+    req.multiRetriever.blender.weightedScoreOrder.scoreMode = (
+        pb.WeightedScoreOrderBlender.ScoreMode.MAX
+    )
     resp2 = server.search(req)
     assert len(resp2.hits) > 0
 
@@ -103,7 +108,7 @@ def test_highlight(server):
     req.query.matchQuery.field = "body"
     req.query.matchQuery.query = "quick fox"
     req.highlight.fields.append("body")
-    req.highlight.settings.fragmentSize = 40
+    req.highlight.settings.fragment_size.value = 40
     resp = server.search(req)
     h0 = resp.hits[0]
     frags = list(h0.highlights["body"].fragments)
@@ -111,8 +116,8 @@ def test_highlight(server):
     assert "<em>quick</em>" in frags[0] or "<em>fox</em>" in frags[0]
 
     # custom tags
-    req.highlight.settings.preTags.append("[")
-    req.highlight.settings.postTags.append("]")
+    req.highlight.settings.pre_tags.append("[")
+    req.highlight.settings.post_tags.append("]")
     resp2 = server.search(req)
     frags2 = list(resp2.hits[0].highlights["body"].fragments)
     assert any("[quick]" in f or "[fox]" in f for f in frags2)
@@ -145,7 +150,7 @@ def test_search_after(server):
     req2.query.matchQuery.query = "quick"
     req2.searchAfter.lastDocId = page1.searchState.lastDocId
     req2.searchAfter.lastScore = page1.searchState.lastScore
-    req2.searchAfter.lastHitIndex = page1.searchState.lastHitIndex
+    req2.searchAfter.lastHitIndex = page1.searchState.lastHitInfo.lastHitIndex
     page2 = server.search(req2)
     assert set(_ids(page1)).isdisjoint(set(_ids(page2)))
     assert len(_ids(page2)) == 1  # 3 quick docs total

@@ -67,8 +67,8 @@ def test_full_lifecycle(server):
     _setup_index(client)
 
     # status / ready / indices / stats
-    assert client.status().health == pb.TransferStatusCode.DONE
-    assert client.ready().health == pb.TransferStatusCode.DONE
+    assert client.status().health == pb.TransferStatusCode.Done
+    assert client.ready().health == pb.TransferStatusCode.Done
     stats = client.stats("test_idx")
     assert stats.numDocs == 5
     assert client.indices().indicesResponse[0].indexName == "test_idx"
@@ -156,7 +156,7 @@ def test_filter_collector_and_range_facet(server):
     r2.minInclusive = True
     r2.maxInclusive = True
     resp = client.search(req)
-    assert resp.collectorResults["cheap"].hitCountResult.value == 2
+    assert resp.collectorResults["cheap"].filterResult.docCount == 2
     ranges = {lv.label: lv.value for lv in resp.facetResult[0].labelValues}
     assert ranges == {"low": 2, "high": 3}
 
@@ -246,9 +246,9 @@ def test_live_settings(server):
     _, client, _ = server
     client.create_index("ls_idx")
     req = pb.LiveSettingsV2Request(indexName="ls_idx")
-    req.liveSettings.addDocumentsMaxBufferLen = 7
+    req.liveSettings.addDocumentsMaxBufferLen.value = 7
     resp = client.live_settings_v2(req)
-    assert resp.liveSettings.addDocumentsMaxBufferLen == 7
+    assert resp.liveSettings.addDocumentsMaxBufferLen.value == 7
     # get without set
     resp2 = client.live_settings_v2(pb.LiveSettingsV2Request(indexName="ls_idx"))
-    assert resp2.liveSettings.addDocumentsMaxBufferLen == 7
+    assert resp2.liveSettings.addDocumentsMaxBufferLen.value == 7

@@ -68,7 +68,7 @@ def test_completion_contexts_and_fuzzy(server):
     req2 = pb.SearchRequest(indexName="idx", topHits=10, retrieveFields=["id"])
     req2.query.completionQuery.field = "sugg"
     req2.query.completionQuery.text = "puzza"
-    req2.query.completionQuery.fuzzy = True
+    req2.query.completionQuery.queryType = pb.CompletionQueryType.FUZZY_QUERY
     resp2 = client.search(req2)
     assert {h.fields["id"].fieldValue[0].textValue for h in resp2.hits} == {"0", "1"}
 

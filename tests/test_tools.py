@@ -116,7 +116,7 @@ def test_rest_gateway(tmp_path):
         assert resp["totalHits"]["value"] == "3"
 
         with urllib.request.urlopen(f"http://localhost:{gw.port}/v1/status") as r:
-            assert json.loads(r.read())["health"] == "DONE"
+            assert json.loads(r.read())["health"] == "Done"
 
         # REST ingest
         post("addDocuments", [{

@@ -69,6 +69,15 @@ EXTENSIONS: dict[str, list[dict]] = {
     # snapshot-generation pinned search (searches a released snapshot's
     # point-in-time segment set by generation number)
     "SearchRequest": [dict(name="snapshotGen", type="int64", number=1001)],
+    # top-level wildcard/fuzzy queries: the reference only exposes these
+    # wrapped in SpanMultiTermQuery; nrtsearch_tpu serves them directly
+    "Query": [
+        dict(name="wildcardQuery", type="WildcardQuery", number=1001, oneof="QueryNode"),
+        dict(name="fuzzyQuery", type="FuzzyQuery", number=1002, oneof="QueryNode"),
+    ],
+    # searchAfter cursor: absolute rank of the last returned hit lets the
+    # engine fetch startHit+topHits without re-walking prior pages
+    "LastHitInfo": [dict(name="lastHitIndex", type="int32", number=1001)],
     # acked-copy pacing: replica asks primary to request acks every N chunks
     "FileInfo": [dict(name="ackEvery", type="int32", number=1001)],
     # multi-file raw streams tag chunks with file/index (recvRawFileV2 fan-in)
