@@ -431,8 +431,36 @@ class Searcher:
         results = self.fast_search_batch([spec], top_hits)
         return results[0]
 
+    def compile_batchable(self, node: qp.QueryNode, sort=None):
+        """QuerySpec for the micro-batchable fused path, or None.
+
+        Covers everything one fused dispatch serves: plain text queries,
+        decomposed filtered boolean trees, and field-sorted variants of
+        both. The serving batcher (server/batcher.py) coalesces specs from
+        concurrent requests into one dispatch, so widening THIS function
+        widens batching eligibility (sorted + filtered queries batch fine
+        on the fused kernel; reference contrast: Lucene parallelizes within
+        one query only, MyIndexSearcher.slicesForShards)."""
+        gsort = self._global_sort_keys(sort) if sort is not None else None
+        if sort is not None and gsort is None:
+            return None
+        spec = self.fast_query_spec(node)
+        if spec is not None:
+            if gsort is not None:
+                from dataclasses import replace as dc_replace
+
+                spec = dc_replace(spec, sort=gsort)
+            return spec
+        return self._compile_filtered_spec(node, gsort)
+
     def _fast_filtered_text(self, node: qp.QueryNode, top_hits: int,
                             gsort=None):
+        spec = self._compile_filtered_spec(node, gsort)
+        if spec is None:
+            return None
+        return self.fast_search_batch([spec], top_hits)[0]
+
+    def _compile_filtered_spec(self, node: qp.QueryNode, gsort=None):
         """Decomposed boolean pushdown: a tree of ONE scored MUST text clause
         plus any mix of (a) pure FILTER / MUST_NOT clauses and (b) scored
         non-text MUST clauses whose scores are columnar (ranges, termInSet,
@@ -500,11 +528,10 @@ class Searcher:
             ) * jnp.float32(node.boost)
         from dataclasses import replace as dc_replace
 
-        spec = dc_replace(
+        return dc_replace(
             spec, boost=spec.boost * float(node.boost), filter=gfilter,
             additive=additive, sort=gsort,
         )
-        return self.fast_search_batch([spec], top_hits)[0]
 
     def fast_search_batch(self, specs, top_hits: int) -> list[TopDocs]:
         """Batched fast path: N queries against one field in one dispatch."""

@@ -799,3 +799,46 @@ def _first_float(d: dict, *keys: str) -> Optional[float]:
         if k in d and d[k] is not None:
             return float(d[k])
     return None
+
+
+def validate_fields(node: QueryNode, field_defs: dict) -> None:
+    """Fail loudly on unknown field references anywhere in a query tree.
+
+    The reference resolves every leaf's FieldDef up front and throws
+    IllegalArgumentException for unknown names (QueryNodeMapper.java
+    getFieldDef calls); a silent zero-hit answer hides typos. CrossIndex
+    inner queries are skipped — they bind to the SECONDARY index and are
+    validated when that index executes them.
+    """
+    import dataclasses
+
+    if isinstance(node, CrossIndexQueryNode):
+        for name in (node.primary_field,):
+            if name and name not in field_defs:
+                raise ValueError(f"unknown field {name!r} in query")
+        return  # node.query validates against the secondary index
+    f = getattr(node, "field", None)
+    if isinstance(f, str) and f and f not in field_defs:
+        raise ValueError(f"unknown field {f!r} in query")
+    fields = getattr(node, "fields", None)   # multiMatch
+    if isinstance(fields, (tuple, list)):
+        for name in fields:
+            if isinstance(name, str) and name and name not in field_defs:
+                raise ValueError(f"unknown field {name!r} in query")
+
+    def _walk(value):
+        if isinstance(value, QueryNode):
+            validate_fields(value, field_defs)
+        elif isinstance(value, (tuple, list)):
+            for v in value:
+                _walk(v)
+        elif dataclasses.is_dataclass(value) and not isinstance(value, type):
+            # BooleanClause / SpanClause / FilterFunctionSpec wrappers
+            for sub in dataclasses.fields(value):
+                _walk(getattr(value, sub.name))
+
+    if dataclasses.is_dataclass(node):
+        for fld in dataclasses.fields(node):
+            if fld.name in ("field", "fields"):
+                continue
+            _walk(getattr(node, fld.name))

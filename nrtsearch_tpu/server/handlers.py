@@ -15,7 +15,7 @@ from google.protobuf.json_format import MessageToDict
 
 from nrtsearch_tpu.core.searcher import SortSpec
 from nrtsearch_tpu.gen import pb
-from nrtsearch_tpu.query.plan import parse_query
+from nrtsearch_tpu.query.plan import parse_query, validate_fields
 from nrtsearch_tpu.search import collectors as coll
 from nrtsearch_tpu.search.fetch import fill_hit_fields_pb
 from nrtsearch_tpu.state.global_state import GlobalState
@@ -487,6 +487,14 @@ class Handlers:
             has_query = True
         node = self._resolve_cross_index(node)
 
+        # unknown field names anywhere in the tree fail loudly up front
+        # (reference: QueryNodeMapper getFieldDef throws); request-level
+        # virtual/runtime fields are legal references too
+        known = dict(field_defs)
+        for vf in list(req.virtualFields) + list(req.runtimeFields):
+            known.setdefault(vf.name, None)
+        validate_fields(node, known)
+
         sort = self._parse_sort(req, field_defs)
 
         # reference semantics (SearchHandler.getHitsFromOffset:696): topHits is
@@ -528,12 +536,14 @@ class Handlers:
             td = arrays = None
             if (
                 self.batcher is not None
-                and sort is None and not need_arrays and not req.knn
+                and not need_arrays and not req.knn
                 and not timeout_sec and not terminate_after
             ):
-                # micro-batching: concurrent eligible text queries coalesce
-                # into one fused device dispatch (server/batcher.py)
-                spec = searcher.fast_query_spec(node)
+                # micro-batching: concurrent eligible queries coalesce into
+                # one fused device dispatch (server/batcher.py). Sorted and
+                # filtered boolean shapes batch too — the fused kernel takes
+                # per-query filter masks / sort keys (packed_view.QuerySpec).
+                spec = searcher.compile_batchable(node, sort)
                 if spec is not None:
                     td = self.batcher.search(searcher, spec, fetch_n)
             if td is None:
@@ -1303,7 +1313,39 @@ class Handlers:
             )
         return out
 
+    def _validate_collector_fields(self, specs, field_defs) -> None:
+        for name, spec in specs.items():
+            which = spec.WhichOneof("Collectors")
+            field = None
+            if which == "terms" and not spec.terms.HasField("script"):
+                field = spec.terms.field
+            elif which in ("max", "min", "sum") and not getattr(
+                spec, which
+            ).HasField("script"):
+                field = getattr(spec, which).field
+            if field:
+                fd = field_defs.get(field)
+                if fd is None:
+                    raise ValueError(
+                        f"collector {name!r}: unknown field {field!r}"
+                    )
+                if not fd.store_doc_values:
+                    raise ValueError(
+                        f"collector {name!r}: field {field!r} has no doc "
+                        "values (storeDocValues=true required)"
+                    )
+            if spec.nestedCollectors:
+                self._validate_collector_fields(
+                    dict(spec.nestedCollectors), field_defs
+                )
+
     def _run_collectors(self, specs, results_map, matches) -> None:
+        # validate field references up-front: an unknown or docvalue-less
+        # field fails the request loudly instead of returning empty buckets
+        # (reference: CollectorCreator resolves FieldDef or throws,
+        # server/search/collectors/CollectorCreator.java)
+        field_defs = matches.searcher.field_defs
+        self._validate_collector_fields(specs, field_defs)
         # fused pre-pass: every flat field-sourced reduction in this request
         # (terms counts, sum/min/max, hitCount) executes in ONE device call
         # per segment instead of one round trip per collector

@@ -37,6 +37,26 @@ def searcher():
     return Searcher(w.segments, FIELDS, version=1)
 
 
+@pytest.fixture(scope="module")
+def searcher_sortable():
+    import random
+
+    rng = random.Random(7)
+    words = "alpha beta gamma delta epsilon".split()
+    fields = dict(FIELDS)
+    fields["price"] = create_field_def(
+        "price", {"type": "INT", "storeDocValues": True, "sort": True}
+    )
+    w = IndexWriter(fields)
+    w.add_documents([
+        {"id": str(i), "t": " ".join(rng.choice(words) for _ in range(8)),
+         "price": (i * 13) % 251}
+        for i in range(200)
+    ])
+    w.refresh()
+    return Searcher(w.segments, fields, version=1)
+
+
 def test_concurrent_searches_match_sequential(searcher):
     batcher = SearchBatcher(max_batch=8, window_ms=20.0)
     try:
@@ -121,5 +141,62 @@ def test_batcher_error_propagates(searcher):
         spec = searcher2.fast_query_spec(node)
         with pytest.raises(Boom):
             batcher.search(searcher2, spec, 10)
+    finally:
+        batcher.stop()
+
+
+def test_mixed_sorted_filtered_batch(searcher_sortable):
+    """Widened eligibility: sorted, filtered, and plain queries coalesce in
+    ONE batch and each returns exactly its sequential result (VERDICT r2
+    item #7 — the fused kernel takes per-query filter masks / sort keys)."""
+    from nrtsearch_tpu.core.searcher import SortSpec
+
+    searcher = searcher_sortable
+    batcher = SearchBatcher(max_batch=8, window_ms=50.0)
+    try:
+        plain = parse_query({"matchQuery": {"field": "t", "query": "alpha beta"}})
+        filtered = parse_query({"booleanQuery": {"clauses": [
+            {"occur": "MUST", "query": {
+                "matchQuery": {"field": "t", "query": "gamma"}}},
+            {"occur": "FILTER", "query": {
+                "rangeQuery": {"field": "price", "upper": "120"}}},
+        ]}})
+        sorted_node = parse_query({"matchQuery": {"field": "t", "query": "beta"}})
+        sort = SortSpec(field="price", reverse=False)
+
+        jobs = [
+            ("plain", plain, None),
+            ("filtered", filtered, None),
+            ("sorted", sorted_node, sort),
+            ("sorted_filtered", filtered, sort),
+        ]
+        expected = {
+            name: searcher.search(node, 10, sort=s) for name, node, s in jobs
+        }
+
+        results, errors = {}, []
+        barrier = threading.Barrier(len(jobs))
+
+        def run(name, node, s):
+            try:
+                barrier.wait()
+                spec = searcher.compile_batchable(node, s)
+                assert spec is not None, name
+                results[name] = batcher.search(searcher, spec, 10)
+            except Exception as e:  # pragma: no cover
+                errors.append((name, e))
+
+        threads = [threading.Thread(target=run, args=j) for j in jobs]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
+        for name, node, s in jobs:
+            got, want = results[name], expected[name]
+            assert got.total_hits == want.total_hits, name
+            assert [h.global_ord for h in got.hits] == [
+                h.global_ord for h in want.hits
+            ], name
     finally:
         batcher.stop()
