@@ -29,6 +29,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
+# the axon TPU plugin prepends itself to jax_platforms, overriding the env
+# var — pin the config before any backend init (same as tests/conftest.py)
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 NUM_DOCS = int(os.environ.get("GRPCB_NUM_DOCS", 50_000))
 QUERIES_PER_CLIENT = int(os.environ.get("GRPCB_QUERIES_PER_CLIENT", 40))
 LEVELS = [int(x) for x in os.environ.get("GRPCB_LEVELS", "1,4,16,32").split(",")]

@@ -124,6 +124,35 @@ class TextFieldIndex:
         tid = self.terms.get(term)
         return 0 if tid is None else int(self.lengths[tid])
 
+    def sorted_terms(self) -> np.ndarray:
+        """Lazily-built sorted term vocabulary (unicode numpy array).
+
+        The TPU-side analogue of the reference's prefix acceleration
+        (PrefixFieldDef.java:33 materializes prefix terms; Lucene's FST term
+        dict walks ranges): a sorted array + binary search turns O(vocab)
+        prefix scans into O(log V + matches). Built once per segment field
+        on first multi-term query, cached for the segment's lifetime
+        (segments are immutable)."""
+        cached = getattr(self, "_sorted_terms", None)
+        if cached is None:
+            cached = np.sort(np.array(list(self.terms), dtype=object))
+            object.__setattr__(self, "_sorted_terms", cached)
+        return cached
+
+    def terms_with_prefix(self, prefix: str, limit: int) -> list[str]:
+        """Up to ``limit`` vocabulary terms starting with ``prefix``, in
+        lexicographic order (binary search over sorted_terms)."""
+        st = self.sorted_terms()
+        if not prefix:
+            return list(st[: max(limit, 0)])
+        lo = int(np.searchsorted(st, prefix, side="left"))
+        out: list[str] = []
+        for i in range(lo, len(st)):
+            if len(out) >= limit or not st[i].startswith(prefix):
+                break
+            out.append(st[i])
+        return out
+
 
 @dataclass(frozen=True)
 class DocValueColumn:

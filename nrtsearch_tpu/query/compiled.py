@@ -278,7 +278,7 @@ def prepare(node: qp.QueryNode, prep: _Prep) -> CNode:
                 for t in terms:
                     expanded.extend(
                         qeval._fuzzy_expand(
-                            tfi.terms, t, node.fuzzy_max_edits,
+                            tfi, t, node.fuzzy_max_edits,
                             node.fuzzy_prefix_length, node.fuzzy_max_expansions,
                         )
                     )
@@ -342,8 +342,7 @@ def prepare(node: qp.QueryNode, prep: _Prep) -> CNode:
         tfi = seg.fields.get(node.field)
         if tfi is None:
             return _none()
-        expanded = [t for t in tfi.terms if t.startswith(node.prefix)]
-        expanded = expanded[: node.max_expansions]
+        expanded = tfi.terms_with_prefix(node.prefix, node.max_expansions)
         return _prep_text(
             prep, node.field, expanded, [0.0] * len(expanded), "SHOULD", 0,
             node.boost, scored=False,
@@ -353,7 +352,7 @@ def prepare(node: qp.QueryNode, prep: _Prep) -> CNode:
         if tfi is None or not node.text:
             return _none()
         expanded = qeval._fuzzy_expand(
-            tfi.terms, node.text, node.max_edits, node.prefix_length,
+            tfi, node.text, node.max_edits, node.prefix_length,
             node.max_expansions,
         )
         return _prep_text(
@@ -362,12 +361,15 @@ def prepare(node: qp.QueryNode, prep: _Prep) -> CNode:
         )
     if isinstance(node, qp.WildcardQueryNode):
         import fnmatch
+        import re as _re
 
         tfi = seg.fields.get(node.field)
         if tfi is None:
             return _none()
+        lit = _re.split(r"[*?\[]", node.pattern, 1)[0]
+        cands = tfi.terms_with_prefix(lit, len(tfi.terms)) if lit else tfi.terms
         expanded = [
-            t for t in tfi.terms if fnmatch.fnmatchcase(t, node.pattern)
+            t for t in cands if fnmatch.fnmatchcase(t, node.pattern)
         ][: node.max_expansions]
         return _prep_text(
             prep, node.field, expanded, [0.0] * len(expanded), "SHOULD", 0,
