@@ -31,6 +31,8 @@ import numpy as np
 
 # the axon TPU plugin prepends itself to jax_platforms, overriding the env
 # var — pin the config before any backend init (same as tests/conftest.py)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.3")
 if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
     import jax
 
@@ -66,6 +68,10 @@ def main() -> None:
     server = NrtsearchServer(NrtsearchConfig.from_dict({
         "stateDir": f"{tmp}/state", "indexDir": f"{tmp}/index",
         "nodeName": "bench",
+        "microBatch": {
+            "enabled": os.environ.get("GRPCB_NO_BATCH", "0") != "1",
+            "windowMs": float(os.environ.get("GRPCB_WINDOW_MS", "1.0")),
+        },
     }))
     port = server.start(0)
     c = NrtsearchClient(f"localhost:{port}")

@@ -220,19 +220,20 @@ def main():
         assert td.hits
 
     def run_faceted():
-        # arrays_score_free mirrors the serving handler's decision for this
-        # collector set (terms + sum read masks only): recall rides the fast
-        # kernel and masks come from the compiled match program
-        td, arrays = searcher.search(next_q(), TOP_K, return_arrays=True,
-                                     arrays_score_free=True)
-        matches = SegmentMatches(searcher, [m for _, m in arrays])
-        # the serving path (handlers) fuses flat reductions into one call
-        from nrtsearch_tpu.search.collectors import fused_flat_reductions
-
-        facets, total_price = fused_flat_reductions(matches, [
-            {"kind": "ordinal", "field": "tag"},
-            {"kind": "stat", "field": "price", "op": "sum"},
-        ])
+        # mirrors the serving handler's round-3 decision for this collector
+        # set: facet counts + sum accumulate over the fused kernel's own
+        # unique-match stream in the SAME dispatch as recall — no dense [D]
+        # match mask is materialized (handlers._kernel_reduce_plan)
+        q = next_q()
+        spec = searcher.compile_batchable(q, None)
+        if spec is None:
+            raise RuntimeError("stress query no longer batchable")
+        td, (facets, total_price) = searcher.fast_search_reduce(
+            spec, TOP_K, [
+                {"kind": "ordinal", "field": "tag"},
+                {"kind": "sum", "field": "price"},
+            ],
+        )
         assert facets and total_price > 0
 
     results = {}

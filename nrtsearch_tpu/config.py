@@ -32,6 +32,16 @@ def _substitute_env(value: Any) -> Any:
     return value
 
 
+def _default_grpc_threads() -> int:
+    """gRPC handler pool sizing (reference: ThreadPoolConfiguration's
+    available-processors default). Handler threads mostly BLOCK on the
+    serving micro-batcher, so the pool must exceed the target formed-batch
+    size or batching can never coalesce past the pool width."""
+    import os as _os
+
+    return min(64, max(16, 2 * (_os.cpu_count() or 8)))
+
+
 @dataclass
 class ThreadPoolConfig:
     """Named executor pools (reference: ThreadPoolConfiguration.java:29-65)."""
@@ -39,7 +49,7 @@ class ThreadPoolConfig:
     search_threads: int = 4
     index_threads: int = 4
     fetch_threads: int = 4
-    grpc_threads: int = 8
+    grpc_threads: int = field(default_factory=_default_grpc_threads)
     commit_threads: int = 2
     retriever_threads: int = 4
     remote_threads: int = 4
@@ -50,7 +60,9 @@ class ThreadPoolConfig:
             search_threads=int(d.get("search", {}).get("maxThreads", 4)),
             index_threads=int(d.get("index", {}).get("maxThreads", 4)),
             fetch_threads=int(d.get("fetch", {}).get("maxThreads", 4)),
-            grpc_threads=int(d.get("grpc", {}).get("maxThreads", 8)),
+            grpc_threads=int(
+                d.get("grpc", {}).get("maxThreads", _default_grpc_threads())
+            ),
             commit_threads=int(d.get("commit", {}).get("maxThreads", 2)),
             retriever_threads=int(d.get("retriever", {}).get("maxThreads", 4)),
             remote_threads=int(d.get("remote", {}).get("maxThreads", 4)),

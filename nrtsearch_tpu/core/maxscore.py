@@ -257,7 +257,8 @@ class PrunedIndex:
 
     def _dispatch(self, rows, n_terms, k: int, require_all: bool,
                   filter_mask=None, additive=None, sort=None, force=(0, 0),
-                  device_out: bool = False, count_threshold=None):
+                  device_out: bool = False, count_threshold=None,
+                  reduce_cols=(), reduce_kinds=()):
         import jax
         import jax.numpy as jnp
 
@@ -290,6 +291,7 @@ class PrunedIndex:
                 None if count_threshold is None
                 else jnp.asarray(count_threshold, jnp.float32)
             ),
+            reduce_cols=reduce_cols, reduce_kinds=reduce_kinds,
         )
         if device_out:
             return out, (run_len, offs.shape[1])
@@ -306,6 +308,8 @@ class PrunedIndex:
         force_theta=(0, 0),
         force_essential=(0, 0),
         force_full=(0, 0),
+        reduce_cols=(),
+        reduce_kinds=(),
     ) -> list[tuple[np.ndarray, np.ndarray, int, bool]]:
         """Batched MaxScore-or-full search.
 
@@ -314,6 +318,12 @@ class PrunedIndex:
         (the WAND relation contract)."""
         B = len(queries)
         results: list = [None] * B
+        reductions_out: dict[int, list] = {}
+        if reduce_kinds:
+            # flat reductions read the FULL unique-match stream; pruned
+            # dispatches drop provably non-competitive postings, so facet /
+            # stat requests always take the exact full-width path
+            prune = False
         full_idx: list[int] = []
         pruned: list[dict] = []  # per prunable query: plan state
 
@@ -323,6 +333,8 @@ class PrunedIndex:
                     np.full(k, -np.inf, np.float32), np.zeros(k, np.int64),
                     0, True,
                 )
+                if reduce_kinds:
+                    reductions_out[i] = _zero_reductions(reduce_kinds)
                 continue
             plan = self._plan_theta(q, k) if prune else None
             if plan is None:
@@ -336,7 +348,11 @@ class PrunedIndex:
                              shape_log, force_theta, force_essential)
 
         if full_idx:
-            self._run_full(queries, full_idx, k, results, shape_log, force_full)
+            self._run_full(queries, full_idx, k, results, shape_log,
+                           force_full, reduce_cols, reduce_kinds,
+                           reductions_out)
+        if reduce_kinds:
+            return results, [reductions_out[i] for i in range(B)]
         return results
 
     # -- pruned path -------------------------------------------------------------
@@ -510,7 +526,8 @@ class PrunedIndex:
 
     # -- full path ---------------------------------------------------------------
 
-    def _run_full(self, queries, idxs, k, results, shape_log, force_full):
+    def _run_full(self, queries, idxs, k, results, shape_log, force_full,
+                  reduce_cols=(), reduce_kinds=(), reductions_out=None):
         groups = _group_by_arrays([queries[i] for i in idxs], idxs)
         for key, gidx in groups:
             fmask, addv = key[0], key[1]
@@ -527,18 +544,41 @@ class PrunedIndex:
             n_terms = [queries[i]["n_terms"] for i in gidx]
             n_terms = n_terms + [1] * (len(rows) - len(n_terms))
             req = any(queries[i].get("require_all") for i in gidx)
-            (s2, d2, h2), shp = self._dispatch(
+            out, shp = self._dispatch(
                 rows, n_terms, k, req, filter_mask=fmask, additive=addv,
                 sort=srt, force=force_full,
+                reduce_cols=reduce_cols, reduce_kinds=reduce_kinds,
             )
+            if reduce_kinds:
+                s2, d2, h2, reds = out
+            else:
+                s2, d2, h2 = out
             _log_shape(shape_log, "full", shp)
             for row_i, i in enumerate(gidx):
+                if reduce_kinds and reductions_out is not None:
+                    reductions_out[i] = [np.asarray(r[row_i]) for r in reds]
                 kk = s2[row_i].shape[0]
                 out_s = np.full(k, -np.inf, np.float32)
                 out_d = np.zeros(k, np.int64)
                 out_s[: min(k, kk)] = s2[row_i][:k]
                 out_d[: min(k, kk)] = d2[row_i][:k].astype(np.int64)
                 results[i] = (out_s, out_d, int(h2[row_i]), True)
+
+
+def _zero_reductions(reduce_kinds) -> list:
+    out = []
+    for kind in reduce_kinds:
+        if kind[0] == "ordinal":
+            out.append(np.zeros(int(kind[1]), np.int32))
+        elif kind[0] == "count":
+            out.append(np.int32(0))
+        elif kind[0] == "sum":
+            out.append(np.float32(0.0))
+        elif kind[0] == "min":
+            out.append(np.float32(np.inf))
+        else:
+            out.append(np.float32(-np.inf))
+    return out
 
 
 def _log_shape(shape_log, key, shp):

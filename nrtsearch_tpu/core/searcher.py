@@ -375,6 +375,79 @@ class Searcher:
             cache[field] = PackedFieldView(self, field)
         return cache[field]
 
+    def fast_search_reduce(self, spec, top_hits: int, reduce_plan):
+        """Fused search + flat reductions in ONE dispatch (VERDICT r2 #3).
+
+        ``reduce_plan``: list of {"kind": "ordinal"|"sum"|"min"|"max"|
+        "count", "field": name-or-None}. Facet counts / stats accumulate
+        over the kernel's own unique-match stream — the dense [D] match
+        mask (a postings scatter at 8.8M-doc scale) is never materialized.
+        Returns (TopDocs, [per-spec result]); ordinal results are
+        {term: count} dicts keyed by the packed view's global ordinal
+        dictionary. Reference role: one-pass collection —
+        DrillSidewaysImpl counts during the same doc walk that scores."""
+        view = self.packed_view(spec.field)
+        cols, kinds = [], []
+        labels: list = []
+        for rp in reduce_plan:
+            kind = rp["kind"]
+            if kind == "count":
+                cols.append((None, None))
+                kinds.append(("count",))
+                labels.append(None)
+                continue
+            col = view.global_column(rp["field"])
+            if kind == "ordinal":
+                if col["ord_terms"] is None:
+                    raise ValueError(
+                        f"field {rp['field']!r} is not an ORDINAL doc-value "
+                        "field"
+                    )
+                kinds.append(("ordinal", len(col["ord_terms"]) or 1))
+            else:
+                kinds.append((kind,))
+            cols.append((col["values"], col["present"]))
+            labels.append(col["ord_terms"])
+        # the count spec needs placeholder arrays the reducer skips
+        import jax.numpy as jnp
+
+        zero = jnp.zeros(1, jnp.float32)
+        cols = [
+            (zero, None) if v is None else (v, p) for v, p in cols
+        ]
+        results, reds = view.search_batch(
+            [spec], top_hits, reduce_cols=tuple(cols),
+            reduce_kinds=tuple(kinds),
+        )
+        td = self._fast_result_to_topdocs(spec, results[0], top_hits)
+        out = []
+        for rp, kind, lab, r in zip(reduce_plan, kinds, labels, reds[0]):
+            if kind[0] == "ordinal":
+                out.append({
+                    t: int(c) for t, c in zip(lab, np.asarray(r)) if c
+                })
+            else:
+                out.append(
+                    int(r) if kind[0] == "count" else float(r)
+                )
+        return td, out
+
+    def _fast_result_to_topdocs(self, spec, res, top_hits: int):
+        hits: list[Hit] = []
+        for s, d in zip(res.scores, res.docs):
+            if s == -np.inf:
+                break
+            seg_idx = int(np.searchsorted(self.bases, d, side="right")) - 1
+            local = int(d) - int(self.bases[seg_idx])
+            if spec.sort is not None:
+                hits.append(Hit(seg_idx, local, int(d), 0.0, sort_key=float(s)))
+            else:
+                hits.append(Hit(seg_idx, local, int(d), float(s)))
+        td = TopDocs(hits[:top_hits], res.total_hits)
+        if res.pruned:
+            td.relation = "GREATER_THAN_OR_EQUAL_TO"
+        return td
+
     def warm(self, fields: Sequence[str]) -> None:
         """Eagerly build packed views (called at refresh so the first query
         after an NRT point doesn't pay the pack + compile)."""

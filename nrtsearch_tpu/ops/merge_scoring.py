@@ -308,6 +308,7 @@ def segmented_scores(docs_sorted, contribs, max_seg: int = 0):
     jax.jit,
     static_argnames=(
         "run_len", "k", "require_all_terms", "use_pallas", "sort_ascending",
+        "reduce_kinds",
     ),
 )
 def merge_score_topk(
@@ -343,6 +344,10 @@ def merge_score_topk(
                                # (the MaxScore window-coverage certificate,
                                # core/maxscore.py — counting is one extra
                                # reduce over the already-masked stream)
+    reduce_cols=(),            # per flat reduction, (values [D], present)
+                               # device columns (see _flat_reductions)
+    reduce_kinds=(),           # static: per reduction ("ordinal", n) |
+                               # ("sum"|"min"|"max",) | ("count",)
 ):
     """Fused scatter-free retrieval. Returns (scores [B,k], docs [B,k], hits [B])
     plus, when ``count_threshold`` is given, counts [B] of docs at/above it.
@@ -378,6 +383,11 @@ def merge_score_topk(
                 max_seg=term_offsets.shape[1], require_all=require_all_terms,
             )
             total_hits = jnp.sum(masked > -jnp.inf, axis=-1, dtype=jnp.int32)
+            reductions = (
+                _flat_reductions(masked > -jnp.inf, docs, reduce_cols,
+                                 reduce_kinds)
+                if reduce_kinds else None
+            )
             if sort_keys is not None:
                 masked = _rank_by_keys(masked, docs, sort_keys, sort_ascending)
             elif additive is not None:
@@ -396,12 +406,15 @@ def merge_score_topk(
                     dtype=jnp.int32,
                 )
                 return top_scores, top_docs, total_hits, n_above
+            if reductions is not None:
+                return top_scores, top_docs, total_hits, reductions
             return top_scores, top_docs, total_hits
         return _finish(
             docs, contribs, n_terms, k, require_all_terms,
             max_seg=term_offsets.shape[1], additive=additive,
             sort_keys=sort_keys, sort_ascending=sort_ascending,
             count_threshold=count_threshold,
+            reduce_cols=reduce_cols, reduce_kinds=reduce_kinds,
         )
 
     def gather_runs(offs, lens, weights):
@@ -434,6 +447,7 @@ def merge_score_topk(
         max_seg=term_offsets.shape[1], additive=additive,
         sort_keys=sort_keys, sort_ascending=sort_ascending,
         count_threshold=count_threshold,
+        reduce_cols=reduce_cols, reduce_kinds=reduce_kinds,
     )
 
 
@@ -499,13 +513,79 @@ def _rank_by_keys(masked, docs, sort_keys, ascending: bool):
     return jnp.where(masked > -jnp.inf, keys, -jnp.inf)
 
 
+def _flat_reductions(match, docs, reduce_cols, reduce_kinds):
+    """Flat field reductions over the fused kernel's unique-match stream.
+
+    The facet/stat lever of VERDICT r2 #3: instead of materializing a dense
+    [D] match mask (a postings scatter at 8.8M-doc scale) and reducing that,
+    reductions ride the kernel's own (docs, match) stream — one [B, W]
+    gather of the doc-value column plus a vmapped per-ordinal masked reduce
+    (the pattern that beats TPU scatter-add ~75x in search/collectors.py).
+    Matches Lucene's one-pass collection (DrillSidewaysImpl counts during
+    the same doc walk that scores).
+
+    match: bool [B, W] — True exactly at unique matched docs' tail slots.
+    docs:  int32 [B, W] global doc ords (value at non-tail slots irrelevant).
+    reduce_cols: per spec, (values [D], present-or-None) device arrays;
+      ordinal columns hold the GLOBAL ordinal (int, -1/absent => present
+      False), stat columns float32.
+    reduce_kinds: per spec, ("ordinal", n_ords) | ("sum"|"min"|"max",) |
+      ("count",).
+    Returns a list: int32 [B, n_ords] for ordinal, f32 [B] for stats,
+    int32 [B] for count.
+    """
+    out = []
+    for (vals, present), kind in zip(reduce_cols, reduce_kinds):
+        if kind[0] == "count":
+            out.append(jnp.sum(match, axis=-1, dtype=jnp.int32))
+            continue
+        D = vals.shape[0]
+        safe = jnp.clip(docs, 0, D - 1)
+        g = vals[safe]
+        eff = match
+        if present is not None:
+            eff = eff & present[safe]
+        if kind[0] == "ordinal":
+            n_ords = int(kind[1])
+            ords = jnp.arange(n_ords, dtype=g.dtype)
+            gi = g.astype(jnp.int32)
+            eff_o = eff & (gi >= 0)
+            out.append(
+                jax.vmap(
+                    lambda o, _e=eff_o, _v=gi: jnp.sum(
+                        _e & (_v == o), axis=-1, dtype=jnp.int32
+                    ),
+                    out_axes=1,
+                )(ords.astype(jnp.int32))
+            )
+        elif kind[0] == "sum":
+            v = g.astype(jnp.float64) if g.dtype == jnp.float64 else g.astype(jnp.float32)
+            out.append(jnp.sum(jnp.where(eff, v, 0), axis=-1))
+        elif kind[0] == "min":
+            out.append(jnp.min(
+                jnp.where(eff, g.astype(jnp.float32), jnp.inf), axis=-1
+            ))
+        elif kind[0] == "max":
+            out.append(jnp.max(
+                jnp.where(eff, g.astype(jnp.float32), -jnp.inf), axis=-1
+            ))
+        else:
+            raise ValueError(f"unknown reduction kind: {kind!r}")
+    return out
+
+
 def _finish(docs, contribs, n_terms, k: int, require_all_terms: bool,
             max_seg: int = 0, additive=None, sort_keys=None,
-            sort_ascending: bool = True, count_threshold=None):
+            sort_ascending: bool = True, count_threshold=None,
+            reduce_cols=(), reduce_kinds=()):
     seg_scores, seg_counts, tail, valid = segmented_scores(docs, contribs, max_seg)
     ok = tail & valid & (seg_scores > 0.0)
     if require_all_terms:
         ok = ok & (seg_counts >= n_terms[:, None])
+    reductions = (
+        _flat_reductions(ok, docs, reduce_cols, reduce_kinds)
+        if reduce_kinds else None
+    )
     if additive is not None and sort_keys is None:
         D = additive.shape[0]
         seg_scores = seg_scores + additive[jnp.clip(docs, 0, D - 1)]
@@ -522,4 +602,6 @@ def _finish(docs, contribs, n_terms, k: int, require_all_terms: bool,
             masked >= count_threshold[:, None], axis=-1, dtype=jnp.int32
         )
         return top_scores, top_docs, total_hits, n_above
+    if reductions is not None:
+        return top_scores, top_docs, total_hits, reductions
     return top_scores, top_docs, total_hits

@@ -124,7 +124,10 @@ class SearchBatcher:
             # program shapes stay bounded (empty specs plan zero runs)
             from nrtsearch_tpu.core.packed_view import QuerySpec
 
-            b_pad = _pow2(len(specs), 1)
+            # floor of 8 bounds compiled batch shapes to {8,16,32,...}: under
+            # concurrency, ragged group sizes otherwise mint one compiled
+            # program per pow2 size per width bucket (compile storms at p99)
+            b_pad = min(_pow2(len(specs), 8), _pow2(self.max_batch, 1))
             pad_spec = QuerySpec(field=specs[0].field, terms=())
             specs = specs + [pad_spec] * (b_pad - len(specs))
             results = searcher.fast_search_batch(specs, k)

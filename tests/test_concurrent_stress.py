@@ -183,3 +183,80 @@ def test_concurrent_search_index_replicate(cluster):
     q.query.matchAllQuery.SetInParent()
     totals = {c.search(q).totalHits.value for c in [p_client, *r_clients]}
     assert totals == {expected}
+
+
+def test_commit_and_gc_during_replica_join(tmp_path):
+    """A replica joins MID-STREAM while the primary keeps publishing,
+    committing, and GC-ing stale files — the classic copy-vs-commit race
+    (reference: ReplicationFailureScenariosTest concurrent commit cases +
+    IndexWriter deleter protecting in-copy files). Asserts the join copy
+    never errors and the replica converges to the primary's final count."""
+    state = str(tmp_path / "state")
+    primary = NrtsearchServer(NrtsearchConfig.from_dict(
+        {"stateDir": state, "indexDir": str(tmp_path / "p"),
+         "nodeName": "primary"}
+    ))
+    p_port = primary.start(0)
+    p_client = NrtsearchClient(f"localhost:{p_port}")
+    p_client.create_index("idx")
+    p_client.register_fields(pb.FieldDefRequest(indexName="idx", field=FIELDS))
+    p_client.start_index(pb.StartIndexRequest(
+        indexName="idx", mode=pb.Mode.PRIMARY, primaryGen=1))
+
+    errors: list[str] = []
+    done = threading.Event()
+
+    def churn():
+        # every batch: index + refresh(publish); commit + forceMerge churn
+        # rewrites segment files so the GC path runs while copies stream
+        try:
+            for b in range(14):
+                p_client.add_documents(
+                    iter([_doc(b * BATCH_SIZE + i) for i in range(BATCH_SIZE)])
+                )
+                p_client.refresh("idx")
+                p_client.commit("idx")
+                if b % 3 == 2:
+                    p_client.force_merge("idx", 1)
+                    p_client.refresh("idx")
+                time.sleep(0.01)
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"churn: {e!r}")
+        finally:
+            done.set()
+
+    t = threading.Thread(target=churn)
+    t.start()
+    time.sleep(0.15)  # let several points publish first
+
+    # replica joins mid-churn: its initial full copy races commits + merges
+    rep = NrtsearchServer(NrtsearchConfig.from_dict(
+        {"stateDir": state, "indexDir": str(tmp_path / "r"),
+         "nodeName": "replica"}
+    ))
+    rep.start(0)
+    rc = NrtsearchClient(f"localhost:{rep.port}")
+    try:
+        rc.start_index(pb.StartIndexRequest(
+            indexName="idx", mode=pb.Mode.REPLICA,
+            primaryAddress=f"localhost:{primary.replication_port}",
+        ))
+        t.join(timeout=180)
+        assert not t.is_alive(), "churn thread hung"
+        assert not errors, errors
+
+        expected = p_client.stats("idx").numDocs
+        assert expected == 14 * BATCH_SIZE
+        deadline = time.time() + 60
+        got = -1
+        while time.time() < deadline:
+            got = rc.stats("idx").numDocs
+            if got == expected:
+                break
+            time.sleep(0.25)
+        assert got == expected, f"replica stuck at {got}/{expected}"
+    finally:
+        rc.close()
+        p_client.close()
+        rep.stop()
+        primary.stop()

@@ -4,6 +4,7 @@ import json
 import time
 import urllib.request
 
+import grpc
 import pytest
 
 from nrtsearch_tpu.client import NrtsearchClient
@@ -271,3 +272,55 @@ def test_plugin_script_engine(tmp_path):
     # default lang still the expression compiler
     fn2 = compile_expression("1 + 2")
     assert float(np.asarray(fn2({}, np.zeros(1)))) == 3.0
+
+
+def test_plugin_collector_and_logging_hits(tmp_path):
+    """pluginCollector (reference: CollectorCreator, search.proto
+    PluginCollector=2 in the Collectors oneof) + the loggingHits request
+    surface (reference: LoggingHits / HitsLoggerFetchTask): the logger
+    receives hitsToLog hits even when that exceeds the returned page."""
+    from google.protobuf import struct_pb2
+
+    srv, client = _mk_server(tmp_path, "pc")
+    _fill(client, n=6)
+
+    def count_and_echo(matches, params):
+        from nrtsearch_tpu.search.collectors import hit_count
+        return {"matched": float(hit_count(matches)),
+                "echo": params.get("tagline", "")}
+
+    srv.plugins.register_collector("counter", count_and_echo)
+    logged = []
+    srv.plugins.register_hits_logger(
+        "audit", lambda idx, req, hits, **kw: logged.append(
+            (idx, len(hits), kw.get("params", {}))
+        )
+    )
+
+    req = pb.SearchRequest(indexName="idx", topHits=2, retrieveFields=["id"])
+    req.query.matchQuery.field = "t"
+    req.query.matchQuery.query = "sample"
+    pc = req.collectors["stats"].pluginCollector
+    pc.name = "counter"
+    pc.params.update({"tagline": "hi"})
+    req.loggingHits.name = "audit"
+    req.loggingHits.hitsToLog = 5
+    req.loggingHits.params.update({"who": "test"})
+    resp = client.search(req)
+
+    # page is 2 hits; the logger saw 5 (hitsToLog widened the fetch window)
+    assert len(resp.hits) == 2
+    assert logged == [("idx", 5, {"who": "test"})]
+    st = struct_pb2.Struct()
+    resp.collectorResults["stats"].anyResult.Unpack(st)
+    assert st["matched"] == 6.0 and st["echo"] == "hi"
+
+    # unknown plugin collector name fails loudly
+    bad = pb.SearchRequest(indexName="idx", topHits=1)
+    bad.query.matchAllQuery.SetInParent()
+    bad.collectors["x"].pluginCollector.name = "nope"
+    with pytest.raises(grpc.RpcError):
+        client.search(bad)
+
+    client.close()
+    srv.stop()
