@@ -297,6 +297,107 @@ class PrunedIndex:
             return out, (run_len, offs.shape[1])
         return jax.device_get(out), (run_len, offs.shape[1])
 
+    # -- doc-space chunked search (in-dispatch timeout) --------------------------
+
+    def split_rows(self, rows, boundaries: np.ndarray) -> np.ndarray:
+        """Per-run doc-boundary split offsets via DEVICE bisection.
+
+        ``rows``: [(offset, length, weight)]; ``boundaries``: ascending doc
+        ids [C-1]. Returns int32 [len(rows), C+1] split points (run-relative,
+        monotone, [0] = 0, [-1] = length): chunk c of run r is
+        [splits[r, c], splits[r, c+1]). Postings are doc-sorted per run, so
+        32 vectorized bisection steps over [R, C-1] gathers do all runs at
+        once — the packed view keeps no host postings copy to searchsorted.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        R, C1 = len(rows), len(boundaries)
+        if R == 0:
+            return np.zeros((0, C1 + 2), np.int32)
+        offs = jnp.asarray([int(o) for o, _, _ in rows], jnp.int32)[:, None]
+        lens = jnp.asarray([int(ln) for _, ln, _ in rows], jnp.int32)[:, None]
+        bounds = jnp.asarray(boundaries, jnp.int32)[None, :]
+
+        @jax.jit
+        def bisect(post_docs, offs, lens, bounds):
+            lo = jnp.zeros((offs.shape[0], bounds.shape[1]), jnp.int32)
+            hi = jnp.broadcast_to(lens, lo.shape)
+            for _ in range(32):
+                mid = (lo + hi) >> 1
+                idx = offs + jnp.clip(mid, 0, jnp.maximum(lens - 1, 0))
+                v = post_docs[idx]
+                go_right = (v < bounds) & (mid < hi)
+                lo = jnp.where(go_right, mid + 1, lo)
+                hi = jnp.where(go_right, hi, mid)
+            return lo
+
+        mids = np.asarray(bisect(self.doc_ids, offs, lens, bounds))
+        out = np.zeros((R, C1 + 2), np.int32)
+        out[:, 1:-1] = mids
+        out[:, -1] = [int(ln) for _, ln, _ in rows]
+        return out
+
+    def search_chunked(
+        self, query: dict, k: int, deadline: float, chunks: int = 8,
+    ):
+        """One query over doc-space chunks with a deadline check BETWEEN
+        chunk dispatches (the reference checks its cutoff per collect:
+        SearchCutoffWrapper.java:41; a single fused dispatch cannot be
+        preempted, so the packed view is cut into docid-ascending chunks).
+
+        On timeout the collected prefix is exact over the docs visited —
+        Lucene's early-termination contract: partial hits, count is a lower
+        bound. Returns (scores [k], docs [k], hits, timed_out)."""
+        import time as _time
+
+        rows = [
+            (int(self.run_offsets[r]), int(self.run_lengths[r]), w)
+            for w, runs in query["entries"]
+            for r in runs
+            if self.run_lengths[r]
+        ]
+        if not rows:
+            return (np.full(k, -np.inf, np.float32), np.zeros(k, np.int64),
+                    0, False)
+        chunk_docs = -(-self.max_doc // max(chunks, 1))
+        boundaries = np.arange(1, chunks, dtype=np.int64) * chunk_docs
+        splits = self.split_rows(rows, boundaries)
+        fmask, addv = query.get("filter"), query.get("additive")
+        srt = query.get("sort")
+        req = bool(query.get("require_all"))
+        n_terms = query.get("n_terms", 1)
+
+        best: list[tuple] = []   # (score, doc) accumulated across chunks
+        total = 0
+        timed_out = False
+        for c in range(chunks):
+            rows_c = [
+                (off + int(splits[r, c]),
+                 int(splits[r, c + 1]) - int(splits[r, c]), w)
+                for r, (off, _ln, w) in enumerate(rows)
+            ]
+            if not any(ln for _, ln, _ in rows_c):
+                continue
+            (s, d, h), _shp = self._dispatch(
+                self._pad_rows([rows_c]), [n_terms], k, req,
+                filter_mask=fmask, additive=addv, sort=srt,
+            )
+            total += int(h[0])
+            for sc, doc in zip(s[0], d[0]):
+                if sc > -np.inf:
+                    best.append((float(sc), int(doc)))
+            if _time.time() > deadline and c + 1 < chunks:
+                timed_out = True
+                break
+        ascending = srt is not None and bool(srt[1])
+        best.sort(key=lambda t: (t[0], t[1]) if ascending else (-t[0], t[1]))
+        out_s = np.full(k, -np.inf, np.float32)
+        out_d = np.zeros(k, np.int64)
+        for i, (sc, doc) in enumerate(best[:k]):
+            out_s[i], out_d[i] = sc, doc
+        return out_s, out_d, total, timed_out
+
     # -- search ----------------------------------------------------------------
 
     def search(

@@ -133,6 +133,39 @@ class PackedFieldView:
             out.append((term, w, runs))
         return out
 
+    # -- doc-space chunked search (timeout inside the fused path) ---------------
+
+    def search_timeout(
+        self, spec: QuerySpec, k: int, timeout_sec: float, chunks: int = 8,
+    ):
+        """Fused search as docid-ascending chunk dispatches with a deadline
+        check between chunks (core/maxscore.py search_chunked). Returns
+        (FastResult, timed_out)."""
+        import time as _time
+
+        empty = FastResult(
+            np.full(k, -np.inf, np.float32), np.zeros(k, np.int64), 0, False
+        )
+        if self.total_len == 0:
+            return empty, False
+        entries = self.term_entries(spec.terms, spec.boost)
+        if spec.require_all and any(not runs for _, _, runs in entries):
+            return empty, False
+        q = {
+            "entries": [(w, runs) for _, w, runs in entries if w and runs],
+            "require_all": spec.require_all,
+            "n_terms": len(spec.terms) if spec.require_all else 1,
+            "filter": spec.filter,
+            "additive": spec.additive,
+            "sort": spec.sort,
+        }
+        if not q["entries"]:
+            return empty, False
+        s, d, total, timed_out = self.index.search_chunked(
+            q, k, deadline=_time.time() + timeout_sec, chunks=chunks,
+        )
+        return FastResult(s, d, total, False), timed_out
+
     # -- global doc-value columns (flat in-kernel reductions) -------------------
 
     def global_column(self, field: str) -> dict:

@@ -155,6 +155,24 @@ class Searcher:
         if not self.segments:
             return (TopDocs([], 0), []) if return_arrays else TopDocs([], 0)
         if (
+            extra_filter is None and not return_arrays
+            and timeout_sec and not terminate_after and self.segments
+        ):
+            # timeout INSIDE the fused path: docid-ascending chunk dispatches
+            # with a deadline check between chunks — a single-segment index
+            # can now cut off mid-query (reference contract:
+            # SearchCutoffWrapper checks per collect)
+            spec = self.compile_batchable(node, sort)
+            if spec is not None:
+                res, timed_out = self.packed_view(spec.field).search_timeout(
+                    spec, top_hits, timeout_sec
+                )
+                td = self._fast_result_to_topdocs(spec, res, top_hits)
+                td.hit_timeout = timed_out
+                if timed_out:
+                    td.relation = "GREATER_THAN_OR_EQUAL_TO"
+                return (td, []) if return_arrays else td
+        if (
             extra_filter is None
             and (not return_arrays or arrays_score_free)
             and not timeout_sec

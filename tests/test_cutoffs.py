@@ -45,7 +45,9 @@ def test_timeout_flag():
     td = s.search(q, 100, timeout_sec=1e-9)
     assert td.hit_timeout
     assert td.relation == "GREATER_THAN_OR_EQUAL_TO"
-    assert td.total_hits >= 5  # first segment always completes
+    # the first work unit (a doc-space chunk on the fused path) always
+    # completes: partial results, never empty
+    assert td.total_hits >= 1
 
 
 def test_over_grpc(tmp_path):
@@ -105,3 +107,105 @@ def test_terminate_after_within_segment():
     td2 = s.search(q, 100, terminate_after=500)
     assert not td2.terminated_early
     assert td2.total_hits == 50
+
+
+def test_chunked_timeout_full_parity():
+    """Doc-space chunked dispatch with a generous deadline returns exactly
+    the single-dispatch fused result (scores, docs, hit counts) — chunking
+    must not change semantics, only add cutoff points."""
+    import random
+
+    from nrtsearch_tpu.core.searcher import Searcher, SortSpec
+    from nrtsearch_tpu.core.writer import IndexWriter
+    from nrtsearch_tpu.query.plan import parse_query
+    from nrtsearch_tpu.schema.fields import create_field_def
+
+    fields = {
+        "id": create_field_def("id", {"type": "_ID"}),
+        "t": create_field_def("t", {"type": "TEXT", "search": True}),
+        "price": create_field_def(
+            "price", {"type": "INT", "storeDocValues": True, "sort": True}
+        ),
+    }
+    rng = random.Random(3)
+    words = [f"w{i}" for i in range(20)]
+    w = IndexWriter(fields)
+    w.add_documents([
+        {"id": str(i), "t": " ".join(rng.choices(words, k=6)),
+         "price": (i * 17) % 331}
+        for i in range(400)
+    ])
+    w.refresh()
+    s = Searcher(w.segments, fields, version=1)
+
+    for qd, sort in [
+        ({"matchQuery": {"field": "t", "query": "w1 w4 w9"}}, None),
+        ({"matchQuery": {"field": "t", "query": "w2 w5"}},
+         SortSpec(field="price", reverse=False)),
+        ({"booleanQuery": {"clauses": [
+            {"occur": "MUST", "query": {"matchQuery": {
+                "field": "t", "query": "w3"}}},
+            {"occur": "FILTER", "query": {"rangeQuery": {
+                "field": "price", "upper": "200"}}}]}}, None),
+    ]:
+        node = parse_query(qd)
+        want = s.search(node, 10, sort=sort)
+        got = s.search(node, 10, sort=sort, timeout_sec=30.0)
+        assert not got.hit_timeout
+        assert got.total_hits == want.total_hits, qd
+        # rank-for-rank score parity; doc identity up to f32 score ties
+        # (per-chunk padding perturbs summation order at the ulp level)
+        import pytest as _pytest
+
+        got_pairs = [(h.score if sort is None else h.sort_key, h.global_ord)
+                     for h in got.hits]
+        want_pairs = [(h.score if sort is None else h.sort_key, h.global_ord)
+                      for h in want.hits]
+        for (gs, gd), (ws, wd) in zip(got_pairs, want_pairs):
+            assert gs == _pytest.approx(ws, rel=1e-5, abs=1e-6), qd
+        got_by_score = {}
+        want_by_score = {}
+        for sc, d in got_pairs:
+            got_by_score.setdefault(round(float(sc), 4), set()).add(d)
+        for sc, d in want_pairs:
+            want_by_score.setdefault(round(float(sc), 4), set()).add(d)
+        for sc, want_docs in want_by_score.items():
+            gd = got_by_score.get(sc, set())
+            # equal except possibly at the k-boundary tie group
+            assert gd <= want_docs or want_docs <= gd, (qd, sc)
+
+
+def test_chunked_timeout_cuts_off():
+    """An already-expired deadline stops after the FIRST chunk: partial
+    docid-prefix results, hit_timeout set, count relation lower-bound —
+    even though the index is a SINGLE segment (the round-2 gap: one fused
+    program could never cut off)."""
+    import random
+
+    from nrtsearch_tpu.core.searcher import Searcher
+    from nrtsearch_tpu.core.writer import IndexWriter
+    from nrtsearch_tpu.query.plan import parse_query
+    from nrtsearch_tpu.schema.fields import create_field_def
+
+    fields = {
+        "id": create_field_def("id", {"type": "_ID"}),
+        "t": create_field_def("t", {"type": "TEXT", "search": True}),
+    }
+    rng = random.Random(4)
+    w = IndexWriter(fields)
+    w.add_documents([
+        {"id": str(i), "t": "common " + rng.choice("x y z".split())}
+        for i in range(600)
+    ])
+    w.refresh()
+    s = Searcher(w.segments, fields, version=1)
+    assert len(s.segments) == 1
+
+    node = parse_query({"matchQuery": {"field": "t", "query": "common"}})
+    full = s.search(node, 10)
+    assert full.total_hits == 600
+
+    got = s.search(node, 10, timeout_sec=-1.0)  # pre-expired deadline
+    assert got.hit_timeout
+    assert got.relation == "GREATER_THAN_OR_EQUAL_TO"
+    assert 0 < got.total_hits < 600  # first chunk only: a docid prefix

@@ -53,7 +53,7 @@ unary(channel, "createIndex", ls.CreateIndexRequest(indexName="wix"),
 freq = ls.FieldDefRequest(indexName="wix")
 for name, ftype, extra in [
     ("id", "_ID", {"storeDocValues": True}),
-    ("body", "TEXT", {"search": True, "storeDocValues": True}),
+    ("body", "TEXT", {"search": True, "store": True, "storeDocValues": True}),
     ("price", "INT", {"storeDocValues": True, "sort": True}),
     ("color", "ATOM", {"storeDocValues": True, "search": True}),
 ]:
@@ -182,6 +182,39 @@ assert cs.version >= 1
 assert cs.filesMetadata.numFiles == len(cs.filesMetadata.fileMetadata) > 0
 assert cs.infoBytesLength == len(cs.infoBytes) > 0
 rchan.close()
+
+# ---- highlight (reference snake_case wrapper Settings) -----------------------
+hreq = sp.SearchRequest(indexName="wix", topHits=3, retrieveFields=["id"])
+hreq.query.termQuery.field = "body"
+hreq.query.termQuery.textValue = "fish"
+hreq.highlight.fields.append("body")
+hset = hreq.highlight.settings
+hset.pre_tags.append("<em>")
+hset.post_tags.append("</em>")
+hset.fragment_size.value = 30
+hresp = unary(channel, "search", hreq, sp.SearchResponse)
+frags = list(hresp.hits[0].highlights["body"].fragments)
+assert frags and "<em>fish</em>" in frags[0], frags
+
+# ---- rescorer (queryRescorer reorders the window) -----------------------------
+rreq = sp.SearchRequest(indexName="wix", topHits=4, retrieveFields=["id"])
+rreq.query.termQuery.field = "body"
+rreq.query.termQuery.textValue = "red"
+rs = rreq.rescorers.add()
+rs.windowSize = 4
+rs.queryRescorer.rescoreQuery.termQuery.field = "body"
+rs.queryRescorer.rescoreQuery.termQuery.textValue = "dog"
+rs.queryRescorer.queryWeight = 0.0
+rs.queryRescorer.rescoreQueryWeight = 10.0
+rresp = unary(channel, "search", rreq, sp.SearchResponse)
+rids = [h.fields["id"].fieldValue[0].textValue for h in rresp.hits]
+assert rids[0] == "3", rids   # the only red doc with "dog" boosts to top
+
+# ---- liveSettingsV2 (wrapper types over the wire) -----------------------------
+lreq = ls.LiveSettingsV2Request(indexName="wix")
+lreq.liveSettings.sliceMaxDocs.value = 123
+lresp = unary(channel, "liveSettingsV2", lreq, ls.LiveSettingsV2Response)
+assert lresp.liveSettings.sliceMaxDocs.value == 123
 
 # ---- delete + commit ---------------------------------------------------------
 d = ls.AddDocumentRequest(indexName="wix")
