@@ -23,16 +23,66 @@
 
 namespace {
 
-// token chars mirror the Python _STANDARD_RE = [^\W_]+ : alphanumerics,
-// excluding underscore
-inline bool is_token_char(unsigned char c) {
-  return (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-         (c >= '0' && c <= '9');
+// UAX#29 word segmentation, ASCII subset — MUST mirror the Python
+// standard_tokenizer (analysis/analyzers.py): letters/digits/underscore
+// form words (WB5/8/9/10/13a/b); one mid char joins when flanked by the
+// right classes (WB6/7: letter [':. \'] letter; WB11/12: digit [',;.\'']
+// digit). Index-time (here) and query-time (Python) MUST agree.
+enum WbClass : unsigned char { WB_AL, WB_NUM, WB_EXT, WB_OTHER };
+
+inline WbClass wb_class(unsigned char c) {
+  if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) return WB_AL;
+  if (c >= '0' && c <= '9') return WB_NUM;
+  if (c == '_') return WB_EXT;
+  return WB_OTHER;
+}
+
+inline bool is_word_class(WbClass w) { return w != WB_OTHER; }
+
+inline bool mid_joins(unsigned char c, WbClass prev, WbClass next) {
+  const bool sq_or_dot = (c == '\'' || c == '.');
+  if (prev == WB_AL && next == WB_AL) return sq_or_dot || c == ':';
+  if (prev == WB_NUM && next == WB_NUM)
+    return sq_or_dot || c == ',' || c == ';';
+  return false;
 }
 
 inline char lower(unsigned char c) {
   return (c >= 'A' && c <= 'Z') ? static_cast<char>(c + 32)
                                 : static_cast<char>(c);
+}
+
+// scan one token starting at i (data[i] must be a word class). Appends the
+// lowered token text to buf; returns the index AFTER the token. has_alnum
+// is false only for pure-underscore runs (dropped, as Lucene does).
+inline Py_ssize_t scan_token(const char* data, Py_ssize_t len, Py_ssize_t i,
+                             std::string& buf, bool& has_alnum) {
+  buf.clear();
+  WbClass prev = wb_class(static_cast<unsigned char>(data[i]));
+  has_alnum = prev != WB_EXT;
+  buf.push_back(lower(static_cast<unsigned char>(data[i])));
+  Py_ssize_t j = i + 1;
+  while (j < len) {
+    unsigned char cj = static_cast<unsigned char>(data[j]);
+    WbClass wj = wb_class(cj);
+    if (is_word_class(wj)) {
+      has_alnum = has_alnum || wj != WB_EXT;
+      if (wj != WB_EXT) prev = wj;
+      buf.push_back(lower(cj));
+      j++;
+      continue;
+    }
+    if (j + 1 < len) {
+      WbClass next = wb_class(static_cast<unsigned char>(data[j + 1]));
+      if (mid_joins(cj, prev, next)) {
+        buf.push_back(static_cast<char>(cj));
+        j++;
+        continue;
+      }
+    }
+    break;
+  }
+  return j;
 }
 
 // std_term_positions(text: str, position_base: int = 0)
@@ -55,13 +105,13 @@ PyObject* std_term_positions(PyObject*, PyObject* args) {
   Py_ssize_t i = 0;
   long emitted = 0;
   while (i < len) {
-    while (i < len && !is_token_char(static_cast<unsigned char>(data[i]))) i++;
-    if (i >= len) break;
-    buf.clear();
-    while (i < len && is_token_char(static_cast<unsigned char>(data[i]))) {
-      buf.push_back(lower(static_cast<unsigned char>(data[i])));
+    while (i < len &&
+           !is_word_class(wb_class(static_cast<unsigned char>(data[i]))))
       i++;
-    }
+    if (i >= len) break;
+    bool has_alnum = false;
+    i = scan_token(data, len, i, buf, has_alnum);
+    if (!has_alnum) continue;
     terms[buf].push_back(pos);
     pos++;
     emitted++;
@@ -174,13 +224,13 @@ PyObject* acc_add_text(PyObject* self_obj, PyObject* args) {
   Py_ssize_t i = 0;
   long emitted = 0;
   while (i < len) {
-    while (i < len && !is_token_char(static_cast<unsigned char>(data[i]))) i++;
-    if (i >= len) break;
-    buf.clear();
-    while (i < len && is_token_char(static_cast<unsigned char>(data[i]))) {
-      buf.push_back(lower(static_cast<unsigned char>(data[i])));
+    while (i < len &&
+           !is_word_class(wb_class(static_cast<unsigned char>(data[i]))))
       i++;
-    }
+    if (i >= len) break;
+    bool has_alnum = false;
+    i = scan_token(data, len, i, buf, has_alnum);
+    if (!has_alnum) continue;
     acc_token(self, buf, doc_id, static_cast<int32_t>(pos));
     pos++;
     emitted++;

@@ -31,9 +31,7 @@ class Token:
 # Tokenizers
 # ---------------------------------------------------------------------------
 
-# Unicode-ish word tokenizer: runs of letters/digits (plus apostrophes kept
-# inside words are split, matching Lucene StandardTokenizer's basic behavior
-# closely enough for scoring; full UAX#29 segmentation is a later refinement).
+# legacy regex (kept for filters that want plain alnum runs)
 _STANDARD_RE = re.compile(r"[^\W_]+", re.UNICODE)
 _WHITESPACE_RE = re.compile(r"\S+")
 _LETTER_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
@@ -49,8 +47,112 @@ def _regex_tokenize(pattern: re.Pattern, text: str) -> list[Token]:
     return out
 
 
+# --- UAX#29 word segmentation (Lucene StandardTokenizer parity) -------------
+#
+# The reference's StandardTokenizer implements Unicode UAX#29 word-break
+# rules (lucene StandardTokenizerImpl JFlex grammar). The rules that change
+# token identity vs a plain alnum-run scan:
+#   WB6/7  : letter (MidLetter | MidNumLet | ') letter   -> joins
+#            ("can't", "example.com", "a:b" stay one token)
+#   WB11/12: digit (MidNum | MidNumLet | ') digit        -> joins
+#            ("3.14", "1,000,000", "1'000")
+#   WB9/10 : letters and digits join directly ("x86")
+#   WB13a/b: ExtendNumLet '_' joins everything adjacent ("foo_bar")
+#   CJK    : each ideograph / hiragana char is its OWN token; katakana
+#            runs join (WB13)
+# Mirrored by the C++ ASCII fast path (native/nrt_tokenize.cpp) — index-time
+# and query-time segmentation MUST agree or phrase positions break.
+
+_WB_AL, _WB_NUM, _WB_EXT, _WB_KATA, _WB_IDEO, _WB_HIRA, _WB_OTHER = range(7)
+_MIDLETTER = {":", "·", "·", "："}
+_MIDNUM = {",", ";", "，", "；"}
+_MIDNUMLET = {".", "．"}
+_SQ = {"'", "’", "＇"}
+
+
+def _wb_class(c: str) -> int:
+    o = ord(c)
+    if o < 128:  # ASCII fast path, mirrors the C++ extension
+        if c.isalnum():
+            return _WB_NUM if c.isdigit() else _WB_AL
+        return _WB_EXT if c == "_" else _WB_OTHER
+    if 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF or \
+            0xF900 <= o <= 0xFAFF or 0x20000 <= o <= 0x2FA1F:
+        return _WB_IDEO
+    if 0x3040 <= o <= 0x309F:
+        return _WB_HIRA
+    if 0x30A0 <= o <= 0x30FF or 0x31F0 <= o <= 0x31FF or 0xFF66 <= o <= 0xFF9D:
+        return _WB_KATA
+    import unicodedata
+
+    cat = unicodedata.category(c)
+    if cat.startswith("L") or cat == "Nl":
+        return _WB_AL
+    if cat == "Nd" or cat == "No":
+        return _WB_NUM
+    if cat == "Pc":
+        return _WB_EXT
+    if cat in ("Mn", "Mc", "Me"):
+        return _WB_AL  # combining marks extend the current word (WB4)
+    return _WB_OTHER
+
+
+_WORD_CLASSES = (_WB_AL, _WB_NUM, _WB_EXT, _WB_KATA)
+
+
 def standard_tokenizer(text: str) -> list[Token]:
-    return _regex_tokenize(_STANDARD_RE, text)
+    out: list[Token] = []
+    n = len(text)
+    i = 0
+    pos = 0
+    while i < n:
+        c = text[i]
+        cls = _wb_class(c)
+        if cls == _WB_IDEO or cls == _WB_HIRA:
+            out.append(Token(c, pos, i, i + 1))
+            pos += 1
+            i += 1
+            continue
+        if cls not in _WORD_CLASSES:
+            i += 1
+            continue
+        j = i
+        has_alnum = cls != _WB_EXT
+        prev_cls = cls
+        j += 1
+        while j < n:
+            cj = text[j]
+            cls_j = _wb_class(cj)
+            if cls_j in _WORD_CLASSES:
+                if cls_j == _WB_IDEO:
+                    break
+                # katakana only joins katakana or ExtendNumLet (WB13/13a/b)
+                if (cls_j == _WB_KATA) != (prev_cls == _WB_KATA) and \
+                        _WB_EXT not in (cls_j, prev_cls):
+                    break
+                has_alnum = has_alnum or cls_j != _WB_EXT
+                prev_cls = cls_j if cls_j != _WB_EXT else prev_cls
+                j += 1
+                continue
+            # mid-character join: one mid char with word chars on BOTH sides
+            if j + 1 < n:
+                nxt = _wb_class(text[j + 1])
+                if (
+                    cj in _SQ or cj in _MIDNUMLET or cj in _MIDLETTER
+                ) and prev_cls == _WB_AL and nxt == _WB_AL:
+                    j += 1
+                    continue
+                if (
+                    cj in _SQ or cj in _MIDNUMLET or cj in _MIDNUM
+                ) and prev_cls == _WB_NUM and nxt == _WB_NUM:
+                    j += 1
+                    continue
+            break
+        if has_alnum:
+            out.append(Token(text[i:j], pos, i, j))
+            pos += 1
+        i = j
+    return out
 
 
 def whitespace_tokenizer(text: str) -> list[Token]:

@@ -96,3 +96,32 @@ def test_indexing_uses_native_and_matches(tmp_path):
         [h.global_ord for h in s_python.search(ph, 10).hits]
     ph2 = parse_query({"phraseQuery": {"field": "t", "terms": ["text", "beta"]}})
     assert s_native.search(ph2, 10).total_hits == 1
+
+
+def test_cpp_python_uax29_agreement():
+    """Index-time (C++ fast path) and query-time (python) segmentation must
+    agree EXACTLY or phrase positions break — property-tested over random
+    ASCII including every mid character class."""
+    import random
+    import string
+
+    from nrtsearch_tpu import native_ext
+    from nrtsearch_tpu.analysis.analyzers import (
+        lowercase_filter,
+        standard_tokenizer,
+    )
+
+    nat = native_ext.get()
+    if nat is None:
+        import pytest
+        pytest.skip("native extension unavailable")
+    rng = random.Random(7)
+    alphabet = string.ascii_letters + string.digits + "_'.,;:&-@! "
+    for _ in range(2000):
+        text = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        native, n = nat.std_term_positions(text)
+        toks = lowercase_filter(standard_tokenizer(text))
+        pyd = {}
+        for i, t in enumerate(toks):
+            pyd.setdefault(t.text, []).append(i)
+        assert dict(native) == pyd and n == len(toks), repr(text)
