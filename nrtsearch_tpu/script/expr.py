@@ -32,6 +32,18 @@ _TOKEN_RE = re.compile(
     r"|(?P<op>\|\||&&|<=|>=|==|!=|[-+*/%<>?:!(),]))"
 )
 
+def _haversin_km(lat1, lon1, lat2, lon2):
+    """Great-circle distance in KILOMETERS (reference: Lucene expressions
+    haversin(); ExpressionsJavascriptFunctions haversinKilometers)."""
+    r1, g1 = jnp.radians(lat1), jnp.radians(lon1)
+    r2, g2 = jnp.radians(lat2), jnp.radians(lon2)
+    h = (
+        jnp.sin((r2 - r1) / 2) ** 2
+        + jnp.cos(r1) * jnp.cos(r2) * jnp.sin((g2 - g1) / 2) ** 2
+    )
+    return 2 * 6371.0087714 * jnp.arcsin(jnp.sqrt(jnp.clip(h, 0.0, 1.0)))
+
+
 _FUNCS = {
     "abs": jnp.abs,
     "log": jnp.log,
@@ -44,6 +56,20 @@ _FUNCS = {
     "pow": jnp.power,
     "min": jnp.minimum,
     "max": jnp.maximum,
+    "sin": jnp.sin,
+    "cos": jnp.cos,
+    "tan": jnp.tan,
+    "asin": jnp.arcsin,
+    "acos": jnp.arccos,
+    "atan": jnp.arctan,
+    "atan2": jnp.arctan2,
+    "sinh": jnp.sinh,
+    "cosh": jnp.cosh,
+    "tanh": jnp.tanh,
+    # geo (Lucene expressions: haversin is km; haversinMeters for meters)
+    "haversin": _haversin_km,
+    "haversinKilometers": _haversin_km,
+    "haversinMeters": lambda a, b, c, d: _haversin_km(a, b, c, d) * 1000.0,
 }
 
 

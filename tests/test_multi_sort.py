@@ -243,3 +243,106 @@ def test_handler_unsupported_sort_field_fails_loudly(handlers):
     bad2 = _sorted_req(pb, 3, [("nope", False)])
     with pytest.raises(ValueError):
         handlers.search(bad2)
+
+
+@pytest.fixture()
+def tie_handlers(tmp_path):
+    """120 docs over 4 grp values x 5 prices: heavy ties at every sort
+    level, 3 segments, 7 deleted docs (reference test model:
+    SortedDocsPaginationTest-style exhaustive page walks)."""
+    from google.protobuf import json_format
+
+    from nrtsearch_tpu.config import NrtsearchConfig
+    from nrtsearch_tpu.gen import pb
+    from nrtsearch_tpu.server.handlers import Handlers
+    from nrtsearch_tpu.state.backend import LocalStateBackend
+    from nrtsearch_tpu.state.global_state import GlobalState
+
+    cfg = NrtsearchConfig.from_dict({
+        "stateDir": str(tmp_path / "state"),
+        "indexDir": str(tmp_path / "index"),
+    })
+    gs = GlobalState(cfg, LocalStateBackend(cfg.state_dir))
+    h = Handlers(gs)
+    h.createIndex(pb.CreateIndexRequest(indexName="idx"))
+    freq = json_format.ParseDict(
+        {"indexName": "idx", "field": [
+            {"name": "id", "type": "_ID", "store": True},
+            {"name": "body", "type": "TEXT", "search": True},
+            {"name": "grp", "type": "INT", "storeDocValues": True},
+            {"name": "price", "type": "FLOAT", "storeDocValues": True},
+        ]}, pb.FieldDefRequest(),
+    )
+    h.registerFields(freq)
+    h.startIndex(pb.StartIndexRequest(indexName="idx"))
+    rows = []
+    for i in range(120):
+        rows.append((str(i), i % 4, float((i // 4) % 5)))
+    for lo in (0, 40, 80):
+        reqs = []
+        for did, grp, price in rows[lo:lo + 40]:
+            r = pb.AddDocumentRequest(indexName="idx")
+            r.fields["id"].value.append(did)
+            r.fields["body"].value.append("common word")
+            r.fields["grp"].value.append(str(grp))
+            r.fields["price"].value.append(str(price))
+            reqs.append(r)
+        h.addDocuments(iter(reqs))
+        h.refresh(pb.RefreshRequest(indexName="idx"))
+    deleted = {"7", "23", "41", "59", "77", "95", "113"}
+    for did in deleted:
+        r = pb.AddDocumentRequest(indexName="idx")
+        r.fields["id"].value.append(did)
+        h.delete(iter([r]))
+    h.refresh(pb.RefreshRequest(indexName="idx"))
+    live = [r for r in rows if r[0] not in deleted]
+    return h, live
+
+
+def test_deep_pagination_ties_no_skip_no_dup(tie_handlers):
+    """Walk EVERY page of a tie-heavy two-key sort via searchAfter: union of
+    pages == full live doc set, no duplicates, order consistent with the
+    sort (grp asc, price desc, docid-order tie-break)."""
+    from nrtsearch_tpu.gen import pb
+
+    h, live = tie_handlers
+    seen: list[str] = []
+    after = None
+    pages = 0
+    while True:
+        resp = h.search(_sorted_req(pb, 9, [("grp", False), ("price", True)],
+                                    after=after))
+        ids = _ids(resp)
+        if not ids:
+            break
+        seen.extend(ids)
+        after = resp.searchState
+        pages += 1
+        assert pages < 30, "pagination did not terminate"
+    assert len(seen) == len(set(seen)), "duplicate docs across pages"
+    assert set(seen) == {r[0] for r in live}, "missing or phantom docs"
+
+    # global order check: keys must be non-strictly ordered page to page
+    by_id = {r[0]: r for r in live}
+    keys = [(by_id[i][1], -by_id[i][2]) for i in seen]
+    assert keys == sorted(keys), "sort order violated across pages"
+
+
+def test_deep_pagination_single_key_desc(tie_handlers):
+    from nrtsearch_tpu.gen import pb
+
+    h, live = tie_handlers
+    seen: list[str] = []
+    after = None
+    while True:
+        resp = h.search(_sorted_req(pb, 7, [("price", True)], after=after))
+        ids = _ids(resp)
+        if not ids:
+            break
+        seen.extend(ids)
+        after = resp.searchState
+        assert len(seen) <= 150
+    assert len(seen) == len(set(seen)) == len(live)
+    by_id = {r[0]: r for r in live}
+    prices = [by_id[i][2] for i in seen]
+    assert prices == sorted(prices, reverse=True)

@@ -139,3 +139,29 @@ def test_custom_request_plugin(server):
     with pytest.raises(grpc.RpcError) as e:
         client.custom(pb.CustomRequest(id="nope"))
     assert e.value.code() == grpc.StatusCode.NOT_FOUND
+
+
+def test_expression_geo_and_trig_functions():
+    """Lucene-expressions geo/trig surface (reference:
+    ExpressionsJavascriptFunctions: haversin family + Math.* bindings)."""
+    import numpy as np
+
+    from nrtsearch_tpu.script.expr import compile_expression
+
+    class _DV:
+        def __getitem__(self, name):
+            vals = {"lat": np.array([37.7749, 0.0]),
+                    "lon": np.array([-122.4194, 0.0])}
+            return vals[name]
+
+    # SF -> NYC great-circle ~4130 km (Lucene haversin returns km)
+    fn = compile_expression("haversin(40.7128, -74.0060, lat, lon)")
+    d = np.asarray(fn(_DV(), np.zeros(2)))
+    assert abs(d[0] - 4130.0) < 10.0, d
+    fn_m = compile_expression("haversinMeters(40.7128, -74.0060, lat, lon)")
+    dm = np.asarray(fn_m(_DV(), np.zeros(2)))
+    assert abs(dm[0] / 1000.0 - d[0]) < 1e-3
+
+    fn2 = compile_expression("atan2(sin(lat), cos(lat)) + tanh(0)")
+    v = np.asarray(fn2(_DV(), np.zeros(2)))
+    assert np.isfinite(v).all()
