@@ -189,3 +189,88 @@ def test_ivf_recall():
         hits += len(exact & set(ids[b].tolist()))
     recall = hits / 80
     assert recall >= 0.8, recall
+
+
+def test_knn_filter_deletes_multisegment_matrix(tmp_path):
+    """kNN x (no filter | range filter | term filter) x deletes over a
+    3-segment index, validated against a numpy oracle on the same vectors
+    (reference: KnnQueryTest filtered/deleted cases; FANOUT pre-filter)."""
+    import numpy as np
+    from google.protobuf.json_format import ParseDict
+
+    from nrtsearch_tpu.client import NrtsearchClient
+    from nrtsearch_tpu.config import NrtsearchConfig
+    from nrtsearch_tpu.gen import pb
+    from nrtsearch_tpu.server.grpc_server import NrtsearchServer
+
+    rng = np.random.default_rng(9)
+    DIMS, N = 12, 90
+    vecs = rng.normal(size=(N, DIMS)).astype(np.float32)
+    prices = [(i * 13) % 97 for i in range(N)]
+    colors = ["red", "blue", "green"]
+
+    srv = NrtsearchServer(NrtsearchConfig.from_dict(
+        {"stateDir": str(tmp_path / "s"), "indexDir": str(tmp_path / "i")}
+    ))
+    port = srv.start(0)
+    c = NrtsearchClient(f"localhost:{port}")
+    c.create_index("kx")
+    c.register_fields(ParseDict({"indexName": "kx", "field": [
+        {"name": "id", "type": "_ID", "store": True},
+        {"name": "vec", "type": "VECTOR", "vectorDimensions": DIMS,
+         "vectorSimilarity": "l2_norm"},
+        {"name": "price", "type": "INT", "storeDocValues": True},
+        {"name": "color", "type": "ATOM", "storeDocValues": True,
+         "search": True},
+    ]}, pb.FieldDefRequest()))
+    c.start_index(pb.StartIndexRequest(indexName="kx", mode=pb.Mode.STANDALONE))
+    for lo in (0, 30, 60):
+        reqs = []
+        for i in range(lo, lo + 30):
+            r = pb.AddDocumentRequest(indexName="kx")
+            r.fields["id"].value.append(str(i))
+            r.fields["vec"].value.append(str([float(x) for x in vecs[i]]))
+            r.fields["price"].value.append(str(prices[i]))
+            r.fields["color"].value.append(colors[i % 3])
+            reqs.append(r)
+        c.add_documents(reqs)
+        c.refresh("kx")
+    deleted = {5, 35, 65, 17}
+    for i in deleted:
+        r = pb.AddDocumentRequest(indexName="kx")
+        r.fields["id"].value.append(str(i))
+        c.delete(r)
+    c.refresh("kx")
+
+    q = rng.normal(size=DIMS).astype(np.float32)
+
+    def oracle(pred):
+        elig = [i for i in range(N) if i not in deleted and pred(i)]
+        d = ((vecs[elig] - q) ** 2).sum(axis=1)
+        order = np.argsort(d, kind="stable")
+        return [str(elig[j]) for j in order[:5]], len(elig)
+
+    cases = {
+        "nofilter": (None, lambda i: True),
+        "range": ({"rangeQuery": {"field": "price", "upper": "50"}},
+                  lambda i: prices[i] <= 50),
+        "term": ({"termQuery": {"field": "color", "textValue": "red"}},
+                 lambda i: colors[i % 3] == "red"),
+    }
+    for name, (fq, pred) in cases.items():
+        req = ParseDict({"indexName": "kx", "topHits": 5,
+                         "retrieveFields": ["id"]}, pb.SearchRequest())
+        knn = req.knn.add()
+        knn.field = "vec"
+        knn.query_vector.extend([float(x) for x in q])
+        knn.k = 5
+        knn.num_candidates = 50
+        if fq is not None:
+            ParseDict(fq, knn.filter)
+        resp = c.search(req)
+        got = [h.fields["id"].fieldValue[0].textValue for h in resp.hits]
+        want, n_elig = oracle(pred)
+        assert got == want, (name, got, want)
+        assert not (set(got) & {str(i) for i in deleted}), name
+    c.close()
+    srv.stop()

@@ -80,6 +80,24 @@ def test_snapshots(server):
     req.query.matchQuery.query = "search"
     assert client.search(req).totalHits.value == 4
 
+    # reference Searcher oneof: snapshot = "indexGen:taxonomyGen:stateGen"
+    # (SearchRequest.snapshot, search.proto) pins the same point in time
+    req_ref = pb.SearchRequest(
+        indexName="idx", topHits=10, snapshot=f"{gen1}:1:1"
+    )
+    req_ref.query.matchQuery.field = "t"
+    req_ref.query.matchQuery.query = "search"
+    assert client.search(req_ref).totalHits.value == 4
+
+    # indexGen pinning is explicitly unsupported: loud error, not silence
+    import grpc as _grpc
+    import pytest as _pytest
+
+    req_gen = pb.SearchRequest(indexName="idx", topHits=10, indexGen=gen1)
+    req_gen.query.matchAllQuery.SetInParent()
+    with _pytest.raises(_grpc.RpcError):
+        client.search(req_gen)
+
     assert client.release_snapshot("idx", gen1).success
     assert list(client.get_all_snapshot_gens("idx").indexGens) == []
 
