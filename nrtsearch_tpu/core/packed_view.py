@@ -27,6 +27,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
+from nrtsearch_tpu.core.maxscore import _on_tpu
 from nrtsearch_tpu.ops.bm25 import lucene_idf
 
 @dataclass(frozen=True)
@@ -131,6 +132,152 @@ class PackedFieldView:
                     if tid is not None and tfi.lengths[tid]:
                         runs.append(run_base + tid)
             out.append((term, w, runs))
+        return out
+
+    # -- bucket-local fused path (round-3 flagship kernel) -----------------------
+
+    _BUCKET_MAX_SLOTS = 16
+
+    def _bucket_state(self):
+        """Per-run bucket split offsets for the bucket-local kernel, computed
+        ON DEVICE (the packed view keeps no host postings copy): one
+        vectorized bisection over all (run, boundary) pairs — the same
+        device-split trick as the chunked-timeout path. Cached per view."""
+        st = getattr(self, "_bucket_st", None)
+        if st is not None:
+            return st
+        import jax
+        import jax.numpy as jnp
+
+        from nrtsearch_tpu.ops.bucket_retrieval import BucketIndex
+
+        bucket_docs = 16384
+        bits = bucket_docs.bit_length() - 1
+        cap = _pow2(self.max_doc)
+        m = max(1, cap // bucket_docs)
+        offs = self.index.run_offsets
+        lens = self.index.run_lengths
+        NR = len(offs)
+        bounds = np.zeros((NR, m + 1), np.int32)
+        if m > 1 and NR:
+            boundaries = np.arange(1, m, dtype=np.int64) * bucket_docs
+            rows = [(int(offs[r]), int(lens[r]), 1.0) for r in range(NR)]
+            splits = self.index.split_rows(rows, boundaries)
+            bounds[:, 1:-1] = splits[:, 1:-1]
+        bounds[:, -1] = lens
+        st = {
+            "bounds": bounds, "bits": bits, "m": m,
+            "ub": self.index.run_ub,
+        }
+        self._bucket_st = st
+        return st
+
+    def bucket_search_batch(self, specs: Sequence[QuerySpec], k: int):
+        """Plain text queries on the bucket-local kernel
+        (ops/bucket_retrieval.py): per-(query, bucket) VMEM-resident
+        gather+pack, in-VMEM sort+dedup+mask, int32-key top-k. Scores are
+        15-bit quantized on the query's max possible score (finer than
+        Lucene's 8-bit norms); docs/hit counts exact over quantized ties.
+        Returns None when any spec needs the merge path (filters, sort,
+        additive, or more runs than the slot budget)."""
+        import os
+
+        import jax
+        import jax.numpy as jnp
+
+        from nrtsearch_tpu.ops import bucket_retrieval as br
+
+        if self.total_len == 0:
+            return None
+        st = self._bucket_state()
+        m, bits = st["m"], st["bits"]
+        B = len(specs)
+        per_q: list = []
+        for spec in specs:
+            if (spec.filter is not None or spec.additive is not None
+                    or spec.sort is not None):
+                return None
+            entries = self.term_entries(spec.terms, spec.boost)
+            if spec.require_all and any(not runs for _, _, runs in entries):
+                per_q.append(None)   # dead: a required term matches nothing
+                continue
+            slots = [
+                (r, w)
+                for _, w, runs in entries if w
+                for r in runs
+                if self.index.run_lengths[r]
+            ]
+            if len(slots) > self._BUCKET_MAX_SLOTS:
+                return None
+            n_distinct = len(spec.terms) if spec.require_all else 1
+            per_q.append((slots, spec.require_all, n_distinct))
+        if all(q is None for q in per_q):
+            return [
+                FastResult(np.full(k, -np.inf, np.float32),
+                           np.zeros(k, np.int64), 0, False)
+                for _ in range(B)
+            ]
+        req_all = any(q is not None and q[1] for q in per_q)
+        if req_all and not all(q is None or q[1] for q in per_q):
+            return None  # mixed AND/OR batch: one static flag per program
+
+        T = max(len(q[0]) for q in per_q if q is not None)
+        T = max(T, 1)
+        term_offs = np.zeros((B, T), np.int32)
+        bounds = np.zeros((B, T, m + 1), np.int32)
+        weights = np.zeros((B, T), np.float32)
+        n_terms = np.ones(B, np.int32)
+        scales = np.ones(B, np.float32)
+        run_offsets = self.index.run_offsets
+        for qi, q in enumerate(per_q):
+            if q is None:
+                continue
+            slots, _ra, n_distinct = q
+            # slot order: heaviest slice first (static DMA caps decay)
+            slots = sorted(
+                slots, key=lambda rw: -int(self.index.run_lengths[rw[0]])
+            )
+            # quantization scale: per-TERM ub (a doc hits <= 1 run per term)
+            by_w: dict[float, float] = {}
+            for r, w in slots:
+                by_w[w] = max(by_w.get(w, 0.0), float(st["ub"][r]))
+            smax = sum(w * ub for w, ub in by_w.items())
+            scale = br.QMAX / smax if smax > 0 else 1.0
+            scales[qi] = scale
+            n_terms[qi] = n_distinct
+            for ti, (r, w) in enumerate(slots):
+                term_offs[qi, ti] = int(run_offsets[r])
+                bounds[qi, ti] = st["bounds"][r]
+                weights[qi, ti] = w * scale
+
+        lens = bounds[:, :, 1:] - bounds[:, :, :-1]
+        caps = tuple(
+            max(br._DMA_ROWS * 128, -(-int(c) // 1024) * 1024)
+            for c in lens.max(axis=(0, 2))
+        )
+        tile = _pow2(int(lens.sum(axis=1).max()), br._DMA_ROWS * 128)
+        interpret = not _on_tpu()
+        tk, td, hits = br.bucket_search_topk(
+            self.index.doc_ids, self.index.impacts,
+            jnp.asarray(term_offs), jnp.asarray(bounds),
+            jnp.asarray(weights), jnp.asarray(n_terms),
+            T=T, caps=caps, tile=tile, bucket_bits=bits, m=m, k=k,
+            require_all=req_all, interpret=interpret,
+        )
+        scores_np, docs_np = br.decode_topk(
+            np.asarray(tk), np.asarray(td), scales
+        )
+        hits = np.asarray(hits)
+        out = []
+        for qi, q in enumerate(per_q):
+            if q is None:
+                out.append(FastResult(
+                    np.full(k, -np.inf, np.float32), np.zeros(k, np.int64),
+                    0, False,
+                ))
+                continue
+            d = docs_np[qi].astype(np.int64)
+            out.append(FastResult(scores_np[qi], d, int(hits[qi]), False))
         return out
 
     # -- doc-space chunked search (timeout inside the fused path) ---------------
@@ -252,6 +399,12 @@ class PackedFieldView:
             import os
 
             prune = os.environ.get("NRT_MAXSCORE", "1") == "1"
+        import os as _os
+
+        if _os.environ.get("NRT_BUCKET", "0") == "1" and not reduce_kinds:
+            res = self.bucket_search_batch(specs, k)
+            if res is not None:
+                return res
         B = len(specs)
         empty = FastResult(
             np.full(k, -np.inf, np.float32), np.zeros(k, np.int64), 0, False

@@ -238,3 +238,103 @@ def test_cross_engine_overlap_with_f32_path():
         b = set(int(d) for d in np.asarray(f_docs[qi])[:int(hits[qi])][:k])
         overlap = len(a & b) / max(1, min(len(a), len(b)))
         assert overlap >= 0.9, (qi, overlap)
+
+
+def test_bucket_serving_path_parity():
+    """NRT_BUCKET=1 serving route: the bucket-local kernel (interpret mode
+    on CPU) answers multi-segment packed-view batches with doc/hit parity
+    vs the merge path — modulo 15-bit score-quantization ties."""
+    import os
+    import random
+
+    import numpy as np
+
+    from nrtsearch_tpu.core.searcher import Searcher
+    from nrtsearch_tpu.core.writer import IndexWriter
+    from nrtsearch_tpu.query.plan import parse_query
+    from nrtsearch_tpu.schema.fields import create_field_def
+
+    fields = {
+        "id": create_field_def("id", {"type": "_ID"}),
+        "t": create_field_def("t", {"type": "TEXT", "search": True}),
+    }
+    rng = random.Random(13)
+    words = [f"w{i}" for i in range(30)]
+    w = IndexWriter(fields, merge_factor=100)
+    for _seg in range(3):
+        w.add_documents([
+            {"id": str(i), "t": " ".join(rng.choices(words, k=7))}
+            for i in range(100)
+        ])
+        w.refresh()
+    searcher = Searcher(w.segments, fields, version=1)
+    view = searcher.packed_view("t")
+
+    queries = [
+        ("w1 w4 w9", False),
+        ("w2", False),
+        ("w3 w5", True),      # require_all over 3 segments
+        ("nope w1", True),    # dead: required term absent
+        ("w0 w0 w7", False),  # duplicate terms merge weights
+    ]
+    specs = []
+    for text, must in queries:
+        node = parse_query({"matchQuery": {
+            "field": "t", "query": text,
+            **({"operator": "MUST"} if must else {}),
+        }})
+        specs.append(searcher.fast_query_spec(node))
+    assert all(s is not None for s in specs)
+
+    # AND and OR can't share one bucket program: route them separately
+    for group in ([s for s in specs if not s.require_all],
+                  [s for s in specs if s.require_all]):
+        if not group:
+            continue
+        bucket = view.bucket_search_batch(group, 10)
+        assert bucket is not None, "bucket path refused an eligible batch"
+        merge = view.search_batch(group, 10, prune=False)
+        for b, mres, spec in zip(bucket, merge, group):
+            assert b.total_hits == mres.total_hits, spec.terms
+            b_docs = [int(d) for s, d in zip(b.scores, b.docs) if s > -np.inf]
+            m_docs = [int(d) for s, d in zip(mres.scores, mres.docs)
+                      if s > -np.inf]
+            # quantized ties may swap adjacent docs: compare as sets plus
+            # rank-for-rank score agreement within one quantum
+            assert set(b_docs) == set(m_docs), spec.terms
+            b_s = [s for s in b.scores if s > -np.inf]
+            m_s = [s for s in mres.scores if s > -np.inf]
+            for bs, ms in zip(b_s, m_s):
+                assert abs(bs - ms) <= ms * 2e-3 + 1e-4, (spec.terms, bs, ms)
+
+
+def test_bucket_serving_ineligible_shapes_fall_through():
+    import numpy as np
+
+    from nrtsearch_tpu.core.searcher import Searcher
+    from nrtsearch_tpu.core.writer import IndexWriter
+    from nrtsearch_tpu.query.plan import parse_query
+    from nrtsearch_tpu.schema.fields import create_field_def
+
+    fields = {
+        "id": create_field_def("id", {"type": "_ID"}),
+        "t": create_field_def("t", {"type": "TEXT", "search": True}),
+        "p": create_field_def("p", {"type": "INT", "storeDocValues": True,
+                                    "sort": True}),
+    }
+    w = IndexWriter(fields)
+    w.add_documents([
+        {"id": str(i), "t": "alpha beta", "p": i} for i in range(20)
+    ])
+    w.refresh()
+    s = Searcher(w.segments, fields, version=1)
+    view = s.packed_view("t")
+    node = parse_query({"booleanQuery": {"clauses": [
+        {"occur": "MUST", "query": {"matchQuery": {"field": "t",
+                                                   "query": "alpha"}}},
+        {"occur": "FILTER", "query": {"rangeQuery": {"field": "p",
+                                                     "upper": "10"}}},
+    ]}})
+    spec = s.compile_batchable(node, None)
+    assert spec is not None and spec.filter is not None
+    assert view.bucket_search_batch([spec], 5) is None  # filters -> merge
