@@ -324,3 +324,76 @@ def test_plugin_collector_and_logging_hits(tmp_path):
 
     client.close()
     srv.stop()
+
+
+def test_ingestion_plugin_lifecycle(tmp_path):
+    """Ingestor plugin lifecycle: initialize at boot, start after the main
+    server is up, documents flow through the normal indexing path, stop on
+    shutdown (reference: server/ingestion/Ingestor.java:40 lifecycle)."""
+    import threading
+
+    from nrtsearch_tpu.server.plugins import Ingestor
+
+    events = []
+
+    class FeedIngestor(Ingestor):
+        def initialize(self, global_state):
+            events.append("initialize")
+            self.gs = global_state
+            self._stop = threading.Event()
+
+        def start(self):
+            events.append("start")
+
+            def run():
+                # create + fill an index through the SAME handler surface
+                from nrtsearch_tpu.gen import pb
+                from nrtsearch_tpu.server.handlers import Handlers
+
+                h = Handlers(self.gs)
+                h.createIndex(pb.CreateIndexRequest(indexName="feed"))
+                freq = pb.FieldDefRequest(indexName="feed")
+                for name, t, extra in [
+                    ("id", pb.FieldType._ID, {"store": True}),
+                    ("t", pb.FieldType.TEXT, {"search": True}),
+                ]:
+                    f = freq.field.add()
+                    f.name = name
+                    f.type = t
+                    for k, v in extra.items():
+                        setattr(f, k, v)
+                h.registerFields(freq)
+                h.startIndex(pb.StartIndexRequest(indexName="feed"))
+                reqs = []
+                for i in range(5):
+                    r = pb.AddDocumentRequest(indexName="feed")
+                    r.fields["id"].value.append(str(i))
+                    r.fields["t"].value.append(f"streamed doc {i}")
+                    reqs.append(r)
+                h.addDocuments(iter(reqs))
+                h.refresh(pb.RefreshRequest(indexName="feed"))
+                events.append("fed")
+
+            self._t = threading.Thread(target=run)
+            self._t.start()
+
+        def stop(self):
+            self._t.join(timeout=30)
+            events.append("stop")
+
+    srv, client = _mk_server(tmp_path, "ing")
+    srv.plugins.ingestors.append(FeedIngestor())
+    # lifecycle hooks run at boot normally; drive them on the live server
+    srv.plugins.ingestors[0].initialize(srv.global_state)
+    srv.plugins.ingestors[0].start()
+    srv.plugins.ingestors[0]._t.join(timeout=60)
+
+    req = pb.SearchRequest(indexName="feed", topHits=10, retrieveFields=["id"])
+    req.query.matchQuery.field = "t"
+    req.query.matchQuery.query = "streamed"
+    resp = client.search(req)
+    assert resp.totalHits.value == 5
+    srv.plugins.ingestors[0].stop()
+    assert events == ["initialize", "start", "fed", "stop"]
+    client.close()
+    srv.stop()
