@@ -467,7 +467,44 @@ class SegmentBuilder:
         lens = self._doc_lens.setdefault(name, [])
         while len(lens) < doc_id:
             lens.append(0)
-        native_tok = fd.type == FieldType.TEXT and fd.index_analyzer is None
+        native_tok = (fd.type == FieldType.TEXT and fd.index_analyzer is None
+                      and fd.index_prefixes is None)
+        if fd.index_prefixes is not None:
+            # materialized prefixes (reference: PrefixFieldDef.java:33):
+            # every token ALSO indexes its [min, max]-char prefixes into the
+            # hidden companion field at the SAME positions, so in-range
+            # prefix queries are single-term lookups (and keep phrase
+            # position semantics)
+            lo, hi = fd.index_prefixes
+            companion = f"{name}._index_prefix"
+            pmap: dict[str, list[int]] = {}
+            base = 0
+            for v in values:
+                max_pos = 0
+                for tok in fd.index_tokens(v):
+                    for plen in range(lo, min(hi, len(tok.text)) + 1):
+                        pmap.setdefault(tok.text[:plen], []).append(
+                            base + tok.position
+                        )
+                    max_pos = max(max_pos, tok.position + 1)
+                base += max_pos + self.POSITION_GAP
+            if pmap:
+                if self._native is not None:
+                    acc = self._acc.get(companion)
+                    if acc is None:
+                        acc = self._acc[companion] = \
+                            self._native.PostingsAccumulator()
+                    acc.add_terms(doc_id, pmap)
+                else:
+                    post = self._postings.setdefault(companion, {})
+                    for term, plist in pmap.items():
+                        post.setdefault(term, []).append(
+                            (doc_id, len(plist), plist)
+                        )
+                clens = self._doc_lens.setdefault(companion, [])
+                while len(clens) < doc_id:
+                    clens.append(0)
+                clens.append(sum(len(p) for p in pmap.values()))
         if self._native is not None:
             # native batch accumulation: postings build term-major packed
             # arrays in C++ (no per-token PyObjects, no dict-of-lists) —

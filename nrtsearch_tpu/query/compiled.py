@@ -342,6 +342,16 @@ def prepare(node: qp.QueryNode, prep: _Prep) -> CNode:
         tfi = seg.fields.get(node.field)
         if tfi is None:
             return _none()
+        fd = prep.ctx.field_defs.get(node.field)
+        if fd is not None and fd.index_prefixes is not None:
+            lo, hi = fd.index_prefixes
+            companion = f"{node.field}._index_prefix"
+            if lo <= len(node.prefix) <= hi and companion in seg.fields:
+                # materialized prefix (PrefixFieldDef): single-term lookup
+                return _prep_text(
+                    prep, companion, [node.prefix], [0.0], "SHOULD", 0,
+                    node.boost, scored=False,
+                )
         expanded = tfi.terms_with_prefix(node.prefix, node.max_expansions)
         return _prep_text(
             prep, node.field, expanded, [0.0] * len(expanded), "SHOULD", 0,

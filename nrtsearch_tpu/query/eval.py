@@ -562,6 +562,17 @@ def _eval_prefix(node: qp.PrefixQueryNode, ctx: EvalContext):
     tfi = ctx.segment.fields.get(node.field)
     if tfi is None:
         return _none(ctx)
+    # materialized prefix companion (reference PrefixFieldDef): a prefix of
+    # in-range length is ONE term in the hidden subfield — no expansion
+    fd = ctx.field_defs.get(node.field)
+    if fd is not None and fd.index_prefixes is not None:
+        lo, hi = fd.index_prefixes
+        companion = f"{node.field}._index_prefix"
+        if lo <= len(node.prefix) <= hi and companion in ctx.segment.fields:
+            _, match = _text_clause(
+                ctx, companion, [node.prefix], [0.0], "SHOULD", 0, 0.0
+            )
+            return _const_score(match, node.boost), match
     expanded = tfi.terms_with_prefix(node.prefix, node.max_expansions)
     if not expanded:
         return _none(ctx)

@@ -77,6 +77,11 @@ class FieldDef:
     # storage format (reference: VectorFieldDef.java:91-94 HNSW scalar
     # quantization): float32 | float16 | int8 (scalar-quantized, 4x smaller)
     vector_format: str = "float32"
+    # materialized prefix companion (reference: PrefixFieldDef.java:33,
+    # luceneserver.proto IndexPrefixes: prefixes of length [min, max] are
+    # indexed into a hidden "<name>._index_prefix" postings field so prefix
+    # queries in range are SINGLE term lookups)
+    index_prefixes: Optional[tuple] = None    # (min_chars, max_chars)
     # text scoring similarity (reference: SimilarityCreator, default BM25;
     # "boolean" = constant per-term scores, expressed as BM25 with k1=0)
     text_similarity: str = "BM25"
@@ -307,6 +312,14 @@ def create_field_def(name: str, spec: dict) -> FieldDef:
         script_source=(spec.get("script") or {}).get("source")
         if isinstance(spec.get("script"), dict)
         else spec.get("script"),
+        index_prefixes=(
+            (
+                int(spec["indexPrefixes"].get("minChars", 2)),
+                int(spec["indexPrefixes"].get("maxChars", 5)),
+            )
+            if isinstance(spec.get("indexPrefixes"), dict)
+            else None
+        ),
         raw=dict(spec),
     )
     sim_name = spec.get("similarity", "") or "BM25"

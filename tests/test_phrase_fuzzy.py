@@ -421,3 +421,75 @@ def test_span_nested_near(searcher):
         ], "slop": 5, "inOrder": False}}})
     td0 = searcher.search(q0, 10)
     assert [h.global_ord for h in td0.hits] == []
+
+
+def test_index_prefixes_companion_field(tmp_path):
+    """indexPrefixes (reference: PrefixFieldDef.java:33, luceneserver.proto
+    IndexPrefixes): in-range prefix queries answer from the materialized
+    companion postings as a SINGLE term; results identical to the
+    expansion path, surviving merge and commit+reload."""
+    from nrtsearch_tpu.core.searcher import Searcher
+    from nrtsearch_tpu.core.writer import IndexWriter
+    from nrtsearch_tpu.query.plan import parse_query
+    from nrtsearch_tpu.schema.fields import create_field_def
+
+    mk = lambda px: {
+        "id": create_field_def("id", {"type": "_ID", "store": True}),
+        "t": create_field_def("t", {
+            "type": "TEXT", "search": True,
+            **({"indexPrefixes": {"minChars": 2, "maxChars": 4}} if px
+               else {}),
+        }),
+    }
+    docs = [
+        {"id": "0", "t": "apple pie order"},
+        {"id": "1", "t": "applesauce jar"},
+        {"id": "2", "t": "apricot jam"},
+        {"id": "3", "t": "banana applet"},
+        {"id": "4", "t": "appliance store"},
+    ]
+    w_px = IndexWriter(mk(True), merge_factor=100)
+    w_px.add_documents(docs[:3]); w_px.refresh()
+    w_px.add_documents(docs[3:]); w_px.refresh()
+    s_px = Searcher(w_px.segments, mk(True), version=1)
+    w_plain = IndexWriter(mk(False))
+    w_plain.add_documents(docs); w_plain.refresh()
+    s_plain = Searcher(w_plain.segments, mk(False), version=1)
+
+    # companion exists with positions mirroring source tokens
+    tfi = w_px.segments[0].fields["t._index_prefix"]
+    assert "ap" in tfi.terms and "appl" in tfi.terms
+    assert "apple" not in tfi.terms  # > maxChars: expansion path serves it
+
+    for prefix in ["ap", "app", "appl", "appli", "a"]:
+        node = parse_query({"prefixQuery": {"field": "t", "prefix": prefix}})
+        got = s_px.search(node, 10)
+        want = s_plain.search(node, 10)
+        assert got.total_hits == want.total_hits, prefix
+        assert sorted(h.global_ord for h in got.hits) == sorted(
+            h.global_ord for h in want.hits
+        ), prefix
+
+    # merge keeps the companion
+    from nrtsearch_tpu.core.merge import merge_segments
+
+    merged, _ = merge_segments(w_px.segments, mk(True))
+    assert "t._index_prefix" in merged.fields
+    s_m = Searcher([merged], mk(True), version=2)
+    node = parse_query({"prefixQuery": {"field": "t", "prefix": "appl"}})
+    # apple, applesauce, applet, appliance
+    assert s_m.search(node, 10).total_hits == 4
+
+    # boolean-filter context uses the companion too (compiled path)
+    node_b = parse_query({"booleanQuery": {"clauses": [
+        {"occur": "MUST", "query": {"matchQuery": {"field": "t",
+                                                   "query": "jar pie applet store"}}},
+        {"occur": "FILTER", "query": {"prefixQuery": {"field": "t",
+                                                      "prefix": "appl"}}},
+    ]}})
+    got_b = s_px.search(node_b, 10)
+    want_b = s_plain.search(node_b, 10)
+    assert got_b.total_hits == want_b.total_hits
+    assert sorted(h.global_ord for h in got_b.hits) == sorted(
+        h.global_ord for h in want_b.hits
+    )
