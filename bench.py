@@ -98,14 +98,43 @@ def cpu_bm25_topk(corpus, queries, k):
 
 def main() -> None:
     t_0 = time.perf_counter()
+
+    def log(msg):
+        print(f"[bench +{time.perf_counter()-t_0:.0f}s] {msg}", file=sys.stderr)
+
+    # the axon tunnel can be down (observed: backend init hangs forever
+    # instead of failing); probe it in a SUBPROCESS with a bounded wait and
+    # fall back to the CPU backend — an honest, clearly-labeled record beats
+    # a bench that never prints its JSON line
+    tpu_fallback = False
+    if os.environ.get("JAX_PLATFORMS", "axon") not in ("cpu",):
+        import subprocess
+
+        probe_timeout = int(os.environ.get("BENCH_TPU_PROBE_SEC", 240))
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=probe_timeout,
+                env=dict(os.environ),
+            )
+            ok = probe.returncode == 0 and "tpu" in probe.stdout
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            log(f"TPU backend unreachable within {probe_timeout}s — "
+                "CPU-backend fallback (labeled in the output)")
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            tpu_fallback = True
+
     import jax
+
+    if tpu_fallback:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
     from nrtsearch_tpu.models.flagship import SyntheticCorpus, bm25_search_step
-
-    def log(msg):
-        print(f"[bench +{time.perf_counter()-t_0:.0f}s] {msg}", file=sys.stderr)
 
     log("building corpus")
     corpus = SyntheticCorpus(NUM_DOCS, VOCAB, AVG_LEN, seed=42)
@@ -296,6 +325,8 @@ def main() -> None:
                 "cpu_replica_cores_assumed": CPU_REPLICA_CORES,
                 "cpu_replica_qps": round(cpu_replica_qps, 2),
                 "device": str(accel),
+                **({"tpu_fallback": "tpu tunnel unreachable; CPU backend"}
+                   if tpu_fallback else {}),
                 **ms_stats,
             }
         )
