@@ -116,3 +116,29 @@ def test_ok_after_errors(gateway):
         "query": {"matchAllQuery": {}},
     })
     assert code == 200 and "totalHits" in body or code == 200
+
+
+def test_rest_happy_paths(gateway):
+    """Gateway happy paths: addDocuments (list + single), search, refresh,
+    liveSettingsV2 wrapper round-trip."""
+    code, _ = _call(gateway, "/v1/addDocuments", [
+        {"indexName": "r", "fields": {
+            "id": {"value": ["10"]}, "body": {"value": ["rest doc ten"]}}},
+        {"indexName": "r", "fields": {
+            "id": {"value": ["11"]}, "body": {"value": ["rest doc eleven"]}}},
+    ])
+    assert code == 200
+    code, _ = _call(gateway, "/v1/addDocuments", {
+        "indexName": "r", "fields": {
+            "id": {"value": ["12"]}, "body": {"value": ["rest doc twelve"]}}})
+    assert code == 200
+    code, _ = _call(gateway, "/v1/refresh", {"indexName": "r"})
+    assert code == 200
+    code, body = _call(gateway, "/v1/search", {
+        "indexName": "r", "topHits": 10, "retrieveFields": ["id"],
+        "query": {"matchQuery": {"field": "body", "query": "rest doc"}},
+    })
+    assert code == 200 and body["totalHits"]["value"] == "3", body
+    code, body = _call(gateway, "/v1/liveSettingsV2", {
+        "indexName": "r", "liveSettings": {"sliceMaxDocs": 77}})
+    assert code == 200 and body["liveSettings"]["sliceMaxDocs"] == 77, body
