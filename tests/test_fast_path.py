@@ -60,12 +60,19 @@ def test_fast_path_matches_general(searcher, qdict):
     slow = _slow(searcher, node, 20)
     assert fast.total_hits == slow.total_hits
     # rank-by-rank score parity; doc order may flip on float ties (the two
-    # paths accumulate in different orders: cumsum-diff vs scatter-add)
+    # paths accumulate in different orders: cumsum-diff vs scatter-add).
+    # Under NRT_BUCKET=1 scores carry the documented 15-bit quantization
+    # (ops/bucket_retrieval.py): one quantum of the query's max score.
+    import os
+
+    rel = 1e-3 if os.environ.get("NRT_BUCKET") == "1" else 2e-5
     for hf, hs in zip(fast.hits, slow.hits):
-        assert hf.score == pytest.approx(hs.score, rel=2e-5)
+        assert hf.score == pytest.approx(hs.score, rel=rel, abs=1e-4)
     slow_scores = {h.global_ord: h.score for h in _slow(searcher, node, 200).hits}
     for hf in fast.hits:
-        assert hf.score == pytest.approx(slow_scores[hf.global_ord], rel=2e-5)
+        assert hf.score == pytest.approx(
+            slow_scores[hf.global_ord], rel=rel, abs=1e-4
+        )
 
 
 def test_fast_path_applies_after_deletes(searcher):
