@@ -254,3 +254,77 @@ def test_general_path_filter_sort_facets(eight_device_mesh):
             for o, c in enumerate(facets["color"][qi]) if c
         }
         assert got_counts == {k2: v for k2, v in want_counts.items() if v}, qi
+
+
+def test_general_path_ordinal_filter_multi_facet(eight_device_mesh):
+    """ord== filters and MULTIPLE facet fields in one SPMD program: psum'd
+    counts per field match single-device counting exactly."""
+    import random
+
+    import numpy as np
+
+    from nrtsearch_tpu.core.searcher import Searcher
+    from nrtsearch_tpu.core.writer import IndexWriter
+    from nrtsearch_tpu.parallel.distributed import DistributedBM25
+    from nrtsearch_tpu.query.plan import parse_query
+    from nrtsearch_tpu.schema.fields import create_field_def
+
+    fields = {
+        "id": create_field_def("id", {"type": "_ID"}),
+        "t": create_field_def("t", {"type": "TEXT", "search": True}),
+        "color": create_field_def(
+            "color", {"type": "ATOM", "storeDocValues": True, "search": True}
+        ),
+        "size": create_field_def(
+            "size", {"type": "ATOM", "storeDocValues": True}
+        ),
+    }
+    rng = random.Random(23)
+    words = [f"w{i}" for i in range(15)]
+    w = IndexWriter(fields, merge_factor=100)
+    for _seg in range(2):
+        w.add_documents([
+            {
+                "id": str(i),
+                "t": " ".join(rng.choices(words, k=5)),
+                "color": rng.choice(["red", "blue", "green"]),
+                "size": rng.choice(["s", "m", "l", "xl"]),
+            }
+            for i in range(70)
+        ])
+        w.refresh()
+    searcher = Searcher(w.segments, fields, version=1)
+    dist = DistributedBM25.from_searcher(searcher, "t", eight_device_mesh)
+    dist.attach_columns(searcher, ["color", "size"])
+
+    queries = [[rng.choice(words) for _ in range(2)] for _ in range(4)]
+    offs, lens, weights, n_terms, run_len = dist.compile_text_queries(queries)
+    scores, ids, hits, facets = dist.search_general(
+        offs, lens, weights, n_terms, run_len=run_len, k=5,
+        filters=[("color", "ord==", "red")],
+        facet_fields=["color", "size"],
+    )
+    hits = np.asarray(hits)
+    c_labels = dist.facet_labels("color")
+    s_labels = dist.facet_labels("size")
+
+    from nrtsearch_tpu.search.collectors import SegmentMatches, terms_counts
+
+    for qi, qterms in enumerate(queries):
+        node = parse_query({"booleanQuery": {"clauses": [
+            {"occur": "MUST", "query": {
+                "matchQuery": {"field": "t", "query": " ".join(qterms)}}},
+            {"occur": "FILTER", "query": {
+                "termQuery": {"field": "color", "textValue": "red"}}},
+        ]}})
+        td = searcher.search(node, 5)
+        assert int(hits[qi]) == td.total_hits, qi
+        _, arrays = searcher.search(node, 5, return_arrays=True)
+        matches = SegmentMatches(searcher, [m for _, m in arrays])
+        for fname, labels, counts in [
+            ("color", c_labels, facets["color"][qi]),
+            ("size", s_labels, facets["size"][qi]),
+        ]:
+            want = {k: v for k, v in terms_counts(matches, fname).items() if v}
+            got = {labels[o]: int(c) for o, c in enumerate(counts) if c}
+            assert got == want, (qi, fname, got, want)
