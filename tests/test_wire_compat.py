@@ -181,6 +181,26 @@ cs = unary(rchan, "recvCopyState", ls.CopyStateRequest(indexName="wix"),
 assert cs.version >= 1
 assert cs.filesMetadata.numFiles == len(cs.filesMetadata.fileMetadata) > 0
 assert cs.infoBytesLength == len(cs.infoBytes) > 0
+
+# raw file streaming: chunks of the first point file over the wire
+fname0 = cs.filesMetadata.fileMetadata[0].fileName
+stream = rchan.unary_stream(
+    "/luceneserver.ReplicationServer/recvRawFile",
+    request_serializer=lambda m: m.SerializeToString(),
+    response_deserializer=ls.RawFileChunk.FromString,
+)
+total = sum(len(c.content) for c in stream(
+    ls.FileInfo(fileName=fname0, fpStart=0, indexName="wix")))
+assert total == cs.filesMetadata.fileMetadata[0].len, (fname0, total)
+
+# searcher version + connected nodes (the two RPCs renamed in round 2;
+# now byte-compatible with the reference's method paths)
+sv = unary(rchan, "getCurrentSearcherVersion", ls.IndexName(indexName="wix"),
+           ls.SearcherVersion, service="luceneserver.ReplicationServer")
+assert sv.version >= 1
+gn = unary(rchan, "getConnectedNodes", ls.GetNodesRequest(indexName="wix"),
+           ls.GetNodesResponse, service="luceneserver.ReplicationServer")
+assert len(gn.nodes) == 0  # standalone: no replicas registered
 rchan.close()
 
 # ---- highlight (reference snake_case wrapper Settings) -----------------------
