@@ -1178,9 +1178,18 @@ class Handlers:
                 if facet.dim in fused_facets
                 else coll.terms_counts(facet_matches, facet.dim)
             )
-            top_n = facet.topN or 10
             fr.childCount = len(counts)
             fr.value = sum(counts.values())
+            if facet.labels:
+                # explicit labels: counts for EXACTLY the requested labels,
+                # in request order, 0 when absent (reference:
+                # getFacetCountsForLabels vs getTopChildren)
+                for label in facet.labels:
+                    lv = fr.labelValues.add()
+                    lv.label = label
+                    lv.value = counts.get(label, 0)
+                continue
+            top_n = facet.topN or 10
             for label, count in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
                 :top_n
             ]:
