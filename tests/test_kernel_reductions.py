@@ -137,3 +137,67 @@ def test_reduce_non_ordinal_field_errors(setup):
         searcher.fast_search_reduce(
             spec, 5, [{"kind": "ordinal", "field": "price"}]
         )
+
+
+def test_multivalued_and_mixed_shapes_fall_back(tmp_path):
+    """Kernel-reduce eligibility: multi-valued facet fields and MIXED facet
+    shapes (one plain + one sampled) must route the WHOLE request through
+    the arrays path — results stay correct either way."""
+    from google.protobuf.json_format import ParseDict
+
+    from nrtsearch_tpu.client import NrtsearchClient
+    from nrtsearch_tpu.config import NrtsearchConfig
+    from nrtsearch_tpu.gen import pb
+    from nrtsearch_tpu.server.grpc_server import NrtsearchServer
+
+    srv = NrtsearchServer(NrtsearchConfig.from_dict(
+        {"stateDir": str(tmp_path / "s"), "indexDir": str(tmp_path / "i")}
+    ))
+    port = srv.start(0)
+    c = NrtsearchClient(f"localhost:{port}")
+    c.create_index("mv")
+    c.register_fields(ParseDict({"indexName": "mv", "field": [
+        {"name": "id", "type": "_ID", "store": True},
+        {"name": "t", "type": "TEXT", "search": True},
+        {"name": "tags", "type": "ATOM", "storeDocValues": True,
+         "multiValued": True},
+        {"name": "color", "type": "ATOM", "storeDocValues": True},
+    ]}, pb.FieldDefRequest()))
+    c.start_index(pb.StartIndexRequest(indexName="mv", mode=pb.Mode.STANDALONE))
+    rows = [("0", ["a", "b"], "red"), ("1", ["b"], "blue"),
+            ("2", ["a", "c"], "red"), ("3", ["c"], "green")]
+    for i, tags, color in rows:
+        r = pb.AddDocumentRequest(indexName="mv")
+        r.fields["id"].value.append(i)
+        r.fields["t"].value.append("common text")
+        for t in tags:
+            r.fields["tags"].value.append(t)
+        r.fields["color"].value.append(color)
+        c.add_documents([r])
+    c.refresh("mv")
+
+    # multi-valued facet: arrays path, per-doc multi-label counting
+    req = ParseDict({"indexName": "mv", "topHits": 4,
+        "query": {"matchQuery": {"field": "t", "query": "common"}},
+        "facets": [{"dim": "tags", "topN": 10, "name": "tags"}]},
+        pb.SearchRequest())
+    resp = c.search(req)
+    got = {lv.label: lv.value for lv in resp.facetResult[0].labelValues}
+    assert got == {"a": 2, "b": 2, "c": 2}, got
+
+    # mixed shapes: plain (kernel-eligible alone) + sampled (never) — whole
+    # request must stay consistent on the arrays path
+    req2 = ParseDict({"indexName": "mv", "topHits": 4,
+        "query": {"matchQuery": {"field": "t", "query": "common"}},
+        "facets": [
+            {"dim": "color", "topN": 10, "name": "colors"},
+            {"dim": "color", "topN": 10, "sampleTopDocs": 2,
+             "name": "sampled"},
+        ]}, pb.SearchRequest())
+    resp2 = c.search(req2)
+    by_name = {fr.name: {lv.label: lv.value for lv in fr.labelValues}
+               for fr in resp2.facetResult}
+    assert by_name["colors"] == {"red": 2, "blue": 1, "green": 1}
+    assert sum(by_name["sampled"].values()) == 2  # top-2 ranked docs only
+    c.close()
+    srv.stop()
