@@ -103,3 +103,41 @@ def test_example_plugin_loaded(server):
     from nrtsearch_tpu.analysis import get_analyzer
 
     assert get_analyzer("example_ws_lower").terms("Hello WORLD") == ["hello", "world"]
+
+
+def test_completion_weight_ordering_and_multi_context(server):
+    """Completion results rank by suggestion WEIGHT descending (reference:
+    suggest ranking), multiple contexts OR together, and suggestions
+    survive across segments."""
+    _, client = server
+    # second segment with overlapping prefixes + multi-context entries
+    extra = [
+        ("3", {"value": "pizza express", "weight": 20,
+               "contexts": ["sf", "nyc"]}),
+        ("4", {"value": "pizzeria uno", "weight": 1, "contexts": ["chi"]}),
+    ]
+    reqs = []
+    for i, s in extra:
+        r = pb.AddDocumentRequest(indexName="idx")
+        r.fields["id"].value.append(i)
+        r.fields["sugg"].value.append(json.dumps(s))
+        reqs.append(r)
+    client.add_documents(reqs)
+    client.refresh("idx")
+
+    def run(text, ctxs=()):
+        req = pb.SearchRequest(indexName="idx", topHits=10,
+                               retrieveFields=["id"])
+        req.query.completionQuery.field = "sugg"
+        req.query.completionQuery.text = text
+        for c in ctxs:
+            req.query.completionQuery.contexts.append(c)
+        resp = client.search(req)
+        return [h.fields["id"].fieldValue[0].textValue for h in resp.hits]
+
+    # weight desc: express(20) > palace(10) > hut(5) > pizzeria(1)
+    assert run("pizz") == ["3", "0", "1", "4"]
+    # contexts OR: sf OR chi
+    assert set(run("pizz", ["sf", "chi"])) == {"3", "0", "4"}
+    # multi-context entry reachable from either context
+    assert "3" in run("pizz", ["nyc"])
