@@ -199,6 +199,65 @@ class BatchedBM25:
         )
         return self.maxscore
 
+    def attach_bucket(self, bucket_docs: int = 16384):
+        """Build the bucket-local retrieval index (ops/bucket_retrieval.py)
+        over the already-device-resident packed postings: per-(term, bucket)
+        split offsets — the TPU analogue of Lucene's skip data (reference
+        lucene Lucene90SkipReader via MyIndexSearcher's BulkScorer loop).
+        Host-side metadata only; postings stay shared with the fused path."""
+        from nrtsearch_tpu.ops.bucket_retrieval import BucketIndex
+
+        self.bucket_idx = BucketIndex.build(
+            np.asarray(self.doc_ids), np.asarray(self.impacts),
+            np.asarray(self.offsets, np.int64),
+            np.asarray(self.lengths, np.int32),
+            capacity=self.capacity, bucket_docs=bucket_docs,
+        )
+        return self.bucket_idx
+
+    def bucket_entries(self, queries, max_terms: int = 8):
+        """Analyzed query term lists -> [(term_id, idf weight)] per query."""
+        out = []
+        for qterms in queries:
+            ents = []
+            for term in list(qterms)[:max_terms]:
+                tid = self.terms.get(term)
+                if tid is None or not self.lengths[tid]:
+                    continue
+                ents.append(
+                    (tid,
+                     float(lucene_idf(self.num_docs_real, int(self.lengths[tid]))))
+                )
+            out.append(ents)
+        return out
+
+    def plan_bucket(self, queries, *, max_terms: int = 8,
+                    force_caps: tuple = (), force_tile: int = 0):
+        from nrtsearch_tpu.ops.bucket_retrieval import plan_bucket_batch
+
+        return plan_bucket_batch(
+            self.bucket_idx, self.bucket_entries(queries, max_terms),
+            self.offsets, max_terms=max_terms,
+            force_caps=force_caps, force_tile=force_tile,
+        )
+
+    def serve_bucket_batch(self, plan, k: int):
+        """Dispatch one planned batch on the bucket-local kernel. Returns
+        device arrays (rank_keys [B,k], doc ids [B,k], hits [B]) — decode
+        scores with ops.bucket_retrieval.decode_topk(plan.scales) after
+        forcing, so serving can pipeline readback."""
+        from nrtsearch_tpu.ops.bucket_retrieval import bucket_search_topk
+
+        idx = self.bucket_idx
+        return bucket_search_topk(
+            self.doc_ids, self.impacts,
+            jnp.asarray(plan.term_offs), jnp.asarray(plan.bounds),
+            jnp.asarray(plan.weights), jnp.asarray(plan.n_terms),
+            T=plan.term_offs.shape[1], caps=plan.caps, tile=plan.tile,
+            bucket_bits=idx.bucket_bits, m=idx.n_buckets, k=k,
+            interpret=not _on_tpu(),
+        )
+
     def maxscore_queries(self, queries, max_terms: int = 8) -> list[dict]:
         """Analyzed query term lists -> PrunedIndex query dicts."""
         out = []
