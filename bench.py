@@ -30,9 +30,18 @@ BATCH = int(os.environ.get("BENCH_BATCH", 32))
 TERMS_PER_QUERY = int(os.environ.get("BENCH_TERMS", 4))
 TOP_K = int(os.environ.get("BENCH_TOPK", 100))
 ITERS = int(os.environ.get("BENCH_ITERS", 20))
+# Path flags. Round-4 TPU measurements (BENCH_r04 / PERF_CEILING.md):
+# dense-head+tail is the fastest path and the default; the merge path is
+# always timed (the general-query fallback); MaxScore (143 qps) and the
+# all-sparse bucket kernel (192 qps) measured slower and are opt-in.
+# NOTE: BENCH_MAXSCORE default changed 1 -> 0 in round 3 (the TPU-measured
+# loser); headline values since then exclude it unless explicitly enabled.
 MAXSCORE = int(os.environ.get("BENCH_MAXSCORE", 0))
-BUCKET = int(os.environ.get("BENCH_BUCKET", 1))
+BUCKET = int(os.environ.get("BENCH_BUCKET", 0))
 BUCKET_DOCS = int(os.environ.get("BENCH_BUCKET_DOCS", 16384))
+DENSE = int(os.environ.get("BENCH_DENSE", 1))
+DENSE_ROWS = int(os.environ.get("BENCH_DENSE_ROWS", 256))
+READERS = int(os.environ.get("BENCH_READERS", 8))
 CPU_QUERIES = int(os.environ.get("BENCH_CPU_QUERIES", 32))
 CPU_REPLICA_CORES = int(os.environ.get("BENCH_CPU_REPLICA_CORES", 32))
 SINGLE_ITERS = int(os.environ.get("BENCH_SINGLE_ITERS", 30))
@@ -296,8 +305,142 @@ def main() -> None:
         if ms_qps > qps:
             qps, p50, p99 = ms_qps, ms_p50, ms_p99
 
+    dn_stats = {}
+    if DENSE:
+        # Dense-head + sparse-tail (ops/dense_head.py): head terms score as
+        # ONE MXU matmul over bf16 dense impact rows; only the genuinely
+        # sparse tail rides the bucket kernel (small tiles). Readback is a
+        # single packed array per batch; a reader pool overlaps the
+        # host<->device transfer RTs (a real serving frontend's response
+        # threads do exactly this — and on non-tunneled hardware the RT is
+        # microseconds anyway).
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        from nrtsearch_tpu.ops.dense_head import decode_packed
+
+        log(f"attaching dense-head index (max_rows={DENSE_ROWS})")
+        t0 = time.perf_counter()
+        model.attach_dense(max_rows=DENSE_ROWS)
+        H = model.dense_idx.n_rows
+        log(f"  built in {time.perf_counter()-t0:.1f}s H={H} "
+            f"min_df={model.dense_idx.min_df}")
+        nat = [model.plan_dense(qs) for qs in query_sets]
+        force_hu = max(p.W.shape[1] for p in nat)
+        tails = [p.tail for p in nat if p.tail is not None]
+        if tails:
+            caps_d = tuple(
+                int(np.max([t.caps[i] for t in tails]))
+                for i in range(len(tails[0].caps))
+            )
+            tile_d = max(t.tile for t in tails)
+        else:
+            caps_d, tile_d = (), 0
+        log(f"  joint shape: HU={force_hu} tail_caps={caps_d} tile={tile_d}")
+
+        def plan_d(qs):
+            return model.plan_dense(
+                qs, force_hu=force_hu, force_caps=caps_d, force_tile=tile_d
+            )
+
+        plans = [plan_d(qs) for qs in query_sets]
+        log("warming dense program")
+        np.asarray(model.serve_dense_batch(plans[0], TOP_K))
+
+        st_d = {"i": 0}
+
+        def run_dn_sync():
+            p = plans[st_d["i"] % len(plans)]
+            st_d["i"] += 1
+            decode_packed(
+                np.asarray(model.serve_dense_batch(p, TOP_K)), TOP_K
+            )
+
+        log("timing dense path (synchronous per-batch)")
+        _, dn_p50, dn_p99 = _timeit(run_dn_sync, ITERS)
+        log(f"batch-{BATCH} dense: p50 {dn_p50*1e3:.1f} ms/batch")
+
+        def read_one(out, scales):
+            decode_packed(np.asarray(out), TOP_K)
+
+        st_d["i"] = 0
+        n_iters = ITERS * 4
+        with ThreadPoolExecutor(READERS) as pool:
+            pend = deque()
+            t0 = time.perf_counter()
+            for _ in range(n_iters):
+                qs = query_sets[st_d["i"] % len(query_sets)]
+                p = plan_d(qs)   # honest per-batch host planning
+                st_d["i"] += 1
+                pend.append(
+                    pool.submit(read_one, model.serve_dense_batch(p, TOP_K),
+                                None)
+                )
+                while len(pend) > READERS * 2:
+                    pend.popleft().result()
+            while pend:
+                pend.popleft().result()
+            dn_total = time.perf_counter() - t0
+        dn_qps = BATCH * n_iters / dn_total
+        log(
+            f"batch-{BATCH} dense: {dn_qps:.1f} qps pipelined "
+            f"({dn_total/n_iters*1e3:.2f} ms/batch effective, "
+            f"{READERS} readers)"
+        )
+
+        # single-query latency on the dense path
+        sp = [model.plan_dense(s) for s in singles]
+        hu1 = max(p.W.shape[1] for p in sp)
+        t1s = [p.tail for p in sp if p.tail is not None]
+        if t1s:
+            caps1 = tuple(
+                int(np.max([t.caps[i] for t in t1s]))
+                for i in range(len(t1s[0].caps))
+            )
+            tile1 = max(t.tile for t in t1s)
+        else:
+            caps1, tile1 = (), 0
+        sp = [
+            model.plan_dense(s, force_hu=hu1, force_caps=caps1,
+                             force_tile=tile1)
+            for s in singles
+        ]
+        np.asarray(model.serve_dense_batch(sp[0], TOP_K))
+        st_d["i"] = 0
+
+        def run_dn_single():
+            p = sp[st_d["i"] % len(sp)]
+            st_d["i"] += 1
+            decode_packed(
+                np.asarray(model.serve_dense_batch(p, TOP_K)), TOP_K
+            )
+
+        _, dsp50, dsp99 = _timeit(run_dn_single, SINGLE_ITERS)
+        log(f"batch-1 dense: p50 {dsp50*1e3:.1f} ms, p99 {dsp99*1e3:.1f} ms")
+
+        dn_stats = {
+            "dense_qps": round(dn_qps, 2),
+            "dense_p50_ms": round(dn_p50 * 1e3, 3),
+            "dense_p99_ms": round(dn_p99 * 1e3, 3),
+            "dense_rows": H,
+            "dense_single_p50_ms": round(dsp50 * 1e3, 3),
+            "dense_single_p99_ms": round(dsp99 * 1e3, 3),
+        }
+        if dn_qps > qps:
+            qps, p50, p99 = dn_qps, dn_p50, dn_p99
+        if dsp99 < sp99:
+            sp50, sp99 = dsp50, dsp99
+
     bk_stats = {}
-    if BUCKET:
+    if BUCKET and not on_tpu and NUM_DOCS > 200_000:
+        # the bucket kernels in interpret mode over a 1M-doc corpus are
+        # pathologically slow on the CPU fallback; skip rather than hang
+        log("skipping bucket path: not on TPU and corpus too large for "
+            "interpret mode")
+        BUCKET_RUN = False
+    else:
+        BUCKET_RUN = BUCKET
+    if BUCKET_RUN:
         # Bucket-local kernel (ops/bucket_retrieval.py): ONE HBM read of the
         # postings, in-VMEM bucket sort + segmented sum, top-k on quantized
         # score keys. Steady-state serving freezes one joint (caps, tile)

@@ -213,6 +213,7 @@ class BatchedBM25:
             np.asarray(self.lengths, np.int32),
             capacity=self.capacity, bucket_docs=bucket_docs,
         )
+        self._assert_bucket_padding(self.bucket_idx)
         return self.bucket_idx
 
     def bucket_entries(self, queries, max_terms: int = 8):
@@ -257,6 +258,63 @@ class BatchedBM25:
             bucket_bits=idx.bucket_bits, m=idx.n_buckets, k=k,
             interpret=not _on_tpu(),
         )
+
+    def attach_dense(self, *, max_rows: int = 256, min_df: int | None = None,
+                     bucket_docs: int = 32768):
+        """Build the dense-head + sparse-tail index (ops/dense_head.py):
+        head terms become bf16 dense impact rows scored on the MXU; the
+        sparse bucket kernel keeps only the genuinely-sparse tail. The TPU
+        answer to Lucene's impact-ordered BulkScorer hot loop (reference
+        server/search/MyIndexSearcher.java:79)."""
+        from nrtsearch_tpu.ops.dense_head import DenseHeadIndex
+
+        self.dense_idx = DenseHeadIndex.build(
+            np.asarray(self.doc_ids), np.asarray(self.impacts),
+            np.asarray(self.offsets, np.int64),
+            np.asarray(self.lengths, np.int32),
+            capacity=self.capacity,
+            max_rows=max_rows, min_df=min_df, bucket_docs=bucket_docs,
+        )
+        self._assert_bucket_padding(self.dense_idx.tail)
+        return self.dense_idx
+
+    def plan_dense(self, queries, *, max_terms: int = 8, force_hu: int = 0,
+                   force_caps: tuple = (), force_tile: int = 0):
+        from nrtsearch_tpu.ops.dense_head import plan_dense_batch
+
+        return plan_dense_batch(
+            self.dense_idx, self.bucket_entries(queries, max_terms),
+            self.offsets, max_terms=max_terms, force_hu=force_hu,
+            force_caps=force_caps, force_tile=force_tile,
+        )
+
+    def serve_dense_batch(self, plan, k: int):
+        """Dispatch one planned batch on the dense+tail path. Returns the
+        packed [B, 2k+1] device array (ops.dense_head.decode_packed)."""
+        from nrtsearch_tpu.ops import dense_head
+
+        return dense_head.dispatch(
+            self.dense_idx, plan, self.doc_ids, self.impacts, k,
+            interpret=not _on_tpu(),
+        )
+
+    def _assert_bucket_padding(self, idx):
+        """The gather kernel's DMA for a slot can read up to
+        cap + _DMA_ROWS*128 past an aligned run start; the postings arrays
+        must carry that much slack past the last valid posting."""
+        from nrtsearch_tpu.ops.bucket_retrieval import _DMA_ROWS
+
+        valid = int(
+            (np.asarray(self.offsets, np.int64)
+             + np.asarray(self.lengths, np.int64)).max()
+        )
+        pad = int(self.doc_ids.shape[0]) - valid
+        need = (1 << idx.bucket_bits) + 2 * _DMA_ROWS * 128
+        if pad < need:
+            raise ValueError(
+                f"postings padding {pad} < bucket DMA slack {need}; "
+                f"repack with more tail padding"
+            )
 
     def maxscore_queries(self, queries, max_terms: int = 8) -> list[dict]:
         """Analyzed query term lists -> PrunedIndex query dicts."""
@@ -366,7 +424,9 @@ class SyntheticCorpus:
         from nrtsearch_tpu.ops.pallas_merge import GATHER_TILE
 
         d_pad = _pad_pow2(self.num_docs)
-        p_pad = _pad_pow2(len(self.post_docs) + 2 * GATHER_TILE)
+        # tail padding: the merge gather reads up to 2*GATHER_TILE past a run
+        # start; the bucket gather up to bucket_docs (<= 32768) + DMA slack
+        p_pad = _pad_pow2(len(self.post_docs) + max(2 * GATHER_TILE, 34816))
         doc_ids = np.zeros(p_pad, np.int32)
         doc_ids[: len(self.post_docs)] = self.post_docs
         freqs = np.zeros(p_pad, np.float32)

@@ -178,14 +178,29 @@ def plan_bucket_batch(
             weights[qi, ti] = w * scale
 
     lens = bounds[:, :, 1:] - bounds[:, :, :-1]      # [B, T, m]
+    per_slot = lens.max(axis=(0, 2)) if lens.size else np.zeros(T, np.int64)
     if force_caps:
+        # frozen steady-state shapes must actually fit this batch: the
+        # gather kernel's DMA ring and take-mask assume ln <= cap and
+        # sum(ln) <= tile — overflow would silently corrupt postings
+        for t in range(min(T, len(force_caps))):
+            if int(per_slot[t]) > int(force_caps[t]):
+                raise ValueError(
+                    f"bucket plan overflow: slot {t} slice {int(per_slot[t])}"
+                    f" > frozen cap {int(force_caps[t])}"
+                )
         caps = force_caps
     else:
-        per_slot = lens.max(axis=(0, 2))             # [T]
         caps = tuple(
             max(_DMA_ROWS * 128, -(-int(c) // 1024) * 1024) for c in per_slot
         )
-    tile = force_tile or _pow2(int(lens.sum(axis=1).max()), _DMA_ROWS * 128)
+    max_sum = int(lens.sum(axis=1).max()) if lens.size else 0
+    if force_tile and max_sum > force_tile:
+        raise ValueError(
+            f"bucket plan overflow: bucket sum {max_sum} > frozen tile "
+            f"{force_tile}"
+        )
+    tile = force_tile or _pow2(max_sum, _DMA_ROWS * 128)
     return BucketPlan(
         term_offs, bounds, weights, n_terms, scales, caps, tile,
         (T, caps, tile, m),

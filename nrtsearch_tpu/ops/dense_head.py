@@ -1,0 +1,490 @@
+"""Dense-head + sparse-tail fused BM25 retrieval: the round-4 flagship path.
+
+Round-3 hardware profiling showed the bucket-local kernel regressing to
+191 qps because Zipf HEAD terms (df ~ the corpus size) make per-bucket
+slices nearly dense: the frozen joint tile reached 65,536 keys, and a full
+in-VMEM bitonic sort of 64k elements x 2,048 grid programs is hopelessly
+VPU-bound (log^2 passes of compare-exchange, ~136 sweeps per tile). The
+TPU-native fix is to stop treating dense data as sparse:
+
+- **Head terms** (df >= ``min_df``, capped at ``max_rows``) are stored as
+  DENSE per-doc impact rows, quantized to bfloat16 ([H, D] on device). A
+  batch scores them with ONE MXU matmul: ``S = W[B, Hu] @ rows[Hu, D]``
+  (f32 accumulation) after a Pallas row-gather of the Hu used rows — all
+  FLOPs land on the systolic array at HBM streaming bandwidth, zero control
+  flow. Dense storage is also SMALLER than packed postings once
+  df >= D/4 (2 bytes/doc vs 8 bytes/posting).
+- **Tail terms** (everything else) keep the sparse bucket-local kernel
+  (ops/bucket_retrieval.py) — but their slices are now genuinely sparse
+  (df < min_df), so per-(query,chunk) tiles collapse from 64k keys to a few
+  hundred and the in-VMEM sort runs where it is cheap.
+- **Exact combine** (candidate-union): a doc outside the tail support has
+  final score == S_head[d], so exact top-k candidates are (top-k of S_head)
+  UNION (tail support docs, scored S_tail + gathered S_head). Head entries
+  that also appear in the support are masked via a vectorized searchsorted
+  (the support doc stream is globally non-decreasing by construction), so
+  no doc is double-counted and no scatter into the dense accumulator is
+  ever needed.
+
+This is the TPU answer to the role impacts/BlockMaxWAND play in Lucene's
+BulkScorer hot loop (reference: server/search/MyIndexSearcher.java:79,
+SURVEY §3.3): Lucene avoids *reading* non-competitive postings; on TPU the
+same postings cost less than the control flow to skip them, so the head is
+made dense and streamed through the MXU instead. Bucket-level block-max
+bounds (BucketIndex.bucket_max) still provide sub-linear reads for the
+chunked variant (see dense_chunk_topk / chunk pruning).
+
+Score semantics: head impacts quantize to bfloat16 (8-bit mantissa —
+the same resolution class as Lucene's SmallFloat norm quantization,
+reference: lucene SmallFloat / server field norms); tail contributions
+quantize to 15 bits of the query's tail score range (ops/bucket_retrieval
+contract). Top-k docs and hit counts are exact over these quantized scores.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nrtsearch_tpu.ops.bucket_retrieval import (
+    I32_MIN,
+    I32_SENT,
+    BucketIndex,
+    BucketPlan,
+    gather_pack_pallas,
+    plan_bucket_batch,
+    sort_finish_pallas,
+)
+from nrtsearch_tpu.ops.merge_scoring import _hierarchical_topk
+
+NEG_INF = np.float32(-np.inf)
+
+
+# ---------------------------------------------------------------------------
+# Refresh-time index
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DenseHeadIndex:
+    """Dense bf16 impact rows for head terms + a bucket index for the tail."""
+
+    rows: jax.Array                 # bf16 [H, D] per-doc impacts (0 = absent)
+    head_ids: np.ndarray            # int32 [H] term ids, df-descending
+    head_pos: dict                  # term id -> row index
+    tail: BucketIndex               # bucket metadata (bounds valid for ALL
+                                    # terms; queried only for tail terms)
+    capacity: int                   # D (padded doc-space size)
+    min_df: int
+
+    @classmethod
+    def build(
+        cls,
+        post_docs: np.ndarray,      # int32 [P] doc ids, term-major, doc-sorted
+        post_impacts: np.ndarray,   # float32 [P] impacts (0 for deleted)
+        term_offsets: np.ndarray,   # int64 [V]
+        term_lengths: np.ndarray,   # int32 [V]
+        capacity: int,              # padded doc-space size (mult of 128)
+        *,
+        max_rows: int = 256,
+        min_df: int | None = None,
+        bucket_docs: int = 32768,
+    ) -> "DenseHeadIndex":
+        assert capacity % 128 == 0
+        V = len(term_lengths)
+        if min_df is None:
+            min_df = max(1024, capacity // 64)
+        lengths = np.asarray(term_lengths, np.int64)
+        cand = np.nonzero(lengths >= min_df)[0]
+        if len(cand) > max_rows:
+            cand = cand[np.argsort(-lengths[cand], kind="stable")[:max_rows]]
+        head_ids = cand[np.argsort(-lengths[cand], kind="stable")].astype(
+            np.int32
+        )
+        H = len(head_ids)
+        head_pos = {int(t): i for i, t in enumerate(head_ids)}
+        # dense rows: one vectorized scatter per head term's postings
+        rows_np = np.zeros((max(H, 1), capacity), dtype=jnp.bfloat16)
+        for i, tid in enumerate(head_ids):
+            off = int(term_offsets[tid])
+            ln = int(term_lengths[tid])
+            d = post_docs[off : off + ln]
+            imp = post_impacts[off : off + ln]
+            rows_np[i, d] = imp.astype(jnp.bfloat16)
+        rows = jax.device_put(rows_np)
+        tail = BucketIndex.build(
+            post_docs, post_impacts, term_offsets, term_lengths,
+            capacity=capacity, bucket_docs=bucket_docs,
+        )
+        return cls(rows, head_ids, head_pos, tail, capacity, int(min_df))
+
+    @property
+    def n_rows(self) -> int:
+        return len(self.head_ids)
+
+
+# ---------------------------------------------------------------------------
+# Query planning
+# ---------------------------------------------------------------------------
+
+
+def _pow2(n: int, minimum: int = 1) -> int:
+    b = minimum
+    while b < n:
+        b <<= 1
+    return b
+
+
+@dataclass
+class DensePlan:
+    """Host-compiled tables for one dense+tail batch."""
+
+    W: np.ndarray            # float32 [B, HU] head weights (0-padded)
+    row_ids: np.ndarray      # int32 [HU] dense row indices used (0-padded)
+    tail: BucketPlan | None  # bucket-kernel plan for tail terms (None: none)
+    has_head: bool
+    shape_key: tuple         # static program-cache key
+
+
+def plan_dense_batch(
+    idx: DenseHeadIndex,
+    queries: list[list[tuple[int, float]]],   # per query [(term_id, weight)]
+    term_offsets: np.ndarray,
+    *,
+    max_terms: int = 8,
+    hu_pad: int = 8,
+    force_hu: int = 0,
+    force_caps: tuple = (),
+    force_tile: int = 0,
+) -> DensePlan:
+    """Split each query's terms into head rows and tail postings.
+
+    HU (the number of gathered dense rows) pads to a power of two so
+    steady-state batches reuse one compiled program; duplicate term ids
+    merge weights (matching plan_bucket_batch semantics).
+    """
+    B = len(queries)
+    used: dict[int, int] = {}       # dense row -> gathered position
+    w_ent: list[dict[int, float]] = []
+    tail_qs: list[list[tuple[int, float]]] = []
+    any_tail = False
+    for entries in queries:
+        merged: dict[int, float] = {}
+        for tid, w in entries[: max_terms if max_terms else None]:
+            if w != 0.0:
+                merged[tid] = merged.get(tid, 0.0) + w
+        hw: dict[int, float] = {}
+        tq: list[tuple[int, float]] = []
+        for tid, w in merged.items():
+            row = idx.head_pos.get(int(tid))
+            if row is not None:
+                if row not in used:
+                    used[row] = len(used)
+                hw[used[row]] = w
+            else:
+                tq.append((tid, w))
+                any_tail = True
+        w_ent.append(hw)
+        tail_qs.append(tq)
+
+    HU = force_hu or _pow2(max(1, len(used)), hu_pad)
+    if len(used) > HU:
+        raise ValueError(
+            f"dense plan overflow: {len(used)} used rows > frozen HU={HU}"
+        )
+    W = np.zeros((B, HU), np.float32)
+    row_ids = np.zeros(HU, np.int32)
+    for row, pos in used.items():
+        row_ids[pos] = row
+    for qi, hw in enumerate(w_ent):
+        for pos, w in hw.items():
+            W[qi, pos] = w
+    has_head = bool(used)
+
+    tail = None
+    if any_tail:
+        tail = plan_bucket_batch(
+            idx.tail, tail_qs, term_offsets, max_terms=max_terms,
+            force_caps=force_caps, force_tile=force_tile,
+        )
+    tail_key = tail.shape_key if tail is not None else None
+    return DensePlan(W, row_ids, tail, has_head, (B, HU, has_head, tail_key))
+
+
+# ---------------------------------------------------------------------------
+# Pallas row gather (jnp.take on [H, D] rows measured ~24 GB/s on v5e;
+# a per-row HBM->HBM DMA streams at copy bandwidth instead)
+# ---------------------------------------------------------------------------
+
+
+def _row_gather_kernel(idx_ref, rows_hbm, out_hbm, sem):
+    i = pl.program_id(0)
+    r = idx_ref[i]
+    c = pltpu.make_async_copy(
+        rows_hbm.at[pl.ds(r, 1), :], out_hbm.at[pl.ds(i, 1), :], sem
+    )
+    c.start()
+    c.wait()
+
+
+def row_gather_pallas(rows, row_ids, *, interpret: bool = False):
+    """rows [H, D] bf16, row_ids [HU] int32 -> gathered [HU, D] bf16."""
+    H, D = rows.shape
+    HU = row_ids.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(HU,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )
+    return pl.pallas_call(
+        _row_gather_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((HU, D), rows.dtype)],
+        interpret=interpret,
+    )(row_ids, rows)[0]
+
+
+# ---------------------------------------------------------------------------
+# Fused query step
+# ---------------------------------------------------------------------------
+
+
+def _searchsorted_rows(a, v):
+    """Vectorized per-row searchsorted: a [B, N] non-decreasing, v [B, K]."""
+    return jax.vmap(lambda ar, vr: jnp.searchsorted(ar, vr))(a, v)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "has_head", "T", "caps", "tile", "bucket_bits", "m",
+        "interpret",
+    ),
+)
+def dense_tail_topk(
+    rows,             # bf16 [H, D] dense head impact rows
+    post_docs,        # int32 [P] packed postings (shared with other paths)
+    post_impacts,     # float32 [P]
+    W,                # f32 [B, HU] head weights
+    row_ids,          # int32 [HU]
+    toffs, bounds, wts, n_terms,   # tail bucket tables (unused if m == 0)
+    scales,           # f32 [B] tail quantization scales
+    *,
+    k: int,
+    has_head: bool,
+    T: int = 0,
+    caps: tuple = (),
+    tile: int = 0,
+    bucket_bits: int = 0,
+    m: int = 0,
+    interpret: bool = False,
+):
+    """Fused dense-head + sparse-tail retrieval.
+
+    Returns one packed int32 array [B, 2k+1]: scores (f32 bitcast) | docs |
+    hits — a single buffer so serving reads back ONE transfer per batch.
+    Decode with ``decode_packed``.
+    """
+    B = W.shape[0]
+    D = rows.shape[1]
+    has_tail = m > 0
+
+    if has_head:
+        gathered = row_gather_pallas(rows, row_ids, interpret=interpret)
+        S = jax.lax.dot_general(
+            W.astype(jnp.bfloat16), gathered,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                          # [B, D] f32
+        masked = jnp.where(S > 0.0, S, NEG_INF)
+        head_s, head_d = _hierarchical_topk(masked, k)
+        head_hits = jnp.sum((S > 0.0).astype(jnp.int32), axis=-1)
+    else:
+        head_s = jnp.full((B, k), NEG_INF, jnp.float32)
+        head_d = jnp.zeros((B, k), jnp.int32)
+        head_hits = jnp.zeros((B,), jnp.int32)
+
+    if has_tail:
+        keys = gather_pack_pallas(
+            post_docs, post_impacts, (toffs, bounds, wts),
+            T=T, caps=caps, tile=tile, bucket_bits=bucket_bits, m=m,
+            interpret=interpret,
+        )
+        ranked, docs = sort_finish_pallas(
+            keys, n_terms, tile=tile, max_seg=T, require_all=False,
+            bucket_bits=bucket_bits, n_buckets=m, interpret=interpret,
+        )
+        sup_q = ranked.reshape(B, m * tile)        # int32 quant sums
+        sup_d = docs.reshape(B, m * tile)          # global doc ids, non-dec
+        valid = sup_q != I32_MIN
+        if has_head:
+            sd = jnp.clip(sup_d, 0, D - 1)
+            s_at = jnp.take_along_axis(S, sd, axis=1)
+        else:
+            s_at = jnp.zeros_like(sup_q, jnp.float32)
+        sup_s = jnp.where(
+            valid,
+            sup_q.astype(jnp.float32) / scales[:, None] + s_at,
+            NEG_INF,
+        )
+        tail_hits = jnp.sum(
+            (valid & (s_at == 0.0)).astype(jnp.int32), axis=-1
+        )
+        if has_head:
+            # mask stale head entries whose doc already has a (complete)
+            # support entry; the support stream is globally non-decreasing
+            # (chunks ascend; tiles sort ascending; SENT pads to the chunk's
+            # last local doc), so a leftmost binary search finds any valid
+            # occurrence first
+            p = _searchsorted_rows(sup_d, head_d)
+            pc = jnp.clip(p, 0, m * tile - 1)
+            dup = (
+                (jnp.take_along_axis(sup_d, pc, axis=1) == head_d)
+                & jnp.take_along_axis(valid, pc, axis=1)
+                & (p < m * tile)
+            )
+            head_s = jnp.where(dup, NEG_INF, head_s)
+        all_s = jnp.concatenate([sup_s, head_s], axis=1)
+        all_d = jnp.concatenate([sup_d, head_d], axis=1)
+        fs, fi = jax.lax.top_k(all_s, k)
+        fd = jnp.take_along_axis(all_d, fi, axis=1)
+    else:
+        fs, fd = head_s, head_d
+        tail_hits = jnp.zeros((B,), jnp.int32)
+
+    hits = head_hits + tail_hits
+    fd = jnp.where(fs == NEG_INF, -1, fd)
+    packed = jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(fs, jnp.int32),
+            fd.astype(jnp.int32),
+            hits[:, None].astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    return packed
+
+
+def dispatch(
+    idx: DenseHeadIndex,
+    plan: DensePlan,
+    post_docs,
+    post_impacts,
+    k: int,
+    *,
+    interpret: bool = False,
+):
+    """Assemble device tables for one plan and run the fused step. Returns
+    the packed [B, 2k+1] device array (decode with ``decode_packed`` after
+    forcing, so serving can pipeline readback)."""
+    tail = plan.tail
+    B = plan.W.shape[0]
+    if tail is not None:
+        args = (
+            jnp.asarray(tail.term_offs), jnp.asarray(tail.bounds),
+            jnp.asarray(tail.weights), jnp.asarray(tail.n_terms),
+            jnp.asarray(tail.scales),
+        )
+        static = dict(
+            T=tail.term_offs.shape[1], caps=tail.caps, tile=tail.tile,
+            bucket_bits=idx.tail.bucket_bits, m=idx.tail.n_buckets,
+        )
+    else:
+        args = (
+            jnp.zeros((B, 1), jnp.int32), jnp.zeros((B, 1, 2), jnp.int32),
+            jnp.zeros((B, 1), jnp.float32), jnp.zeros(B, jnp.int32),
+            jnp.ones(B, jnp.float32),
+        )
+        static = dict(T=0, caps=(), tile=0, bucket_bits=0, m=0)
+    return dense_tail_topk(
+        idx.rows, post_docs, post_impacts,
+        jnp.asarray(plan.W), jnp.asarray(plan.row_ids), *args,
+        k=k, has_head=plan.has_head, interpret=interpret, **static,
+    )
+
+
+def decode_packed(packed, k: int):
+    """[B, 2k+1] int32 -> (scores f32 [B,k], docs i32 [B,k], hits i64 [B])."""
+    packed = np.asarray(packed)
+    scores = packed[:, :k].view(np.float32)
+    docs = packed[:, k : 2 * k]
+    hits = packed[:, 2 * k].astype(np.int64)
+    return scores, docs, hits
+
+
+# ---------------------------------------------------------------------------
+# Reference implementation (numpy, same quantization semantics) for tests
+# ---------------------------------------------------------------------------
+
+
+def reference_dense_search(
+    post_docs,
+    post_impacts,
+    idx: DenseHeadIndex,
+    queries: list[list[tuple[int, float]]],
+    term_offsets,
+    term_lengths,
+    k: int,
+    *,
+    max_terms: int = 8,
+):
+    """Numpy replication: head contributions via bf16-quantized impacts
+    (f32 product accumulation), tail via the 15-bit bucket quantization
+    using the PLAN's exact f32 weight tables (so quantization boundaries
+    match the kernel bit-for-bit), rank by (-score, doc)."""
+    plan = plan_dense_batch(idx, queries, term_offsets, max_terms=max_terms)
+    bf16 = np.dtype(jnp.bfloat16)
+    B = len(queries)
+    out_scores = np.full((B, k), -np.inf, np.float32)
+    out_docs = np.full((B, k), -1, np.int32)
+    hits = np.zeros(B, np.int64)
+    QMAX = 32000
+    for qi in range(B):
+        acc: dict[int, float] = {}
+        tail_acc: dict[int, int] = {}
+        # head: W[qi] (already merged/f32) against bf16 dense impacts
+        for pos in np.nonzero(plan.W[qi])[0]:
+            tid = int(idx.head_ids[int(plan.row_ids[pos])])
+            wq = np.float32(plan.W[qi, pos].astype(bf16))
+            off = int(term_offsets[tid])
+            ln = int(term_lengths[tid])
+            docs = post_docs[off : off + ln]
+            imps = post_impacts[off : off + ln]
+            contrib = wq * imps.astype(bf16).astype(np.float32)
+            for d, c, lv in zip(docs, contrib, imps > 0.0):
+                if lv:
+                    acc[d] = acc.get(d, 0.0) + float(c)
+        # tail: the plan's folded weight*scale tables, 15-bit quantization
+        if plan.tail is not None:
+            tp = plan.tail
+            for ti in range(tp.term_offs.shape[1]):
+                wt = tp.weights[qi, ti]
+                if wt == 0.0:
+                    continue
+                off = int(tp.term_offs[qi, ti])
+                ln = int(tp.bounds[qi, ti, -1])
+                docs = post_docs[off : off + ln]
+                imps = post_impacts[off : off + ln]
+                quant = np.clip((wt * imps + 0.5).astype(np.int64), 1, QMAX)
+                for d, qv, lv in zip(docs, quant, imps > 0.0):
+                    if lv:
+                        tail_acc[d] = tail_acc.get(d, 0) + int(qv)
+            for d, q in tail_acc.items():
+                acc[d] = acc.get(d, 0.0) + np.float32(
+                    np.float32(min(q, QMAX)) / tp.scales[qi]
+                )
+        items = [(s, d) for d, s in acc.items() if s > 0]
+        hits[qi] = len(items)
+        items.sort(key=lambda sd: (-sd[0], sd[1]))
+        for j, (s, d) in enumerate(items[:k]):
+            out_scores[qi, j] = s
+            out_docs[qi, j] = d
+    return out_scores, out_docs, hits
