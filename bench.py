@@ -326,7 +326,6 @@ def main() -> None:
         log(f"  built in {time.perf_counter()-t0:.1f}s H={H} "
             f"min_df={model.dense_idx.min_df}")
         nat = [model.plan_dense(qs) for qs in query_sets]
-        force_hu = max(p.W.shape[1] for p in nat)
         tails = [p.tail for p in nat if p.tail is not None]
         if tails:
             caps_d = tuple(
@@ -336,11 +335,12 @@ def main() -> None:
             tile_d = max(t.tile for t in tails)
         else:
             caps_d, tile_d = (), 0
-        log(f"  joint shape: HU={force_hu} tail_caps={caps_d} tile={tile_d}")
+        log(f"  joint shape: Hp={nat[0].W.shape[1]} tail_caps={caps_d} "
+            f"tile={tile_d}")
 
         def plan_d(qs):
             return model.plan_dense(
-                qs, force_hu=force_hu, force_caps=caps_d, force_tile=tile_d
+                qs, force_caps=caps_d, force_tile=tile_d
             )
 
         plans = [plan_d(qs) for qs in query_sets]
@@ -390,7 +390,6 @@ def main() -> None:
 
         # single-query latency on the dense path
         sp = [model.plan_dense(s) for s in singles]
-        hu1 = max(p.W.shape[1] for p in sp)
         t1s = [p.tail for p in sp if p.tail is not None]
         if t1s:
             caps1 = tuple(
@@ -401,8 +400,7 @@ def main() -> None:
         else:
             caps1, tile1 = (), 0
         sp = [
-            model.plan_dense(s, force_hu=hu1, force_caps=caps1,
-                             force_tile=tile1)
+            model.plan_dense(s, force_caps=caps1, force_tile=tile1)
             for s in singles
         ]
         np.asarray(model.serve_dense_batch(sp[0], TOP_K))

@@ -284,11 +284,21 @@ class PackedFieldView:
 
     def search_timeout(
         self, spec: QuerySpec, k: int, timeout_sec: float, chunks: int = 8,
+        check_every: int = 0,
     ):
         """Fused search as docid-ascending chunk dispatches with a deadline
         check between chunks (core/maxscore.py search_chunked). Returns
-        (FastResult, timed_out)."""
+        (FastResult, timed_out).
+
+        ``check_every`` honors the reference's timeoutCheckEvery live/request
+        setting (search.proto:481 — docs collected between deadline checks):
+        the doc-space chunk size becomes ~check_every docs, bounded to
+        [1, 64] chunks so tiny values can't explode dispatch count."""
         import time as _time
+
+        if check_every > 0:
+            want = -(-int(self.index.max_doc) // max(int(check_every), 1))
+            chunks = max(1, min(64, want))
 
         empty = FastResult(
             np.full(k, -np.inf, np.float32), np.zeros(k, np.int64), 0, False
@@ -309,7 +319,8 @@ class PackedFieldView:
         if not q["entries"]:
             return empty, False
         s, d, total, timed_out = self.index.search_chunked(
-            q, k, deadline=_time.time() + timeout_sec, chunks=chunks,
+            q, k, deadline=_time.time() + timeout_sec,
+            chunks=min(chunks, max(1, int(self.index.max_doc))),
         )
         return FastResult(s, d, total, False), timed_out
 

@@ -137,6 +137,7 @@ class Searcher:
         timeout_sec: float = 0.0,
         terminate_after: int = 0,
         arrays_score_free: bool = False,
+        timeout_check_every: int = 0,
     ):
         """Recall + top-k over all segments.
 
@@ -165,7 +166,8 @@ class Searcher:
             spec = self.compile_batchable(node, sort)
             if spec is not None:
                 res, timed_out = self.packed_view(spec.field).search_timeout(
-                    spec, top_hits, timeout_sec
+                    spec, top_hits, timeout_sec,
+                    check_every=timeout_check_every,
                 )
                 td = self._fast_result_to_topdocs(spec, res, top_hits)
                 td.hit_timeout = timed_out

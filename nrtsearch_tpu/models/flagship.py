@@ -278,13 +278,13 @@ class BatchedBM25:
         self._assert_bucket_padding(self.dense_idx.tail)
         return self.dense_idx
 
-    def plan_dense(self, queries, *, max_terms: int = 8, force_hu: int = 0,
+    def plan_dense(self, queries, *, max_terms: int = 8,
                    force_caps: tuple = (), force_tile: int = 0):
         from nrtsearch_tpu.ops.dense_head import plan_dense_batch
 
         return plan_dense_batch(
             self.dense_idx, self.bucket_entries(queries, max_terms),
-            self.offsets, max_terms=max_terms, force_hu=force_hu,
+            self.offsets, max_terms=max_terms,
             force_caps=force_caps, force_tile=force_tile,
         )
 

@@ -9,11 +9,14 @@ TPU-native fix is to stop treating dense data as sparse:
 
 - **Head terms** (df >= ``min_df``, capped at ``max_rows``) are stored as
   DENSE per-doc impact rows, quantized to bfloat16 ([H, D] on device). A
-  batch scores them with ONE MXU matmul: ``S = W[B, Hu] @ rows[Hu, D]``
-  (f32 accumulation) after a Pallas row-gather of the Hu used rows — all
-  FLOPs land on the systolic array at HBM streaming bandwidth, zero control
-  flow. Dense storage is also SMALLER than packed postings once
-  df >= D/4 (2 bytes/doc vs 8 bytes/posting).
+  batch scores them with ONE MXU matmul over ALL head rows:
+  ``S = W[B, H] @ rows[H, D]`` (f32 accumulation) — the weight matrix is
+  scattered on the host at plan time, so unused rows multiply by zero.
+  With H <= 256 the full-H matmul streams the rows at HBM bandwidth
+  (~0.6 ms for 256 x 1M bf16 on v5e) with zero gather control flow; a
+  per-row DMA gather is not even legal on TPU (HBM slices must be
+  sublane-aligned) and jnp.take measured ~24 GB/s. Dense storage is also
+  SMALLER than packed postings once df >= D/4 (2 B/doc vs 8 B/posting).
 - **Tail terms** (everything else) keep the sparse bucket-local kernel
   (ops/bucket_retrieval.py) — but their slices are now genuinely sparse
   (df < min_df), so per-(query,chunk) tiles collapse from 64k keys to a few
@@ -49,8 +52,6 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from nrtsearch_tpu.ops.bucket_retrieval import (
     I32_MIN,
@@ -109,8 +110,11 @@ class DenseHeadIndex:
         )
         H = len(head_ids)
         head_pos = {int(t): i for i, t in enumerate(head_ids)}
-        # dense rows: one vectorized scatter per head term's postings
-        rows_np = np.zeros((max(H, 1), capacity), dtype=jnp.bfloat16)
+        # dense rows: one vectorized scatter per head term's postings.
+        # Row count pads to a multiple of 8 (f32 sublane) so the matmul's
+        # contracting dim tiles cleanly; pad rows are zero.
+        Hp = max(8, -(-H // 8) * 8)
+        rows_np = np.zeros((Hp, capacity), dtype=jnp.bfloat16)
         for i, tid in enumerate(head_ids):
             off = int(term_offsets[tid])
             ln = int(term_lengths[tid])
@@ -145,8 +149,7 @@ def _pow2(n: int, minimum: int = 1) -> int:
 class DensePlan:
     """Host-compiled tables for one dense+tail batch."""
 
-    W: np.ndarray            # float32 [B, HU] head weights (0-padded)
-    row_ids: np.ndarray      # int32 [HU] dense row indices used (0-padded)
+    W: np.ndarray            # float32 [B, Hp] FULL head weight matrix
     tail: BucketPlan | None  # bucket-kernel plan for tail terms (None: none)
     has_head: bool
     shape_key: tuple         # static program-cache key
@@ -158,54 +161,38 @@ def plan_dense_batch(
     term_offsets: np.ndarray,
     *,
     max_terms: int = 8,
-    hu_pad: int = 8,
-    force_hu: int = 0,
     force_caps: tuple = (),
     force_tile: int = 0,
 ) -> DensePlan:
     """Split each query's terms into head rows and tail postings.
 
-    HU (the number of gathered dense rows) pads to a power of two so
-    steady-state batches reuse one compiled program; duplicate term ids
-    merge weights (matching plan_bucket_batch semantics).
+    The head weight matrix is the FULL [B, Hp] scatter (Hp = padded row
+    count, a STATIC shape): unused rows multiply by zero in the MXU matmul,
+    so every batch shares one compiled program with no gather and no
+    frozen-HU bookkeeping. Duplicate term ids merge weights (matching
+    plan_bucket_batch semantics).
     """
     B = len(queries)
-    used: dict[int, int] = {}       # dense row -> gathered position
-    w_ent: list[dict[int, float]] = []
+    Hp = idx.rows.shape[0]
+    W = np.zeros((B, Hp), np.float32)
     tail_qs: list[list[tuple[int, float]]] = []
     any_tail = False
-    for entries in queries:
+    has_head = False
+    for qi, entries in enumerate(queries):
         merged: dict[int, float] = {}
         for tid, w in entries[: max_terms if max_terms else None]:
             if w != 0.0:
                 merged[tid] = merged.get(tid, 0.0) + w
-        hw: dict[int, float] = {}
         tq: list[tuple[int, float]] = []
         for tid, w in merged.items():
             row = idx.head_pos.get(int(tid))
             if row is not None:
-                if row not in used:
-                    used[row] = len(used)
-                hw[used[row]] = w
+                W[qi, row] += w
+                has_head = True
             else:
                 tq.append((tid, w))
                 any_tail = True
-        w_ent.append(hw)
         tail_qs.append(tq)
-
-    HU = force_hu or _pow2(max(1, len(used)), hu_pad)
-    if len(used) > HU:
-        raise ValueError(
-            f"dense plan overflow: {len(used)} used rows > frozen HU={HU}"
-        )
-    W = np.zeros((B, HU), np.float32)
-    row_ids = np.zeros(HU, np.int32)
-    for row, pos in used.items():
-        row_ids[pos] = row
-    for qi, hw in enumerate(w_ent):
-        for pos, w in hw.items():
-            W[qi, pos] = w
-    has_head = bool(used)
 
     tail = None
     if any_tail:
@@ -214,42 +201,7 @@ def plan_dense_batch(
             force_caps=force_caps, force_tile=force_tile,
         )
     tail_key = tail.shape_key if tail is not None else None
-    return DensePlan(W, row_ids, tail, has_head, (B, HU, has_head, tail_key))
-
-
-# ---------------------------------------------------------------------------
-# Pallas row gather (jnp.take on [H, D] rows measured ~24 GB/s on v5e;
-# a per-row HBM->HBM DMA streams at copy bandwidth instead)
-# ---------------------------------------------------------------------------
-
-
-def _row_gather_kernel(idx_ref, rows_hbm, out_hbm, sem):
-    i = pl.program_id(0)
-    r = idx_ref[i]
-    c = pltpu.make_async_copy(
-        rows_hbm.at[pl.ds(r, 1), :], out_hbm.at[pl.ds(i, 1), :], sem
-    )
-    c.start()
-    c.wait()
-
-
-def row_gather_pallas(rows, row_ids, *, interpret: bool = False):
-    """rows [H, D] bf16, row_ids [HU] int32 -> gathered [HU, D] bf16."""
-    H, D = rows.shape
-    HU = row_ids.shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(HU,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        scratch_shapes=[pltpu.SemaphoreType.DMA],
-    )
-    return pl.pallas_call(
-        _row_gather_kernel,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((HU, D), rows.dtype)],
-        interpret=interpret,
-    )(row_ids, rows)[0]
+    return DensePlan(W, tail, has_head, (B, Hp, has_head, tail_key))
 
 
 # ---------------------------------------------------------------------------
@@ -270,11 +222,10 @@ def _searchsorted_rows(a, v):
     ),
 )
 def dense_tail_topk(
-    rows,             # bf16 [H, D] dense head impact rows
+    rows,             # bf16 [Hp, D] dense head impact rows
     post_docs,        # int32 [P] packed postings (shared with other paths)
     post_impacts,     # float32 [P]
-    W,                # f32 [B, HU] head weights
-    row_ids,          # int32 [HU]
+    W,                # f32 [B, Hp] full head weight matrix
     toffs, bounds, wts, n_terms,   # tail bucket tables (unused if m == 0)
     scales,           # f32 [B] tail quantization scales
     *,
@@ -298,9 +249,8 @@ def dense_tail_topk(
     has_tail = m > 0
 
     if has_head:
-        gathered = row_gather_pallas(rows, row_ids, interpret=interpret)
         S = jax.lax.dot_general(
-            W.astype(jnp.bfloat16), gathered,
+            W.astype(jnp.bfloat16), rows,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                          # [B, D] f32
@@ -406,7 +356,7 @@ def dispatch(
         static = dict(T=0, caps=(), tile=0, bucket_bits=0, m=0)
     return dense_tail_topk(
         idx.rows, post_docs, post_impacts,
-        jnp.asarray(plan.W), jnp.asarray(plan.row_ids), *args,
+        jnp.asarray(plan.W), *args,
         k=k, has_head=plan.has_head, interpret=interpret, **static,
     )
 
@@ -451,9 +401,9 @@ def reference_dense_search(
         acc: dict[int, float] = {}
         tail_acc: dict[int, int] = {}
         # head: W[qi] (already merged/f32) against bf16 dense impacts
-        for pos in np.nonzero(plan.W[qi])[0]:
-            tid = int(idx.head_ids[int(plan.row_ids[pos])])
-            wq = np.float32(plan.W[qi, pos].astype(bf16))
+        for row in np.nonzero(plan.W[qi])[0]:
+            tid = int(idx.head_ids[int(row)])
+            wq = np.float32(plan.W[qi, row].astype(bf16))
             off = int(term_offsets[tid])
             ln = int(term_lengths[tid])
             docs = post_docs[off : off + ln]

@@ -537,6 +537,12 @@ class Handlers:
             ls = rt.state_info.live_settings
             timeout_sec = req.timeoutSec or float(ls.get("defaultSearchTimeoutSec", 0))
             terminate_after = req.terminateAfter or int(ls.get("defaultTerminateAfter", 0))
+            # honored as the doc-space chunk granularity of the timeout path
+            # (reference: SearchCutoffWrapper checks every N collects,
+            # search.proto:481 / defaultSearchTimeoutCheckEvery)
+            check_every = req.timeoutCheckEvery or int(
+                ls.get("defaultSearchTimeoutCheckEvery", 0)
+            )
             td = arrays = None
             if (
                 need_arrays and not req.knn
@@ -573,6 +579,7 @@ class Handlers:
                 result = searcher.search(
                     node, fetch_n, sort=sort, return_arrays=need_arrays,
                     timeout_sec=timeout_sec, terminate_after=terminate_after,
+                    timeout_check_every=check_every,
                     arrays_score_free=(
                         need_arrays and not req.knn
                         and not _needs_array_scores(req)
@@ -1594,17 +1601,20 @@ class Handlers:
                 raise NotImplementedError(f"collector type {which!r}")
 
     def _top_hits_collector(self, spec, result, matches) -> None:
-        """TopHitsCollector: top docs within the match set by score or sort."""
+        """TopHitsCollector: top docs within the match set by score or by
+        the FULL multi-key querySort (reference TopHitsCollectorManager
+        honors every SortFields entry; ties break docid-ascending)."""
         from nrtsearch_tpu.core.searcher import Hit as CoreHit
 
         searcher = matches.searcher
-        candidates: list[CoreHit] = []
+        candidates: list[tuple[tuple, CoreHit]] = []
         top_n = (spec.topHits or 10)
-        sort_field = None
-        reverse = False
+        sort_fields: list[tuple[str, bool]] = []
         if spec.HasField("querySort") and spec.querySort.fields.sortedFields:
-            sf = spec.querySort.fields.sortedFields[0]
-            sort_field, reverse = sf.fieldName, sf.reverse
+            sort_fields = [
+                (sf.fieldName, bool(sf.reverse))
+                for sf in spec.querySort.fields.sortedFields
+            ]
         total = 0
         for idx, (seg, mask) in enumerate(zip(searcher.segments, matches.masks)):
             m = mask[: seg.num_docs]
@@ -1612,15 +1622,25 @@ class Handlers:
             total += len(ids)
             if len(ids) == 0:
                 continue
-            if sort_field is not None:
-                dv = seg.doc_values.get(sort_field)
-                keys = (
-                    dv.host_values[ids].astype(np.float64)
-                    if dv is not None
-                    else np.zeros(len(ids))
-                )
-                order = np.argsort(-keys if reverse else keys, kind="stable")[:top_n]
-                sel_scores = keys[order]
+            if sort_fields:
+                # ascending-normalized key columns (reverse keys negate), so
+                # one lexicographic ascending sort ranks all components
+                keys = []
+                for fname, rev in sort_fields:
+                    dv = seg.doc_values.get(fname)
+                    kcol = (
+                        dv.host_values[ids].astype(np.float64)
+                        if dv is not None
+                        else np.zeros(len(ids))
+                    )
+                    keys.append(-kcol if rev else kcol)
+                # np.lexsort: LAST key is primary; docid breaks ties
+                order = np.lexsort((ids,) + tuple(reversed(keys)))[:top_n]
+                sel_keys = [tuple(float(kc[o]) for kc in keys) for o in order]
+                # reported hit score = first sort key's real value
+                disp = [
+                    -kt[0] if sort_fields[0][1] else kt[0] for kt in sel_keys
+                ]
             else:
                 scores = (
                     matches.scores[idx][: seg.num_docs][ids]
@@ -1628,16 +1648,18 @@ class Handlers:
                     else np.zeros(len(ids))
                 )
                 order = np.argsort(-scores, kind="stable")[:top_n]
-                sel_scores = scores[order]
+                sel_keys = [(-float(scores[o]),) for o in order]
+                disp = [float(scores[o]) for o in order]
             base = int(searcher.bases[idx])
-            for o, s in zip(order, sel_scores):
-                candidates.append(CoreHit(idx, int(ids[o]), base + int(ids[o]), float(s)))
-        sign = 1.0 if (sort_field is not None and not reverse) else -1.0
-        candidates.sort(key=lambda h: (sign * h.score, h.global_ord))
+            for o, kt, dv_ in zip(order, sel_keys, disp):
+                candidates.append(
+                    (kt, CoreHit(idx, int(ids[o]), base + int(ids[o]), float(dv_)))
+                )
+        candidates.sort(key=lambda kh: (kh[0], kh[1].global_ord))
         hr = result.hitsResult
         hr.totalHits.value = total
         rt_fields = None
-        for h in candidates[int(spec.startHit) : int(spec.startHit) + top_n]:
+        for _, h in candidates[int(spec.startHit) : int(spec.startHit) + top_n]:
             pb_hit = hr.hits.add()
             pb_hit.luceneDocId = h.global_ord
             pb_hit.score = h.score

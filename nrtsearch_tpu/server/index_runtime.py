@@ -261,20 +261,45 @@ class IndexRuntime:
                 del self._searchers_by_version[v]
                 self._searcher_publish_time.pop(v, None)
 
-    def acquire(self, version: Optional[int] = None) -> Searcher:
+    def acquire(
+        self, version: Optional[int] = None, wait_sec: float = 10.0
+    ) -> Searcher:
+        """Latest searcher, or the one pinned by ``version``.
+
+        Reference semantics (SearchHandler.getSearcherAndTaxonomy,
+        SearchHandler.java:765): a version ahead of the current searcher
+        means the client saw a refresh this node hasn't replicated yet —
+        WAIT for it (read-your-writes; the reference blocks on a refresh
+        listener). A version behind the current one whose searcher has been
+        pruned is expired — ERROR, never silently serve a different
+        version. ``wait_sec`` bounds the wait (the reference waits forever;
+        a bogus future version must not hang a search thread)."""
         if version is None:
             return self.searcher
         s = self._searchers_by_version.get(version)
-        if s is None:
-            # pinned version already pruned or ahead of us: wait briefly for
-            # replication to catch up (getSearcherAndTaxonomy:765 semantics)
-            deadline = time.time() + 2.0
+        if s is not None:
+            return s
+        current = self.searcher
+        if current.version == version:
+            return current
+        if version > current.version:
+            deadline = time.time() + wait_sec
             while time.time() < deadline:
                 if self.searcher.version >= version:
+                    pinned = self._searchers_by_version.get(version)
+                    if pinned is not None:
+                        return pinned
                     return self.searcher
                 time.sleep(0.01)
-            return self.searcher
-        return s
+            raise RuntimeError(
+                f"searcher: requested version={version} did not become "
+                f"available within {wait_sec}s (currentVersion="
+                f"{self.searcher.version})"
+            )
+        raise RuntimeError(
+            f"searcher: This searcher has expired version={version} vs "
+            f"currentVersion={current.version}"
+        )
 
     # -- NRT primary ---------------------------------------------------------------
 

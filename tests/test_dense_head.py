@@ -40,7 +40,7 @@ def run_kernel(post_docs, post_imps, idx, plan, k):
         tail_static = dict(T=0, caps=(), tile=0, bucket_bits=0, m=0)
     packed = dh.dense_tail_topk(
         idx.rows, jnp.asarray(post_docs), jnp.asarray(post_imps),
-        jnp.asarray(plan.W), jnp.asarray(plan.row_ids),
+        jnp.asarray(plan.W),
         tail_args["toffs"], tail_args["bounds"], tail_args["wts"],
         tail_args["n_terms"], tail_args["scales"],
         k=k, has_head=plan.has_head, interpret=True, **tail_static,
@@ -296,7 +296,9 @@ def test_cross_engine_overlap_with_f32_merge_path():
         )
 
 
-def test_hu_shape_freeze_and_overflow():
+def test_static_weight_shape_and_row_padding():
+    """The head weight matrix is always [B, Hp] with Hp static (padded to a
+    sublane multiple), so every batch hits one compiled program."""
     rng = np.random.default_rng(18)
     D, V = 1024, 30
     pd, pi, to, tl, _ = build_zipf_corpus(rng, V, D)
@@ -305,8 +307,12 @@ def test_hu_shape_freeze_and_overflow():
         bucket_docs=512,
     )
     assert idx.n_rows >= 3
+    Hp = idx.rows.shape[0]
+    assert Hp % 8 == 0 and Hp >= idx.n_rows
     queries = [[(int(t), 1.0)] for t in idx.head_ids[:3]]
-    plan = dh.plan_dense_batch(idx, queries, to, force_hu=8)
-    assert plan.W.shape[1] == 8
-    with pytest.raises(ValueError):
-        dh.plan_dense_batch(idx, queries, to, force_hu=2)
+    plan1 = dh.plan_dense_batch(idx, queries, to)
+    plan2 = dh.plan_dense_batch(idx, queries[:1] * 3, to)
+    assert plan1.W.shape == plan2.W.shape == (3, Hp)
+    # padding rows are all-zero on device
+    pad = np.asarray(idx.rows)[idx.n_rows:]
+    assert (pad == 0).all()

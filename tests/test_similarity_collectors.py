@@ -131,8 +131,18 @@ def test_searcher_version_age_pruning(tmp_path):
         # everything older than 50ms is pruned; current version survives
         assert len(rt._searchers_by_version) <= 2
         assert rt.searcher.version in rt._searchers_by_version
-        # acquire() of a pruned version falls back to the current searcher
-        assert rt.acquire(1).version == rt.searcher.version
+        # acquire() of a pruned (expired) version errors — the reference
+        # never silently serves a different version (SearchHandler.java:765)
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="expired"):
+            rt.acquire(1)
+        # a future version waits, then errors at the bound instead of
+        # silently serving the current searcher
+        with _pytest.raises(RuntimeError, match="did not become available"):
+            rt.acquire(rt.searcher.version + 100, wait_sec=0.2)
+        # the current version resolves to itself
+        assert rt.acquire(rt.searcher.version).version == rt.searcher.version
     finally:
         c.close()
         srv.stop()
