@@ -44,8 +44,8 @@ def t_piped(run_async, drain, label, depth=3):
     from collections import deque
 
     pend = deque()
-    run_async()  # compile
-    drain(pend)
+    run_async()()  # compile AND force: warm-up device work + readback must
+    drain(pend)    # finish before the timer starts (ADVICE r3)
     n = max(ITERS * 2, 8)
     t0 = time.perf_counter()
     for _ in range(n):

@@ -280,6 +280,183 @@ class PackedFieldView:
             out.append(FastResult(scores_np[qi], d, int(hits[qi]), False))
         return out
 
+    # -- dense-head + merge-tail path (round-4 server default on TPU) -----------
+
+    _DENSE_MAX_ROWS = 256
+    _DENSE_BYTES_BUDGET = 512 << 20   # bf16 rows budget per field view
+
+    def _dense_state(self):
+        """Lazily build the dense-head index over this view's packed
+        postings: head terms (df >= min_df) become bf16 [Hp, D] impact rows
+        built ON DEVICE with one flat scatter from the already-resident
+        postings buffers (no host postings copy — NRT refresh ships no
+        postings through the host). Cached per immutable searcher snapshot.
+
+        Returns None when no term reaches min_df (the merge path is optimal
+        there). Reference role: the impact/BlockMaxWAND machinery of
+        Lucene's BulkScorer (MyIndexSearcher.java:79) — re-expressed as
+        dense MXU rows (ops/dense_head.py docstring)."""
+        st = getattr(self, "_dense_st", None)
+        if st is not None:
+            return st if st != "none" else None
+        import jax
+        import jax.numpy as jnp
+
+        D = -(-self.max_doc // 128) * 128
+        min_df = max(1024, self.max_doc // 64)
+        max_rows = min(
+            self._DENSE_MAX_ROWS, self._DENSE_BYTES_BUDGET // max(2 * D, 1)
+        )
+        # per-TERM total df across segments
+        df: dict[str, int] = {}
+        for _, tfi, _rb in self.seg_entries:
+            for term, tid in tfi.terms.items():
+                ln = int(tfi.lengths[tid])
+                if ln:
+                    df[term] = df.get(term, 0) + ln
+        head = sorted(
+            (t for t, n in df.items() if n >= min_df),
+            key=lambda t: (-df[t], t),
+        )[:max_rows]
+        if not head or max_rows <= 0:
+            self._dense_st = "none"
+            return None
+        head_pos = {t: i for i, t in enumerate(head)}
+        Hp = max(8, -(-len(head) // 8) * 8)
+        # flat scatter indices: for every head (term, segment-run), the
+        # positions of its postings in the packed device arrays
+        gidx_parts, row_parts = [], []
+        run_offs = self.index.run_offsets
+        run_lens = self.index.run_lengths
+        for _, tfi, rb in self.seg_entries:
+            for term, row in head_pos.items():
+                tid = tfi.terms.get(term)
+                if tid is None or not tfi.lengths[tid]:
+                    continue
+                r = rb + tid
+                off, ln = int(run_offs[r]), int(run_lens[r])
+                gidx_parts.append(np.arange(off, off + ln, dtype=np.int64))
+                row_parts.append(np.full(ln, row, np.int64))
+        gidx = np.concatenate(gidx_parts)
+        rowid = np.concatenate(row_parts)
+
+        @jax.jit
+        def build(doc_ids, impacts, gidx, rowid):
+            # 2D scatter (row, doc) — a flattened row*D+doc index would
+            # overflow int32 at Hp*D > 2^31 (e.g. 256 rows x 16M docs)
+            ids = doc_ids[gidx]
+            imps = impacts[gidx].astype(jnp.bfloat16)
+            rows = jnp.zeros((Hp, D), jnp.bfloat16)
+            return rows.at[rowid, ids].set(imps, mode="drop")
+
+        rows = build(
+            self.index.doc_ids, self.index.impacts,
+            jax.device_put(gidx.astype(np.int32)),
+            jax.device_put(rowid.astype(np.int32)),
+        )
+        row_max = jnp.max(rows.astype(jnp.float32), axis=1)
+        st = {"rows": rows, "row_max": row_max, "head_pos": head_pos, "D": D}
+        self._dense_st = st
+        return st
+
+    def dense_search_batch(self, specs: Sequence[QuerySpec], k: int):
+        """Plain text queries on the dense-head + merge-tail path
+        (ops/dense_head.dense_merge_topk): head terms as one bf16 MXU
+        matmul, tail runs through the narrow bitonic merge in exact f32,
+        theta-pruned combine. Returns None when any spec needs the merge
+        path (filters, sort, additive, or multi-term conjunctions)."""
+        import jax.numpy as jnp
+
+        from nrtsearch_tpu.ops.dense_head import (
+            decode_packed2, dense_merge_topk,
+        )
+        from nrtsearch_tpu.ops.merge_scoring import plan_run_lists
+
+        if self.total_len == 0:
+            return None
+        st = self._dense_state()
+        if st is None:
+            return None
+        head_pos = st["head_pos"]
+        B = len(specs)
+        W = np.zeros((B, len(st["row_max"])), np.float32)
+        rows_tail: list[list[tuple[int, int, float]]] = []
+        dead = [False] * B
+        has_head = False
+        any_tail = False
+        run_offs = self.index.run_offsets
+        run_lens = self.index.run_lengths
+        for qi, spec in enumerate(specs):
+            if (spec.filter is not None or spec.additive is not None
+                    or spec.sort is not None):
+                return None
+            entries = self.term_entries(spec.terms, spec.boost)
+            distinct = sum(1 for _, w, runs in entries if w and runs)
+            if spec.require_all:
+                if any(not runs for _, _, runs in entries):
+                    dead[qi] = True
+                    rows_tail.append([])
+                    continue
+                if distinct > 1:
+                    return None   # true conjunction: merge path
+            row: list[tuple[int, int, float]] = []
+            merged: dict[str, float] = {}
+            ent_by_term: dict[str, tuple] = {}
+            for term, w, runs in entries:
+                if not w or not runs:
+                    continue
+                merged[term] = merged.get(term, 0.0) + w
+                ent_by_term[term] = runs
+            for term, w in merged.items():
+                r = head_pos.get(term)
+                if r is not None:
+                    W[qi, r] += w
+                    has_head = True
+                else:
+                    for run in ent_by_term[term]:
+                        ln = int(run_lens[run])
+                        if ln:
+                            row.append((int(run_offs[run]), ln, w))
+                            any_tail = True
+            rows_tail.append(row)
+        if all(dead):
+            empty = FastResult(
+                np.full(k, -np.inf, np.float32), np.zeros(k, np.int64),
+                0, False,
+            )
+            return [empty] * B
+        if any_tail:
+            t_offs, t_lens, t_w, run_len = plan_run_lists(
+                rows_tail, min_run=512
+            )
+        else:
+            t_offs = np.zeros((B, 1), np.int32)
+            t_lens = np.zeros((B, 1), np.int32)
+            t_w = np.zeros((B, 1), np.float32)
+            run_len = 0
+        packed = dense_merge_topk(
+            st["rows"], st["row_max"],
+            self.index.doc_ids, self.index.impacts,
+            jnp.asarray(W),
+            jnp.asarray(t_offs), jnp.asarray(t_lens), jnp.asarray(t_w),
+            k=k, has_head=has_head, has_tail=any_tail, run_len=run_len,
+            use_pallas=_on_tpu(),
+        )
+        scores, docs, hits, exact = decode_packed2(np.asarray(packed), k)
+        out = []
+        for qi in range(B):
+            if dead[qi]:
+                out.append(FastResult(
+                    np.full(k, -np.inf, np.float32), np.zeros(k, np.int64),
+                    0, False,
+                ))
+                continue
+            out.append(FastResult(
+                scores[qi], docs[qi].astype(np.int64), int(hits[qi]),
+                not bool(exact[qi]),
+            ))
+        return out
+
     # -- doc-space chunked search (timeout inside the fused path) ---------------
 
     def search_timeout(
@@ -398,21 +575,28 @@ class PackedFieldView:
     ) -> list[FastResult]:
         """Fused batched search over all segments in one dispatch.
 
-        Default (``prune=None`` -> NRT_MAXSCORE env, ON by default): the
-        MaxScore certify-or-escalate path (core/maxscore.py) for wide
-        disjunctions — exact top-k docs and scores touching a fraction of
-        the postings; hit counts become lower bounds (relation
-        GREATER_THAN_OR_EQUAL_TO, the Lucene WAND contract). Pruning only
-        engages above a postings-width floor (PRUNE_MIN_WIDTH), so small
-        indexes — and every conjunction, sorted, or sub-floor query — keep
-        the single exact full-width dispatch."""
-        if prune is None:
-            import os
-
-            prune = os.environ.get("NRT_MAXSCORE", "1") == "1"
+        Path selection (round-4 TPU measurements, BENCH_r04 /
+        PERF_CEILING.md): the dense-head + merge-tail path is the fastest
+        measured on TPU and the default there; the full-width merge path is
+        the exact general fallback (and the CPU default — the dense matmul
+        only wins on the MXU). MaxScore (measured 143 qps vs 378 full-width
+        on TPU) and the bucket kernel (192 qps) are opt-in via
+        NRT_FAST_PATH/NRT_MAXSCORE/NRT_BUCKET. ``prune=None`` reads
+        NRT_MAXSCORE (default OFF since round 4); pruned hit counts are
+        lower bounds (GREATER_THAN_OR_EQUAL_TO, the Lucene WAND contract)."""
         import os as _os
 
-        if _os.environ.get("NRT_BUCKET", "0") == "1" and not reduce_kinds:
+        path = _os.environ.get("NRT_FAST_PATH", "")
+        if not path:
+            path = "dense" if _on_tpu() else "merge"
+        if prune is None:
+            prune = _os.environ.get("NRT_MAXSCORE", "0") == "1"
+        if path == "dense" and not reduce_kinds:
+            res = self.dense_search_batch(specs, k)
+            if res is not None:
+                return res
+        if (path == "bucket" or _os.environ.get("NRT_BUCKET", "0") == "1") \
+                and not reduce_kinds:
             res = self.bucket_search_batch(specs, k)
             if res is not None:
                 return res

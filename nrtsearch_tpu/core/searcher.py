@@ -626,8 +626,87 @@ class Searcher:
             additive=additive, sort=gsort,
         )
 
+    # -- virtual shards: mesh-sharded serving (reference: liveSettings
+    # virtualShards, luceneserver.proto:1458 / MyIndexSearcher.slicesForShards)
+
+    dist_shards: int = 1   # set by IndexRuntime from liveSettings
+
+    def _distributed_state(self, field: str):
+        """Lazily build (and cache) the mesh-sharded postings view for one
+        field: the packed view re-partitioned round-robin over a
+        (shard, data) device mesh (parallel/distributed.py). The TPU
+        re-expression of the reference's virtual-shard bin-packing."""
+        import jax
+
+        cache = getattr(self, "_dist_cache", None)
+        if cache is None:
+            cache = {}
+            self._dist_cache = cache
+        n = int(getattr(self, "dist_shards", 1))
+        key = (field, n)
+        if key not in cache:
+            from nrtsearch_tpu.parallel.distributed import (
+                DistributedBM25, make_search_mesh,
+            )
+
+            n_dev = len(jax.devices())
+            shards = max(1, min(n, n_dev))
+            data = max(1, n_dev // shards)
+            mesh = make_search_mesh(shards * data, data_parallel=data)
+            cache[key] = DistributedBM25.from_searcher(self, field, mesh)
+        return cache[key]
+
+    def _distributed_search_batch(self, specs, top_hits: int):
+        """Route plain OR text queries over the virtual-shard mesh, or None
+        when ineligible (filters/sort/additive/conjunctions stay local)."""
+        import jax
+
+        if int(getattr(self, "dist_shards", 1)) <= 1 or len(jax.devices()) < 2:
+            return None
+        for spec in specs:
+            if (spec.filter is not None or spec.additive is not None
+                    or spec.sort is not None):
+                return None
+            if spec.require_all and len(set(spec.terms)) > 1:
+                return None
+        try:
+            dist = self._distributed_state(specs[0].field)
+        except ValueError:
+            return None
+        data = dist.mesh.shape["data"]
+        B = len(specs)
+        B_pad = -(-B // data) * data
+        qs = [list(spec.terms) for spec in specs]
+        qs += [[] for _ in range(B_pad - B)]
+        offs, lens, w, n_terms, run_len = dist.compile_text_queries(qs)
+        for qi, spec in enumerate(specs):
+            if spec.boost != 1.0:
+                w[:, qi, :] *= np.float32(spec.boost)
+        scores, ids, hits = dist.search(
+            offs, lens, w, n_terms, run_len=run_len, k=top_hits
+        )
+        scores = np.asarray(scores)[:B]
+        gids = dist.global_ord(np.asarray(ids))[:B]
+        hits_n = np.asarray(hits)[:B]
+        out = []
+        for qi, spec in enumerate(specs):
+            hl: list[Hit] = []
+            for s, d in zip(scores[qi], gids[qi]):
+                if s == -np.inf:
+                    break
+                seg_idx = int(np.searchsorted(self.bases, d, side="right")) - 1
+                local = int(d) - int(self.bases[seg_idx])
+                hl.append(Hit(seg_idx, local, int(d), float(s)))
+            out.append(TopDocs(hl[:top_hits], int(hits_n[qi])))
+        return out
+
     def fast_search_batch(self, specs, top_hits: int) -> list[TopDocs]:
-        """Batched fast path: N queries against one field in one dispatch."""
+        """Batched fast path: N queries against one field in one dispatch.
+        With liveSettings.virtualShards > 1 on a multi-device host, plain
+        text queries serve over the (shard, data) mesh."""
+        dist = self._distributed_search_batch(specs, top_hits)
+        if dist is not None:
+            return dist
         view = self.packed_view(specs[0].field)
         out = []
         for spec, res in zip(specs, view.search_batch(specs, top_hits)):

@@ -298,6 +298,27 @@ class BatchedBM25:
             interpret=not _on_tpu(),
         )
 
+    def plan_dense_merge(self, queries, *, max_terms: int = 8,
+                         force_run_len: int = 0):
+        from nrtsearch_tpu.ops.dense_head import plan_dense_merge
+
+        return plan_dense_merge(
+            self.dense_idx, self.bucket_entries(queries, max_terms),
+            self.offsets, self.lengths, max_terms=max_terms,
+            force_run_len=force_run_len,
+        )
+
+    def serve_dense_merge(self, plan, k: int, *, exact_counts: bool = False):
+        """Dispatch one planned batch on the dense-head + merge-tail path
+        (ops/dense_head.dense_merge_topk — the round-4 default). Returns the
+        packed [B, 2k+2] device array (ops.dense_head.decode_packed2)."""
+        from nrtsearch_tpu.ops import dense_head
+
+        return dense_head.dispatch_merge(
+            self.dense_idx, plan, self.doc_ids, self.impacts, k,
+            exact_counts=exact_counts, use_pallas=_on_tpu(),
+        )
+
     def _assert_bucket_padding(self, idx):
         """The gather kernel's DMA for a slot can read up to
         cap + _DMA_ROWS*128 past an aligned run start; the postings arrays

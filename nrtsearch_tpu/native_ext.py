@@ -45,11 +45,15 @@ def _build() -> bool:
 
 
 def get() -> object | None:
-    """The nrt_native module, or None if unavailable."""
+    """The nrt_native module, or None if unavailable (or NRT_NATIVE=0)."""
     global _module, _tried
     if _module is not None or _tried:
         return _module
     _tried = True
+    import os
+
+    if os.environ.get("NRT_NATIVE", "1") == "0":
+        return None
     so = _so_path()
     try:
         if not so.exists() or so.stat().st_mtime < _SRC.stat().st_mtime:

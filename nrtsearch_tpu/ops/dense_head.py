@@ -83,6 +83,7 @@ class DenseHeadIndex:
                                     # terms; queried only for tail terms)
     capacity: int                   # D (padded doc-space size)
     min_df: int
+    row_max: jax.Array = None       # f32 [Hp] per-row max impact (head_ub)
 
     @classmethod
     def build(
@@ -114,19 +115,24 @@ class DenseHeadIndex:
         # Row count pads to a multiple of 8 (f32 sublane) so the matmul's
         # contracting dim tiles cleanly; pad rows are zero.
         Hp = max(8, -(-H // 8) * 8)
-        rows_np = np.zeros((Hp, capacity), dtype=jnp.bfloat16)
+        # scatter in f32 (fast numpy fancy-store), convert to bf16 once —
+        # per-row bf16 stores measured ~10x slower (ml_dtypes scalar loop)
+        rows_f32 = np.zeros((Hp, capacity), dtype=np.float32)
         for i, tid in enumerate(head_ids):
             off = int(term_offsets[tid])
             ln = int(term_lengths[tid])
             d = post_docs[off : off + ln]
-            imp = post_impacts[off : off + ln]
-            rows_np[i, d] = imp.astype(jnp.bfloat16)
-        rows = jax.device_put(rows_np)
+            rows_f32[i, d] = post_impacts[off : off + ln]
+        rows = jax.device_put(rows_f32.astype(jnp.bfloat16))
+        del rows_f32
         tail = BucketIndex.build(
             post_docs, post_impacts, term_offsets, term_lengths,
             capacity=capacity, bucket_docs=bucket_docs,
         )
-        return cls(rows, head_ids, head_pos, tail, capacity, int(min_df))
+        row_max = jnp.max(rows.astype(jnp.float32), axis=1)
+        return cls(
+            rows, head_ids, head_pos, tail, capacity, int(min_df), row_max
+        )
 
     @property
     def n_rows(self) -> int:
@@ -321,6 +327,316 @@ def dense_tail_topk(
         axis=1,
     )
     return packed
+
+
+# ---------------------------------------------------------------------------
+# Merge-tail variant (round 4): head matmul + narrow bitonic-merge tail
+# ---------------------------------------------------------------------------
+#
+# Hardware profiling (benchmarks/profile_dense.py, BENCH_r04) showed the
+# bucket tail kernels costing ~35 ms device/batch at bench shapes (grid
+# dispatch + per-program DMA overhead), while the bitonic merge at TAIL
+# widths (tail terms have df < min_df, so the merged stream is ~32-128k wide
+# vs the 2M full-width path) costs well under 1 ms. This variant scores the
+# tail with the tuned merge kernel (ops/merge_scoring.py) in exact f32 (no
+# 15-bit quantization), and prunes the expensive combine step:
+#
+#   gathering S_head at every tail position measured ~9 ms per 1M gathers
+#   (XLA batched gather). Instead, theta = the k-th head-only score is a
+#   certified LOWER bound of the final k-th score (final >= head part), so
+#   only tail docs with tail_sum + head_ub >= theta can enter the top-k
+#   (head_ub = W @ per-row max impact). Select the top-M tail docs by
+#   tail_sum (same order as the upper bound), gather S_head at only those M
+#   candidates, and escalate via lax.cond to the full gather when more than
+#   M docs pass the theta test. This is the TPU re-expression of Lucene's
+#   MaxScore/BlockMaxWAND competitive-pruning role (reference:
+#   MyIndexSearcher.java:79 BulkScorer; SURVEY §5 long-posting-list
+#   analogue): the skip decision is one vectorized compare against a score
+#   bound, not per-posting pointer chasing.
+#
+# Hit counts: the pruned branch returns a LOWER bound (head hits + candidate
+# tail-only hits), relation GREATER_THAN_OR_EQUAL_TO — the Lucene WAND
+# contract. exact_counts=True forces the full-gather branch (exact hits).
+
+
+@dataclass
+class DenseMergePlan:
+    """Host-compiled tables for one dense+merge-tail batch."""
+
+    W: np.ndarray             # float32 [B, Hp] full head weight matrix
+    run_offs: np.ndarray      # int32 [B, R] tail run offsets
+    run_lens: np.ndarray      # int32 [B, R]
+    run_weights: np.ndarray   # float32 [B, R]
+    run_len: int              # static padded run length
+    has_head: bool
+    has_tail: bool
+    shape_key: tuple
+
+
+def plan_dense_merge(
+    idx: DenseHeadIndex,
+    queries: list[list[tuple[int, float]]],
+    term_offsets: np.ndarray,
+    term_lengths: np.ndarray,
+    *,
+    max_terms: int = 8,
+    force_run_len: int = 0,
+) -> DenseMergePlan:
+    """Split terms into head rows and tail merge-runs (plan_run_lists)."""
+    from nrtsearch_tpu.ops.merge_scoring import plan_run_lists
+
+    B = len(queries)
+    Hp = idx.rows.shape[0]
+    W = np.zeros((B, Hp), np.float32)
+    rows_tail: list[list[tuple[int, int, float]]] = []
+    any_tail = False
+    has_head = False
+    for qi, entries in enumerate(queries):
+        merged: dict[int, float] = {}
+        for tid, w in entries[: max_terms if max_terms else None]:
+            if w != 0.0:
+                merged[tid] = merged.get(tid, 0.0) + w
+        row: list[tuple[int, int, float]] = []
+        for tid, w in merged.items():
+            r = idx.head_pos.get(int(tid))
+            if r is not None:
+                W[qi, r] += w
+                has_head = True
+            else:
+                ln = int(term_lengths[tid])
+                if ln > 0:
+                    row.append((int(term_offsets[tid]), ln, w))
+                    any_tail = True
+        rows_tail.append(row)
+    if any_tail:
+        run_offs, run_lens, run_w, run_len = plan_run_lists(
+            rows_tail, min_run=512, force_run_len=force_run_len
+        )
+    else:
+        run_offs = np.zeros((B, 1), np.int32)
+        run_lens = np.zeros((B, 1), np.int32)
+        run_w = np.zeros((B, 1), np.float32)
+        run_len = 0
+    return DenseMergePlan(
+        W, run_offs, run_lens, run_w, run_len, has_head, any_tail,
+        (B, Hp, has_head, any_tail, run_offs.shape[1], run_len),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "has_head", "has_tail", "run_len", "cand", "exact_counts",
+        "use_pallas",
+    ),
+)
+def dense_merge_topk(
+    rows,             # bf16 [Hp, D] dense head impact rows
+    row_max,          # f32 [Hp] per-row max impact (head_ub ingredient)
+    post_docs,        # int32 [P] packed postings
+    post_impacts,     # float32 [P]
+    W,                # f32 [B, Hp] full head weight matrix
+    run_offs,         # int32 [B, R] tail run tables
+    run_lens,         # int32 [B, R]
+    run_weights,      # f32 [B, R]
+    *,
+    k: int,
+    has_head: bool,
+    has_tail: bool,
+    run_len: int,
+    cand: int = 0,           # candidate window M (0 -> pow2(4k))
+    exact_counts: bool = False,
+    use_pallas: bool = False,
+):
+    """Fused dense-head + merge-tail retrieval (exact f32 scores).
+
+    Returns one packed int32 array [B, 2k+2]: scores (f32 bitcast) | docs |
+    hits | counts_exact flag. Decode with ``decode_packed2``.
+    """
+    from nrtsearch_tpu.ops.merge_scoring import (
+        DOC_SENTINEL, DOC_SENTINEL_LOW, merge_sorted_runs, segmented_scores,
+    )
+
+    B = W.shape[0]
+    D = rows.shape[1]
+
+    if has_head:
+        S = jax.lax.dot_general(
+            W.astype(jnp.bfloat16), rows,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                          # [B, D] f32
+        masked = jnp.where(S > 0.0, S, NEG_INF)
+        head_s, head_d = _hierarchical_topk(masked, k)
+        head_hits = jnp.sum((S > 0.0).astype(jnp.int32), axis=-1)
+        head_ub = W @ row_max                      # [B]
+    else:
+        head_s = jnp.full((B, k), NEG_INF, jnp.float32)
+        head_d = jnp.zeros((B, k), jnp.int32)
+        head_hits = jnp.zeros((B,), jnp.int32)
+        head_ub = jnp.zeros((B,), jnp.float32)
+
+    if not has_tail:
+        fd = jnp.where(head_s == NEG_INF, -1, head_d)
+        return jnp.concatenate(
+            [
+                jax.lax.bitcast_convert_type(head_s, jnp.int32),
+                fd.astype(jnp.int32),
+                head_hits[:, None].astype(jnp.int32),
+                jnp.ones((B, 1), jnp.int32),
+            ],
+            axis=1,
+        )
+
+    # ---- tail: gather runs -> bitonic merge -> per-doc segment sums -------
+    R = run_offs.shape[1]
+    p_total = post_docs.shape[0]
+
+    def gather_one(off, ln, w):
+        start = jnp.minimum(off, p_total - run_len)
+        shift = off - start
+        docs = jax.lax.dynamic_slice(post_docs, (start,), (run_len,))
+        imps = jax.lax.dynamic_slice(post_impacts, (start,), (run_len,))
+        pos = jnp.arange(run_len, dtype=jnp.int32)
+        in_run = (pos >= shift) & (pos < shift + ln) & (w != 0.0)
+        docs = jnp.where(pos < shift, DOC_SENTINEL_LOW,
+                         jnp.where(in_run, docs, DOC_SENTINEL))
+        contribs = jnp.where(in_run, w * imps, 0.0)
+        return docs, contribs
+
+    docs, contribs = jax.vmap(jax.vmap(gather_one))(
+        run_offs, run_lens, run_weights
+    )
+    docs, contribs = merge_sorted_runs(docs, contribs, use_pallas=use_pallas)
+    N = docs.shape[-1]
+    seg_scores, _cnt, tail_pos, valid = segmented_scores(
+        docs, contribs, max_seg=R
+    )
+    live = tail_pos & valid & (seg_scores > 0.0)
+    tail_sum = jnp.where(live, seg_scores, NEG_INF)     # [B, N]
+
+    # head top-k entries whose doc also appears in the tail stream carry an
+    # incomplete score; drop them (their complete score reaches the top-k
+    # through the candidate window — guaranteed under `safe`)
+    if has_head:
+        p = _searchsorted_rows(docs, head_d)
+        pc = jnp.clip(p, 0, N - 1)
+        dup = (
+            (jnp.take_along_axis(docs, pc, axis=1) == head_d)
+            & (p < N)
+        )
+        head_s2 = jnp.where(dup, NEG_INF, head_s)
+    else:
+        head_s2 = head_s
+
+    M = cand if cand else _pow2(4 * k, 128)
+    M = min(M, N)
+
+    def full(_):
+        dc = jnp.clip(docs, 0, D - 1)
+        s_at = (
+            jnp.take_along_axis(S, dc, axis=1) if has_head
+            else jnp.zeros((B, N), jnp.float32)
+        )
+        fin = jnp.where(live, tail_sum + s_at, NEG_INF)
+        all_s = jnp.concatenate([fin, head_s2], axis=1)
+        all_d = jnp.concatenate([docs, head_d], axis=1)
+        fs, fi = jax.lax.top_k(all_s, k)
+        fd = jnp.take_along_axis(all_d, fi, axis=1)
+        hits = head_hits + jnp.sum(
+            (live & (s_at == 0.0)).astype(jnp.int32), axis=-1
+        )
+        return fs, fd, hits, jnp.ones((B,), jnp.int32)
+
+    if exact_counts or M >= N or not has_head:
+        # no head: the "expensive" combine gather is free (s_at == 0), so
+        # the full branch is both exact and optimal
+        fs, fd, hits, exact = full(None)
+    else:
+        # candidate window (cheap, always computed): top-M tail docs by
+        # tail_sum — the same order as their final-score upper bound
+        # tail_sum + head_ub, since head_ub is a per-query constant. Exact
+        # finals for just those M; theta = k-th of the COMBINED candidate +
+        # head set (every entry a valid lower bound of a real doc's score,
+        # so theta lower-bounds the true k-th). Any unselected tail doc has
+        # final <= min(selected tail_sum) + head_ub; when that bound is
+        # strictly below theta, no unselected doc can reach the top-k and
+        # the pruned result is exact on docs/scores (hits stay a lower
+        # bound — the WAND relation). Otherwise escalate to the full
+        # gather via lax.cond.
+        sel_sum, sel_pos = jax.lax.top_k(tail_sum, M)
+        sel_doc = jnp.take_along_axis(docs, sel_pos, axis=1)
+        sd = jnp.clip(sel_doc, 0, D - 1)
+        s_at = (
+            jnp.take_along_axis(S, sd, axis=1) if has_head
+            else jnp.zeros((B, M), jnp.float32)
+        )
+        fin = jnp.where(sel_sum > NEG_INF, sel_sum + s_at, NEG_INF)
+        all_s = jnp.concatenate([fin, head_s2], axis=1)
+        all_d = jnp.concatenate([sel_doc, head_d], axis=1)
+        fs_p, fi_p = jax.lax.top_k(all_s, k)
+        fd_p = jnp.take_along_axis(all_d, fi_p, axis=1)
+        theta = fs_p[:, k - 1]                       # [B], may be -inf
+        residual = sel_sum[:, M - 1]                 # (M)-th tail_sum
+        all_selected = residual == NEG_INF           # every tail doc in window
+        safe_q = all_selected | (residual + head_ub < theta)
+        safe = jnp.all(safe_q)
+        hits_p = head_hits + jnp.sum(
+            ((sel_sum > NEG_INF) & (s_at == 0.0)).astype(jnp.int32), axis=-1
+        )
+
+        def pruned(_):
+            return fs_p, fd_p, hits_p, all_selected.astype(jnp.int32)
+
+        fs, fd, hits, exact = jax.lax.cond(safe, pruned, full, None)
+
+    fd = jnp.where(fs == NEG_INF, -1, fd)
+    return jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(fs, jnp.int32),
+            fd.astype(jnp.int32),
+            hits[:, None].astype(jnp.int32),
+            exact[:, None].astype(jnp.int32),
+        ],
+        axis=1,
+    )
+
+
+def dispatch_merge(
+    idx: DenseHeadIndex,
+    plan: DenseMergePlan,
+    post_docs,
+    post_impacts,
+    k: int,
+    *,
+    row_max=None,
+    exact_counts: bool = False,
+    use_pallas: bool = False,
+):
+    """Run one planned batch on the merge-tail path. Returns the packed
+    [B, 2k+2] device array (decode with ``decode_packed2``)."""
+    if row_max is None:
+        row_max = idx.row_max
+    return dense_merge_topk(
+        idx.rows, row_max, post_docs, post_impacts,
+        jnp.asarray(plan.W),
+        jnp.asarray(plan.run_offs), jnp.asarray(plan.run_lens),
+        jnp.asarray(plan.run_weights),
+        k=k, has_head=plan.has_head, has_tail=plan.has_tail,
+        run_len=plan.run_len, exact_counts=exact_counts,
+        use_pallas=use_pallas,
+    )
+
+
+def decode_packed2(packed, k: int):
+    """[B, 2k+2] int32 -> (scores f32 [B,k], docs i32 [B,k], hits i64 [B],
+    counts_exact bool [B])."""
+    packed = np.asarray(packed)
+    scores = packed[:, :k].view(np.float32)
+    docs = packed[:, k : 2 * k]
+    hits = packed[:, 2 * k].astype(np.int64)
+    exact = packed[:, 2 * k + 1].astype(bool)
+    return scores, docs, hits, exact
 
 
 def dispatch(

@@ -56,7 +56,10 @@ def _local_search(
         run_len=run_len, k=k, use_pallas=use_pallas,
     )
     shard_idx = jax.lax.axis_index("shard")
-    global_ids = local_docs + shard_idx * shard_capacity
+    n_shards = jax.lax.axis_size("shard")
+    # TRUE global ord under the round-robin doc->shard map (ord = local*S +
+    # shard): candidate ties must break docid-ascending, the Lucene contract
+    global_ids = local_docs * n_shards + shard_idx
 
     # merge candidates across shards (rides ICI)
     cand_scores = jax.lax.all_gather(local_scores, "shard", axis=0)  # [S, B, k]
@@ -64,6 +67,14 @@ def _local_search(
     S, B, k_ = cand_scores.shape
     cand_scores = jnp.transpose(cand_scores, (1, 0, 2)).reshape(B, S * k_)
     cand_ids = jnp.transpose(cand_ids, (1, 0, 2)).reshape(B, S * k_)
+    # pre-sort candidates by global ord so lax.top_k's lowest-index
+    # tie-break equals docid-ascending (pad entries sort last)
+    order = jnp.argsort(
+        jnp.where(cand_scores > -jnp.inf, cand_ids, jnp.int32(2**31 - 1)),
+        axis=-1,
+    )
+    cand_scores = jnp.take_along_axis(cand_scores, order, axis=1)
+    cand_ids = jnp.take_along_axis(cand_ids, order, axis=1)
     top_scores, pos = jax.lax.top_k(cand_scores, k)
     top_ids = jnp.take_along_axis(cand_ids, pos, axis=1)
     total_hits = jax.lax.psum(local_hits, "shard")
@@ -238,10 +249,10 @@ class DistributedBM25:
         return dist
 
     def global_ord(self, padded_ids: np.ndarray) -> np.ndarray:
-        """Map kernel ids (shard*capacity + local) back to original global
-        doc ords for from_searcher-built indexes (doc -> shard round-robin)."""
-        S = getattr(self, "shard_count", self.mesh.shape["shard"])
-        return (padded_ids % self.shard_capacity) * S + padded_ids // self.shard_capacity
+        """Kernel ids ARE true global doc ords (the SPMD body emits
+        local*S + shard, the round-robin inverse) — identity, kept for
+        caller compatibility."""
+        return padded_ids
 
     def compile_text_queries(
         self, queries: Sequence[Sequence[str]], max_terms: int = 8
@@ -437,7 +448,9 @@ class DistributedBM25:
                 sort_ascending=ascending,
             )
             shard_idx = jax.lax.axis_index("shard")
-            global_ids = local_docs + shard_idx * cap
+            n_shards_ax = jax.lax.axis_size("shard")
+            # true global ord under the round-robin map (docid tie-break)
+            global_ids = local_docs * n_shards_ax + shard_idx
 
             facet_counts = []
             if facet_sizes:
@@ -481,6 +494,14 @@ class DistributedBM25:
             S_, B, k_ = cand_scores.shape
             cand_scores = jnp.transpose(cand_scores, (1, 0, 2)).reshape(B, S_ * k_)
             cand_ids = jnp.transpose(cand_ids, (1, 0, 2)).reshape(B, S_ * k_)
+            # docid-ascending tie-break (pad entries sort last)
+            order2 = jnp.argsort(
+                jnp.where(cand_scores > -jnp.inf, cand_ids,
+                          jnp.int32(2**31 - 1)),
+                axis=-1,
+            )
+            cand_scores = jnp.take_along_axis(cand_scores, order2, axis=1)
+            cand_ids = jnp.take_along_axis(cand_ids, order2, axis=1)
             top_scores, pos2 = jax.lax.top_k(cand_scores, k)
             top_ids = jnp.take_along_axis(cand_ids, pos2, axis=1)
             if flip:

@@ -21,8 +21,13 @@ from __future__ import annotations
 
 import threading
 import time
+import weakref
 from dataclasses import dataclass, field
 from typing import Optional
+
+# live batchers, for test-harness thread cleanup (leaked worker threads
+# across hundreds of in-process server fixtures destabilize the process)
+_LIVE_BATCHERS: "weakref.WeakSet" = weakref.WeakSet()
 
 
 @dataclass
@@ -51,6 +56,7 @@ class SearchBatcher:
             target=self._worker, name="search-batcher", daemon=True
         )
         self._thread.start()
+        _LIVE_BATCHERS.add(self)
 
     def stats(self) -> dict:
         """Formed-batch counters (avg size = coalescing actually happening)."""
@@ -71,11 +77,21 @@ class SearchBatcher:
 
     def search(self, searcher, spec, k: int):
         """Submit one query; blocks until its group's dispatch completes.
-        Returns a core.searcher.TopDocs."""
+        Returns a core.searcher.TopDocs. A stopped batcher degrades to a
+        direct unbatched dispatch (never hangs a late caller)."""
         p = _Pending(searcher, spec, k)
         with self._cv:
-            self._pending.append(p)
-            self._cv.notify()
+            if self._stopped:
+                p = None
+            else:
+                self._pending.append(p)
+                self._cv.notify()
+        if p is None:
+            direct = _Pending(searcher, spec, k)
+            self._run_group([direct])
+            if direct.error is not None:
+                raise direct.error
+            return direct.result
         p.done.wait()
         if p.error is not None:
             raise p.error

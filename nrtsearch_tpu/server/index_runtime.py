@@ -21,6 +21,7 @@ from __future__ import annotations
 import threading
 import time
 import uuid
+import weakref
 from pathlib import Path
 from typing import Any, Callable, Optional
 
@@ -59,6 +60,12 @@ def _parse_index_sort(settings: dict, field_defs: dict) -> list:
         missing_last = str(st.get("missingLast", "")).lower() in ("true", "1")
         out.append((name, bool(st.get("reverse", False)), missing_last))
     return out
+
+
+# live runtimes, for test-harness thread cleanup (leaked refresh/poll
+# ticker threads across hundreds of in-process fixtures destabilize the
+# process — each keeps firing refresh() on a stale runtime)
+_LIVE_RUNTIMES: "weakref.WeakSet" = weakref.WeakSet()
 
 
 class IndexRuntime:
@@ -100,6 +107,7 @@ class IndexRuntime:
         self._refresh_thread: Optional[threading.Thread] = None
         self._poll_thread: Optional[threading.Thread] = None
         self._stopped = threading.Event()
+        _LIVE_RUNTIMES.add(self)
 
     # -- lifecycle --------------------------------------------------------------
 
@@ -115,6 +123,14 @@ class IndexRuntime:
         mb = int(live_settings.get("maxMergedSegmentMB", 0) or 0)
         # doc-count proxy for segment bytes (~1k docs per MB of typical text)
         self.writer.max_merged_docs = mb * 1000 if mb > 0 else 0
+        # virtualShards applies to the CURRENT searcher immediately (it is a
+        # live setting); future publishes pick it up from state_info
+        try:
+            self.searcher.dist_shards = int(
+                live_settings.get("virtualShards", 1) or 1
+            )
+        except Exception:
+            pass
 
     def start(self, restore: bool = False) -> None:
         with self._lock:
@@ -218,6 +234,12 @@ class IndexRuntime:
 
     def _publish_searcher(self, segments) -> None:
         self.searcher = Searcher(segments, self.field_defs, version=self._version)
+        # honor liveSettings.virtualShards (reference: luceneserver.proto:1458,
+        # MyIndexSearcher.slicesForShards): >1 on a multi-device host serves
+        # plain text queries over a (shard, data) mesh
+        self.searcher.dist_shards = int(
+            self.state_info.live_settings.get("virtualShards", 1) or 1
+        )
         self._searchers_by_version[self._version] = self.searcher
         self._searcher_publish_time[self._version] = time.time()
         self._prune_searchers()

@@ -31,3 +31,29 @@ def eight_device_mesh():
 
     devs = np.array(jax.devices()).reshape(4, 2)
     return Mesh(devs, ("shard", "data"))
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _stop_leaked_server_threads():
+    """Stop refresh-ticker / poller / batcher threads leaked by module-level
+    server fixtures. Many tests cache Handlers/GlobalState objects without
+    stopping them; hundreds of lingering ticker threads kept firing
+    refresh() on stale runtimes for the rest of the run, destabilizing the
+    process (observed intermittent SIGSEGV around the 70% mark)."""
+    yield
+    try:
+        from nrtsearch_tpu.server import batcher as _bt
+        from nrtsearch_tpu.server import index_runtime as _ir
+
+        for rt in list(_ir._LIVE_RUNTIMES):
+            try:
+                rt.stop()
+            except Exception:
+                pass
+        for b in list(_bt._LIVE_BATCHERS):
+            try:
+                b.stop()
+            except Exception:
+                pass
+    except Exception:
+        pass

@@ -92,7 +92,10 @@ def test_pruned_topk_bit_identical(searcher, force_prune):
     assert pruned.total_hits <= full.total_hits
 
 
-def test_pruned_relation_via_searcher(searcher, force_prune):
+def test_pruned_relation_via_searcher(searcher, force_prune, monkeypatch):
+    # NRT_MAXSCORE defaults OFF since round 4 (dense-head is the measured
+    # winner); opt in explicitly to exercise the pruned relation contract
+    monkeypatch.setenv("NRT_MAXSCORE", "1")
     # fresh searcher so the packed-view cache is clean
     s = Searcher(searcher.segments, FIELDS, version=2)
     node = parse_query({"matchQuery": {"field": "t", "query": "rare common"}})
