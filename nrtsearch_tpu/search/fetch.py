@@ -29,6 +29,19 @@ def fetch_field_values(
         return [float(virtual_values[field_name][hit.global_ord])]
     fd = field_defs.get(field_name)
     if fd is not None and fd.type in (FieldType.VIRTUAL, FieldType.RUNTIME):
+        src = fd.script_source or "0"
+        if "_score" in src:
+            # score-dependent virtual field: evaluate at this hit with its
+            # relevance score bound (reference: VirtualFieldDef binds
+            # DoubleValues score — NrtsearchServerTest virtual_field_w_score)
+            from nrtsearch_tpu.script.expr import compile_expression
+
+            fn = compile_expression(src)
+            v = np.asarray(fn(
+                _HitScriptDocValues(seg, local),
+                np.asarray([np.float32(hit.score)]),
+            ))
+            return [float(v.reshape(-1)[0])]
         col = virtual_field_column(searcher, hit.segment_idx, fd)
         return [float(col[local])]
     # stored first (like the reference's stored-field preference for source)
@@ -72,6 +85,23 @@ def fetch_field_values(
         v = row[field_name]
         return v if isinstance(v, list) else [v]
     return None
+
+
+class _HitScriptDocValues:
+    """One-row doc-value view for per-hit script evaluation."""
+
+    def __init__(self, segment, local: int):
+        self._segment = segment
+        self._local = local
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._segment.doc_values
+
+    def __getitem__(self, name: str):
+        dv = self._segment.doc_values[name]
+        present = bool(np.asarray(dv.host_present[self._local]))
+        val = float(np.asarray(dv.host_values[self._local])) if present else 0.0
+        return np.asarray([np.float32(val)])
 
 
 def virtual_field_column(searcher: Searcher, segment_idx: int, fd: FieldDef) -> np.ndarray:
