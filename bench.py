@@ -41,6 +41,7 @@ BUCKET = int(os.environ.get("BENCH_BUCKET", 0))
 BUCKET_DOCS = int(os.environ.get("BENCH_BUCKET_DOCS", 16384))
 DENSE = int(os.environ.get("BENCH_DENSE", 1))
 DENSE_ROWS = int(os.environ.get("BENCH_DENSE_ROWS", 256))
+DENSE_MIN_DF = int(os.environ.get("BENCH_DENSE_MIN_DF", 0))  # 0 -> D//64
 READERS = int(os.environ.get("BENCH_READERS", 16))
 BATCH_BIG = int(os.environ.get("BENCH_BATCH_BIG", 128))
 CPU_QUERIES = int(os.environ.get("BENCH_CPU_QUERIES", 32))
@@ -319,9 +320,12 @@ def main() -> None:
 
         from nrtsearch_tpu.ops.dense_head import decode_packed2
 
-        log(f"attaching dense-head index (max_rows={DENSE_ROWS})")
+        log(f"attaching dense-head index (max_rows={DENSE_ROWS}, "
+            f"min_df={DENSE_MIN_DF or 'auto'})")
         t0 = time.perf_counter()
-        model.attach_dense(max_rows=DENSE_ROWS)
+        model.attach_dense(
+            max_rows=DENSE_ROWS, min_df=DENSE_MIN_DF or None
+        )
         H = model.dense_idx.n_rows
         log(f"  built in {time.perf_counter()-t0:.1f}s H={H} "
             f"min_df={model.dense_idx.min_df}")

@@ -1,10 +1,19 @@
 """nrt_utils: object-store-side ops tooling.
 
-Reference: tools/nrt_utils (picocli: snapshot/restore/list/cleanup of S3 index
-data, remote state get/put — NrtUtilsCommand.java:58). These commands operate
-purely against the object store (no server running), like the reference.
+Reference: tools/nrt_utils (picocli, NrtUtilsCommand.java:39-57 —
+cleanupData, cleanupSnapshots, getRemoteState, getResourceVersion,
+listResourceVersions, listSnapshots, putRemoteState, restore (including
+restore into a DIFFERENT service/index), setResourceVersion, snapshot,
+updateGlobalIndexState). These commands operate purely against the object
+store with no server running, over EITHER store backend:
 
-Usage: python -m nrtsearch_tpu.nrt_utils --root /path/to/store <command> ...
+    --root /path/to/store                      local filesystem store
+    --bucket B [--region R] [--endpoint URL]   S3 (SigV4, remote/s3.py)
+
+The reference's legacy/incremental commands migrate a pre-1.0 Lucene backup
+format; this engine has no legacy format, so they are omitted by design.
+
+Usage: python -m nrtsearch_tpu.nrt_utils [--root DIR | --bucket B] <cmd> ...
 """
 
 from __future__ import annotations
@@ -25,21 +34,30 @@ def _load_point(remote, service: str, index_id: str) -> NrtPointState:
     return NrtPointState.from_json(data)
 
 
+def _snap_res(index_id: str, snap_id: str) -> str:
+    return f"{index_id}/snapshots/{snap_id}"
+
+
 def cmd_snapshot(remote, args) -> None:
-    """Pin the current point under snapshots/<timestamp> (S3-side snapshot)."""
+    """Pin the current point under snapshots/<id> (reference:
+    backup/SnapshotCommand — a metadata-only S3-side snapshot; data files
+    are immutable and shared)."""
     point = _load_point(remote, args.serviceName, args.indexId)
     ts = args.snapshotId or str(int(time.time()))
     remote.upload_versioned(
-        args.serviceName, f"{args.indexId}/snapshots/{ts}", point.to_json().encode()
+        args.serviceName, _snap_res(args.indexId, ts), point.to_json().encode()
     )
     print(json.dumps({"snapshotId": ts, "version": point.version,
                       "files": len(point.files)}))
 
 
 def cmd_restore(remote, args) -> None:
-    """Make a snapshot the current point (a starting replica/primary picks it up)."""
+    """Make a snapshot the current point — optionally into a DIFFERENT
+    service/index (reference: backup/RestoreCommand --restoreServiceName /
+    --restoreIndexId, RestoreCommand.java:60-75): the point state AND every
+    referenced data file are copied into the destination tree."""
     data = remote.download_current(
-        args.serviceName, f"{args.indexId}/snapshots/{args.snapshotId}"
+        args.serviceName, _snap_res(args.indexId, args.snapshotId)
     )
     if data is None:
         raise SystemExit(f"no snapshot {args.snapshotId}")
@@ -50,27 +68,99 @@ def cmd_restore(remote, args) -> None:
     ]
     if missing:
         raise SystemExit(f"snapshot incomplete; missing files: {missing}")
+    dst_service = args.restoreServiceName or args.serviceName
+    dst_index = args.restoreIndexId or args.indexId
+    copied = 0
+    if (dst_service, dst_index) != (args.serviceName, args.indexId):
+        import shutil
+        import tempfile
+
+        with tempfile.TemporaryDirectory(prefix="nrt_restore_") as tmp:
+            for name in point.files:
+                remote.download_index_files(
+                    args.serviceName, args.indexId, tmp, [name]
+                )
+                remote.upload_index_files(dst_service, dst_index, tmp, [name])
+                copied += 1
     remote.upload_versioned(
-        args.serviceName, NrtPointState.resource(args.indexId), data
+        dst_service, NrtPointState.resource(dst_index), data
     )
-    print(json.dumps({"restored": args.snapshotId, "version": point.version}))
+    print(json.dumps({
+        "restored": args.snapshotId, "version": point.version,
+        "service": dst_service, "indexId": dst_index, "filesCopied": copied,
+    }))
 
 
 def cmd_list_snapshots(remote, args) -> None:
-    root = remote.root / args.serviceName / args.indexId / "snapshots"
+    """Reference: backup/ListSnapshotsCommand."""
     out = []
-    if root.exists():
-        for d in sorted(root.iterdir()):
-            v = remote.current_version(args.serviceName,
-                                       f"{args.indexId}/snapshots/{d.name}")
-            if v is not None:
-                data = remote.download_current(
-                    args.serviceName, f"{args.indexId}/snapshots/{d.name}"
-                )
-                point = NrtPointState.from_json(data)
-                out.append({"snapshotId": d.name, "version": point.version,
-                            "gen": point.gen})
+    for res in remote.list_resources(
+        args.serviceName, f"{args.indexId}/snapshots/"
+    ):
+        data = remote.download_current(args.serviceName, res)
+        if data:
+            point = NrtPointState.from_json(data)
+            out.append({
+                "snapshotId": res.rsplit("/", 1)[-1],
+                "version": point.version, "gen": point.gen,
+                "files": len(point.files),
+            })
     print(json.dumps(out, indent=1))
+
+
+def cmd_cleanup_snapshots(remote, args) -> None:
+    """Delete snapshots older than --minAgeSec, keeping the newest --keep
+    (reference: backup/CleanupSnapshotsCommand)."""
+    snaps = []
+    for res in remote.list_resources(
+        args.serviceName, f"{args.indexId}/snapshots/"
+    ):
+        sid = res.rsplit("/", 1)[-1]
+        snaps.append((int(sid) if sid.isdigit() else 0, sid, res))
+    snaps.sort(reverse=True)
+    now = int(time.time())
+    removed = []
+    for rank, (ts, sid, res) in enumerate(snaps):
+        if rank < max(args.keep, 0):
+            continue
+        if ts and now - ts < args.minAgeSec:
+            continue
+        if not args.dryRun:
+            # tombstone: point the resource at an empty marker (object
+            # stores have no atomic delete-of-versioned-tree; the data
+            # cleanup pass drops unreferenced files afterwards)
+            remote.upload_versioned(args.serviceName, res, b"")
+        removed.append(sid)
+    print(json.dumps({"removed": removed, "dryRun": bool(args.dryRun)}))
+
+
+def _referenced_files(remote, service: str, index_id: str) -> set:
+    keep: set[str] = set()
+    try:
+        keep.update(_load_point(remote, service, index_id).files)
+    except SystemExit:
+        pass
+    for res in remote.list_resources(service, f"{index_id}/snapshots/"):
+        data = remote.download_current(service, res)
+        if data:
+            keep.update(NrtPointState.from_json(data).files)
+    return keep
+
+
+def cmd_cleanup(remote, args) -> None:
+    """Delete data files not referenced by the current point or any live
+    snapshot (reference: cleanup/CleanupDataCommand)."""
+    keep = _referenced_files(remote, args.serviceName, args.indexId)
+    removed = []
+    for name in remote.list_index_files(args.serviceName, args.indexId):
+        if name not in keep:
+            if not args.dryRun:
+                remote.delete_index_files(
+                    args.serviceName, args.indexId, [name]
+                )
+            removed.append(name)
+    print(json.dumps({"removed": removed, "kept": len(keep),
+                      "dryRun": bool(args.dryRun)}))
 
 
 def cmd_current_state(remote, args) -> None:
@@ -78,56 +168,164 @@ def cmd_current_state(remote, args) -> None:
     print(point.to_json())
 
 
-def cmd_cleanup(remote, args) -> None:
-    """Delete data files not referenced by the current point or any snapshot
-    (reference: cleanup of orphaned S3 index data)."""
-    keep: set[str] = set()
-    try:
-        keep.update(_load_point(remote, args.serviceName, args.indexId).files)
-    except SystemExit:
-        pass
-    snap_root = remote.root / args.serviceName / args.indexId / "snapshots"
-    if snap_root.exists():
-        for d in snap_root.iterdir():
-            data = remote.download_current(
-                args.serviceName, f"{args.indexId}/snapshots/{d.name}"
-            )
-            if data:
-                keep.update(NrtPointState.from_json(data).files)
-    data_dir = remote.root / args.serviceName / args.indexId / "data"
-    removed = []
-    if data_dir.exists():
-        for p in data_dir.iterdir():
-            if p.name not in keep:
-                if args.dryRun:
-                    removed.append(p.name)
-                else:
-                    p.unlink()
-                    removed.append(p.name)
-    print(json.dumps({"removed": removed, "dryRun": bool(args.dryRun)}))
+def cmd_get_remote_state(remote, args) -> None:
+    """Download any state resource's current blob (reference:
+    state/GetRemoteStateCommand)."""
+    data = remote.download_current(args.serviceName, args.resourceName)
+    if data is None:
+        raise SystemExit(f"no resource {args.resourceName}")
+    sys.stdout.write(data.decode("utf-8", "replace"))
+
+
+def cmd_put_remote_state(remote, args) -> None:
+    """Upload a new version of a state resource from a file (reference:
+    state/PutRemoteStateCommand)."""
+    from pathlib import Path
+
+    data = Path(args.stateFile).read_bytes()
+    v = remote.upload_versioned(args.serviceName, args.resourceName, data)
+    print(json.dumps({"resource": args.resourceName, "version": v}))
+
+
+def cmd_get_resource_version(remote, args) -> None:
+    """Reference: state/GetResourceVersionCommand."""
+    v = remote.current_version(args.serviceName, args.resourceName)
+    print(json.dumps({"resource": args.resourceName, "version": v}))
+
+
+def cmd_set_resource_version(remote, args) -> None:
+    """Re-point _current at an existing stored version (rollback — the
+    reference's SetResourceVersionCommand)."""
+    versions = remote.list_resource_versions(args.serviceName, args.resourceName)
+    if args.version not in versions:
+        raise SystemExit(
+            f"version {args.version} not in stored versions {versions}"
+        )
+    cur = remote.current_version(args.serviceName, args.resourceName)
+    # re-upload the requested blob as the newest version so the _current
+    # pointer stays monotonic (readers cache monotonically)
+    blob = _download_version(remote, args.serviceName, args.resourceName,
+                             args.version)
+    v = remote.upload_versioned(args.serviceName, args.resourceName, blob)
+    print(json.dumps({"resource": args.resourceName, "restoredFrom":
+                      args.version, "previousCurrent": cur, "version": v}))
+
+
+def _download_version(remote, service, resource, version) -> bytes:
+    """Fetch a specific stored version (both backends share the key layout)."""
+    if hasattr(remote, "s3"):
+        data = remote.s3.get_object(f"{service}/{resource}/_version/{version}")
+        if data is None:
+            raise SystemExit(f"missing version {version}")
+        return data
+    p = remote.root / service / resource / "_version" / str(version)
+    if not p.exists():
+        raise SystemExit(f"missing version {version}")
+    return p.read_bytes()
+
+
+def cmd_list_resource_versions(remote, args) -> None:
+    """Reference: state/ListResourceVersions."""
+    versions = remote.list_resource_versions(args.serviceName, args.resourceName)
+    cur = remote.current_version(args.serviceName, args.resourceName)
+    print(json.dumps({"resource": args.resourceName, "versions": versions,
+                      "current": cur}))
+
+
+def cmd_update_global_index_state(remote, args) -> None:
+    """Update an index's id mapping in (or remove it from) the remote global
+    state blob {"indices": {name: id}} (reference role:
+    state/UpdateGlobalIndexStateCommand — this engine's remote global state
+    carries the name->id registry; the started flag is node-local)."""
+    data = remote.download_current(args.serviceName, "global_state")
+    if data is None:
+        raise SystemExit("no global state")
+    state = json.loads(data)
+    indices = state.setdefault("indices", {})
+    if args.indexName not in indices and not args.setIndexId:
+        raise SystemExit(f"index {args.indexName!r} not in global state "
+                         f"({sorted(indices)})")
+    if args.remove:
+        indices.pop(args.indexName, None)
+    elif args.setIndexId:
+        indices[args.indexName] = args.setIndexId
+    v = remote.upload_versioned(
+        args.serviceName, "global_state", json.dumps(state).encode()
+    )
+    print(json.dumps({
+        "indexName": args.indexName,
+        "indexId": indices.get(args.indexName),
+        "removed": bool(args.remove),
+        "version": v,
+    }))
+
+
+def _make_backend(args):
+    if args.bucket:
+        from nrtsearch_tpu.remote.s3 import S3Backend
+        from nrtsearch_tpu.remote.s3_client import S3Client
+
+        client = S3Client(
+            bucket=args.bucket, region=args.region,
+            endpoint=args.endpoint or None,
+        )
+        return S3Backend(client)
+    if not args.root:
+        raise SystemExit("one of --root or --bucket is required")
+    return LocalFileBackend(args.root)
 
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="nrt_utils")
-    p.add_argument("--root", required=True, help="object store root directory")
+    p.add_argument("--root", default="", help="local object store root")
+    p.add_argument("--bucket", default="", help="S3 bucket (SigV4 backend)")
+    p.add_argument("--region", default="us-east-1")
+    p.add_argument("--endpoint", default="",
+                   help="S3 endpoint override (e.g. http://localhost:9090)")
     sub = p.add_subparsers(dest="command", required=True)
 
-    def add(name, fn, *extra):
+    def add(name, fn, *extra, index=True):
         sp = sub.add_parser(name)
         sp.set_defaults(fn=fn)
         sp.add_argument("--serviceName", required=True)
-        sp.add_argument("--indexId", required=True)
+        if index:
+            sp.add_argument("--indexId", required=True)
         for flag, kw in extra:
             sp.add_argument(flag, **kw)
 
     add("snapshot", cmd_snapshot, ("--snapshotId", {"default": ""}))
-    add("restore", cmd_restore, ("--snapshotId", {"required": True}))
+    add("restore", cmd_restore,
+        ("--snapshotId", {"required": True}),
+        ("--restoreServiceName", {"default": ""}),
+        ("--restoreIndexId", {"default": ""}))
     add("listSnapshots", cmd_list_snapshots)
+    add("cleanupSnapshots", cmd_cleanup_snapshots,
+        ("--minAgeSec", {"type": int, "default": 0}),
+        ("--keep", {"type": int, "default": 1}),
+        ("--dryRun", {"action": "store_true"}))
     add("currentState", cmd_current_state)
+    add("cleanupData", cmd_cleanup, ("--dryRun", {"action": "store_true"}))
+    # back-compat alias for the round-3 name
     add("cleanup", cmd_cleanup, ("--dryRun", {"action": "store_true"}))
+    add("getRemoteState", cmd_get_remote_state,
+        ("--resourceName", {"required": True}), index=False)
+    add("putRemoteState", cmd_put_remote_state,
+        ("--resourceName", {"required": True}),
+        ("--stateFile", {"required": True}), index=False)
+    add("getResourceVersion", cmd_get_resource_version,
+        ("--resourceName", {"required": True}), index=False)
+    add("setResourceVersion", cmd_set_resource_version,
+        ("--resourceName", {"required": True}),
+        ("--version", {"type": int, "required": True}), index=False)
+    add("listResourceVersions", cmd_list_resource_versions,
+        ("--resourceName", {"required": True}), index=False)
+    add("updateGlobalIndexState", cmd_update_global_index_state,
+        ("--indexName", {"required": True}),
+        ("--setIndexId", {"default": ""}),
+        ("--remove", {"action": "store_true"}), index=False)
 
     args = p.parse_args(argv)
-    remote = LocalFileBackend(args.root)
+    remote = _make_backend(args)
     try:
         args.fn(remote, args)
     except SystemExit:

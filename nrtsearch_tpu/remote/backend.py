@@ -51,6 +51,23 @@ class RemoteBackend(abc.ABC):
         self, service: str, index_id: str, file_names: list[str]
     ) -> None: ...
 
+    # -- listing (ops tooling: nrt_utils works over ANY backend) --------------
+
+    @abc.abstractmethod
+    def list_resources(self, service: str, prefix: str = "") -> list[str]:
+        """Resource names (those with a _current pointer) under a prefix."""
+        ...
+
+    @abc.abstractmethod
+    def list_index_files(self, service: str, index_id: str) -> list[str]:
+        """Names of all stored index data files."""
+        ...
+
+    @abc.abstractmethod
+    def list_resource_versions(self, service: str, resource: str) -> list[int]:
+        """All stored versions of one resource, ascending."""
+        ...
+
 
 class LocalFileBackend(RemoteBackend):
     """Filesystem-backed object store double (reference tests: S3Mock with a
@@ -120,3 +137,26 @@ class LocalFileBackend(RemoteBackend):
             p = self._data_dir(service, index_id) / name
             if p.exists():
                 p.unlink()
+
+    def list_resources(self, service: str, prefix: str = "") -> list[str]:
+        base = self.root / service
+        if not base.exists():
+            return []
+        out = []
+        for cur in base.rglob("_current"):
+            res = str(cur.parent.relative_to(base))
+            if res.startswith(prefix):
+                out.append(res)
+        return sorted(out)
+
+    def list_index_files(self, service: str, index_id: str) -> list[str]:
+        d = self._data_dir(service, index_id)
+        if not d.exists():
+            return []
+        return sorted(p.name for p in d.iterdir() if p.is_file())
+
+    def list_resource_versions(self, service: str, resource: str) -> list[int]:
+        d = self._res_dir(service, resource) / "_version"
+        if not d.exists():
+            return []
+        return sorted(int(p.name) for p in d.iterdir() if p.name.isdigit())

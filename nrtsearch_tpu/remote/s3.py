@@ -98,3 +98,27 @@ class S3Backend(RemoteBackend):
     ) -> None:
         for name in file_names:
             self.s3.delete_object(self._data_key(service, index_id, name))
+
+    # -- listing (ops tooling) -------------------------------------------------
+
+    def list_resources(self, service: str, prefix: str = "") -> list[str]:
+        keys = self.s3.list_objects(f"{service}/{prefix}")
+        out = set()
+        base = len(service) + 1
+        for k in keys:
+            if k.endswith("/_current"):
+                out.add(k[base : -len("/_current")])
+        return sorted(out)
+
+    def list_index_files(self, service: str, index_id: str) -> list[str]:
+        pre = f"{service}/{index_id}/data/"
+        return sorted(k[len(pre):] for k in self.s3.list_objects(pre))
+
+    def list_resource_versions(self, service: str, resource: str) -> list[int]:
+        pre = f"{service}/{resource}/_version/"
+        out = []
+        for k in self.s3.list_objects(pre):
+            tail = k[len(pre):]
+            if tail.isdigit():
+                out.append(int(tail))
+        return sorted(out)
