@@ -379,10 +379,10 @@ class PackedFieldView:
             return None
         head_pos = st["head_pos"]
         B = len(specs)
-        W = np.zeros((B, len(st["row_max"])), np.float32)
+        used: dict[int, int] = {}
+        per_q: list[list[tuple[int, float]]] = []
         rows_tail: list[list[tuple[int, int, float]]] = []
         dead = [False] * B
-        has_head = False
         any_tail = False
         run_offs = self.index.run_offsets
         run_lens = self.index.run_lengths
@@ -396,10 +396,12 @@ class PackedFieldView:
                 if any(not runs for _, _, runs in entries):
                     dead[qi] = True
                     rows_tail.append([])
+                    per_q.append([])
                     continue
                 if distinct > 1:
                     return None   # true conjunction: merge path
             row: list[tuple[int, int, float]] = []
+            slots: list[tuple[int, float]] = []
             merged: dict[str, float] = {}
             ent_by_term: dict[str, tuple] = {}
             for term, w, runs in entries:
@@ -410,15 +412,26 @@ class PackedFieldView:
             for term, w in merged.items():
                 r = head_pos.get(term)
                 if r is not None:
-                    W[qi, r] += w
-                    has_head = True
+                    if r not in used:
+                        used[r] = len(used)
+                    slots.append((used[r], w))
                 else:
                     for run in ent_by_term[term]:
                         ln = int(run_lens[run])
                         if ln:
                             row.append((int(run_offs[run]), ln, w))
                             any_tail = True
+            per_q.append(slots)
             rows_tail.append(row)
+        has_head = bool(used)
+        U = _pow2(max(len(used), 1), 8)
+        W = np.zeros((B, U), np.float32)
+        row_idx = np.zeros(U, np.int32)
+        for r, slot in used.items():
+            row_idx[slot] = r
+        for qi, slots in enumerate(per_q):
+            for slot, w in slots:
+                W[qi, slot] += w
         if all(dead):
             empty = FastResult(
                 np.full(k, -np.inf, np.float32), np.zeros(k, np.int64),
@@ -437,7 +450,7 @@ class PackedFieldView:
         packed = dense_merge_topk(
             st["rows"], st["row_max"],
             self.index.doc_ids, self.index.impacts,
-            jnp.asarray(W),
+            jnp.asarray(W), jnp.asarray(row_idx),
             jnp.asarray(t_offs), jnp.asarray(t_lens), jnp.asarray(t_w),
             k=k, has_head=has_head, has_tail=any_tail, run_len=run_len,
             use_pallas=_on_tpu(),

@@ -361,9 +361,17 @@ def dense_tail_topk(
 
 @dataclass
 class DenseMergePlan:
-    """Host-compiled tables for one dense+merge-tail batch."""
+    """Host-compiled tables for one dense+merge-tail batch.
 
-    W: np.ndarray             # float32 [B, Hp] full head weight matrix
+    The head weight matrix is COMPACT: ``W[B, U]`` over ``row_idx[U]``, the
+    union of head rows any query in the batch uses (padded to a pow2 class).
+    The kernel gathers just those rows (contiguous 2·D-byte row DMAs) before
+    the matmul, so matmul HBM traffic scales with the batch's true head
+    usage, not the index's total row count — which in turn lets the head
+    hold thousands of rows without inflating per-batch cost."""
+
+    W: np.ndarray             # float32 [B, U] compact head weight matrix
+    row_idx: np.ndarray       # int32 [U] head row ids (pad rows repeat 0)
     run_offs: np.ndarray      # int32 [B, R] tail run offsets
     run_lens: np.ndarray      # int32 [B, R]
     run_weights: np.ndarray   # float32 [B, R]
@@ -386,28 +394,39 @@ def plan_dense_merge(
     from nrtsearch_tpu.ops.merge_scoring import plan_run_lists
 
     B = len(queries)
-    Hp = idx.rows.shape[0]
-    W = np.zeros((B, Hp), np.float32)
+    used: dict[int, int] = {}       # head row id -> compact slot
+    per_q: list[list[tuple[int, float]]] = []
     rows_tail: list[list[tuple[int, int, float]]] = []
     any_tail = False
-    has_head = False
     for qi, entries in enumerate(queries):
         merged: dict[int, float] = {}
         for tid, w in entries[: max_terms if max_terms else None]:
             if w != 0.0:
                 merged[tid] = merged.get(tid, 0.0) + w
         row: list[tuple[int, int, float]] = []
+        slots: list[tuple[int, float]] = []
         for tid, w in merged.items():
             r = idx.head_pos.get(int(tid))
             if r is not None:
-                W[qi, r] += w
-                has_head = True
+                if r not in used:
+                    used[r] = len(used)
+                slots.append((used[r], w))
             else:
                 ln = int(term_lengths[tid])
                 if ln > 0:
                     row.append((int(term_offsets[tid]), ln, w))
                     any_tail = True
+        per_q.append(slots)
         rows_tail.append(row)
+    has_head = bool(used)
+    U = _pow2(max(len(used), 1), 8)
+    W = np.zeros((B, U), np.float32)
+    row_idx = np.zeros(U, np.int32)
+    for r, slot in used.items():
+        row_idx[slot] = r
+    for qi, slots in enumerate(per_q):
+        for slot, w in slots:
+            W[qi, slot] += w
     if any_tail:
         run_offs, run_lens, run_w, run_len = plan_run_lists(
             rows_tail, min_run=512, force_run_len=force_run_len
@@ -418,8 +437,8 @@ def plan_dense_merge(
         run_w = np.zeros((B, 1), np.float32)
         run_len = 0
     return DenseMergePlan(
-        W, run_offs, run_lens, run_w, run_len, has_head, any_tail,
-        (B, Hp, has_head, any_tail, run_offs.shape[1], run_len),
+        W, row_idx, run_offs, run_lens, run_w, run_len, has_head, any_tail,
+        (B, U, has_head, any_tail, run_offs.shape[1], run_len),
     )
 
 
@@ -435,7 +454,8 @@ def dense_merge_topk(
     row_max,          # f32 [Hp] per-row max impact (head_ub ingredient)
     post_docs,        # int32 [P] packed postings
     post_impacts,     # float32 [P]
-    W,                # f32 [B, Hp] full head weight matrix
+    W,                # f32 [B, U] COMPACT head weight matrix
+    row_idx,          # int32 [U] head rows used by this batch
     run_offs,         # int32 [B, R] tail run tables
     run_lens,         # int32 [B, R]
     run_weights,      # f32 [B, R]
@@ -461,15 +481,19 @@ def dense_merge_topk(
     D = rows.shape[1]
 
     if has_head:
+        # compact-row matmul: gather only the batch's used rows (contiguous
+        # 2*D-byte row DMAs) — HBM traffic scales with true head usage, not
+        # the index's total row count
+        rows_u = jnp.take(rows, row_idx, axis=0)   # bf16 [U, D]
         S = jax.lax.dot_general(
-            W.astype(jnp.bfloat16), rows,
+            W.astype(jnp.bfloat16), rows_u,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                          # [B, D] f32
         masked = jnp.where(S > 0.0, S, NEG_INF)
         head_s, head_d = _hierarchical_topk(masked, k)
         head_hits = jnp.sum((S > 0.0).astype(jnp.int32), axis=-1)
-        head_ub = W @ row_max                      # [B]
+        head_ub = W @ row_max[row_idx]             # [B]
     else:
         head_s = jnp.full((B, k), NEG_INF, jnp.float32)
         head_d = jnp.zeros((B, k), jnp.int32)
@@ -619,7 +643,7 @@ def dispatch_merge(
         row_max = idx.row_max
     return dense_merge_topk(
         idx.rows, row_max, post_docs, post_impacts,
-        jnp.asarray(plan.W),
+        jnp.asarray(plan.W), jnp.asarray(plan.row_idx),
         jnp.asarray(plan.run_offs), jnp.asarray(plan.run_lens),
         jnp.asarray(plan.run_weights),
         k=k, has_head=plan.has_head, has_tail=plan.has_tail,

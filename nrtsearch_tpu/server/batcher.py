@@ -42,7 +42,9 @@ class _Pending:
 
 class SearchBatcher:
     def __init__(self, max_batch: int = 64, window_ms: float = 1.0,
-                 metrics=None):
+                 metrics=None, workers: int = 0):
+        import os
+
         self.max_batch = max(int(max_batch), 1)
         self.window_s = max(float(window_ms), 0.0) / 1000.0
         self.metrics = metrics
@@ -52,10 +54,20 @@ class SearchBatcher:
         self._stopped = False
         self.batches_formed = 0
         self.queries_batched = 0
-        self._thread = threading.Thread(
-            target=self._worker, name="search-batcher", daemon=True
-        )
-        self._thread.start()
+        # multiple dispatch workers: device dispatch round trips through the
+        # axon tunnel serialize per thread (~31 ms, profile_dense.py) but
+        # overlap across threads — one worker caps serving at
+        # batch/(RT+device) regardless of device speed
+        if workers <= 0:
+            workers = int(os.environ.get("NRT_BATCHER_WORKERS", "8"))
+        self._threads = [
+            threading.Thread(
+                target=self._worker, name=f"search-batcher-{i}", daemon=True
+            )
+            for i in range(max(workers, 1))
+        ]
+        for t in self._threads:
+            t.start()
         _LIVE_BATCHERS.add(self)
 
     def stats(self) -> dict:
@@ -71,7 +83,8 @@ class SearchBatcher:
         with self._cv:
             self._stopped = True
             self._cv.notify_all()
-        self._thread.join(timeout=5)
+        for t in self._threads:
+            t.join(timeout=5)
 
     # -- client side -------------------------------------------------------------
 
