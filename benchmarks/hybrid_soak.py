@@ -168,16 +168,53 @@ def main() -> int:
         for w in workers:
             w.start()
 
+        # per-NRT-point freshness monitor: after every publish, measure when
+        # each replica's searcher actually exposes the new doc count
+        # (BASELINE config #5: NRT freshness under mixed load; reference
+        # equivalent: the YelpReviewsTest soak's implicit visibility check)
+        fresh_lock = threading.Lock()
+        fresh_targets: list[tuple[int, float]] = []
+        fresh_lags: list[float] = []
+
+        def fresh_monitor(ridx: int):
+            cl = NrtsearchClient(f"localhost:{BASE_PORT + 10 + 2 * ridx}")
+            seen: set[int] = set()
+            while not stop.is_set():
+                try:
+                    nd = cl.stats("docs").numDocs
+                except Exception:
+                    time.sleep(0.05)
+                    continue
+                now = time.time()
+                with fresh_lock:
+                    for target, t_pub in fresh_targets:
+                        if target not in seen and nd >= target:
+                            seen.add(target)
+                            fresh_lags.append(now - t_pub)
+                time.sleep(0.02)
+            cl.close()
+
+        monitors = [
+            threading.Thread(target=fresh_monitor, args=(i,))
+            for i in range(args.replicas)
+        ]
+        for m in monitors:
+            m.start()
+
         while indexed < args.docs:
             pc.add_documents(doc(indexed + i) for i in range(args.batch))
             indexed += args.batch
             pc.refresh("docs")
+            with fresh_lock:
+                fresh_targets.append((indexed, time.time()))
         index_elapsed = time.time() - t0
         # let searches run a moment against the final corpus
         time.sleep(2.0)
         stop.set()
         for w in workers:
             w.join()
+        for m in monitors:
+            m.join()
         search_elapsed = time.time() - t0
 
         fr0 = time.time()
@@ -198,6 +235,13 @@ def main() -> int:
             "hybrid_qps": round(n / search_elapsed, 1),
             "hybrid_p50_ms": round(lats[n // 2] * 1e3, 1) if n else None,
             "hybrid_p99_ms": round(lats[min(int(n * 0.99), n - 1)] * 1e3, 1) if n else None,
+            **(lambda fl: {
+                "nrt_freshness_points": len(fl),
+                "nrt_freshness_p50_sec": round(fl[len(fl) // 2], 3) if fl else None,
+                "nrt_freshness_p99_sec": round(
+                    fl[min(int(len(fl) * 0.99), len(fl) - 1)], 3
+                ) if fl else None,
+            })(sorted(fresh_lags)),
             "search_errors": errors[0],
             "nrt_final_freshness_sec": round(freshness, 2),
             **lag,

@@ -354,7 +354,7 @@ class PackedFieldView:
             jax.device_put(gidx.astype(np.int32)),
             jax.device_put(rowid.astype(np.int32)),
         )
-        row_max = jnp.max(rows.astype(jnp.float32), axis=1)
+        row_max = jnp.max(rows, axis=1).astype(jnp.float32)
         st = {"rows": rows, "row_max": row_max, "head_pos": head_pos, "D": D}
         self._dense_st = st
         return st

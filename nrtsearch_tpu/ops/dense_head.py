@@ -129,7 +129,9 @@ class DenseHeadIndex:
             post_docs, post_impacts, term_offsets, term_lengths,
             capacity=capacity, bucket_docs=bucket_docs,
         )
-        row_max = jnp.max(rows.astype(jnp.float32), axis=1)
+        # max in bf16 THEN widen: astype first materializes a 2x-HBM f32
+        # copy of the rows (OOM at 4096 rows x 1M docs)
+        row_max = jnp.max(rows, axis=1).astype(jnp.float32)
         return cls(
             rows, head_ids, head_pos, tail, capacity, int(min_df), row_max
         )
