@@ -367,10 +367,12 @@ class DenseMergePlan:
 
     The head weight matrix is COMPACT: ``W[B, U]`` over ``row_idx[U]``, the
     union of head rows any query in the batch uses (padded to a pow2 class).
-    The kernel gathers just those rows (contiguous 2·D-byte row DMAs) before
-    the matmul, so matmul HBM traffic scales with the batch's true head
-    usage, not the index's total row count — which in turn lets the head
-    hold thousands of rows without inflating per-batch cost."""
+    The kernel scatters it into the full ``[B, Hp]`` matrix on device and
+    runs the FULL matmul — measured strictly faster than gathering the used
+    rows at every (H, U) on v5e (benchmarks/row_gather_probe.py: XLA row
+    gather moves ~24 GB/s vs ~650 GB/s for the streamed matmul). The
+    compact planning keeps the host->device transfer small and the program
+    cache keyed on the batch's U class."""
 
     W: np.ndarray             # float32 [B, U] compact head weight matrix
     row_idx: np.ndarray       # int32 [U] head row ids (pad rows repeat 0)
@@ -483,19 +485,35 @@ def dense_merge_topk(
     D = rows.shape[1]
 
     if has_head:
-        # compact-row matmul: gather only the batch's used rows (contiguous
-        # 2*D-byte row DMAs) — HBM traffic scales with true head usage, not
-        # the index's total row count
-        rows_u = jnp.take(rows, row_idx, axis=0)   # bf16 [U, D]
+        # full-H matmul: scatter the compact W[B, U] into W_full[B, Hp]
+        # (B*U elements, negligible) and stream ALL rows through the MXU.
+        # Measured on v5e (benchmarks/row_gather_probe.py, 2026-08-19): the
+        # full matmul runs at ~650 GB/s HBM streaming (1.6/3.7/6.5/12.1 ms
+        # for H=256/1024/2048/4096 x 1M), while jnp.take of even 64 rows
+        # costs MORE than the full H=4096 matmul (27 vs 12 ms) — XLA's
+        # gather moves rows at ~24 GB/s. Unused rows multiply by zero.
+        Hp = rows.shape[0]
+        W_full = (
+            jnp.zeros((B, Hp), W.dtype).at[:, row_idx].add(W)
+        )
+        # CPU XLA lacks the bf16 x bf16 -> f32 DotThunk at this shape;
+        # trace-time backend check picks the dtype (program cache is
+        # per-backend, so this stays a static decision)
+        mm_dt = (
+            jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        )
         S = jax.lax.dot_general(
-            W.astype(jnp.bfloat16), rows_u,
+            # W always quantizes through bf16 (the score contract the numpy
+            # reference matches); the f32 CPU dot of the upcast values
+            # accumulates identically to the TPU MXU's f32 accumulation
+            W_full.astype(jnp.bfloat16).astype(mm_dt), rows.astype(mm_dt),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                          # [B, D] f32
         masked = jnp.where(S > 0.0, S, NEG_INF)
         head_s, head_d = _hierarchical_topk(masked, k)
         head_hits = jnp.sum((S > 0.0).astype(jnp.int32), axis=-1)
-        head_ub = W @ row_max[row_idx]             # [B]
+        head_ub = W_full @ row_max                 # [B]
     else:
         head_s = jnp.full((B, k), NEG_INF, jnp.float32)
         head_d = jnp.zeros((B, k), jnp.int32)
