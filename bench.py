@@ -40,8 +40,11 @@ MAXSCORE = int(os.environ.get("BENCH_MAXSCORE", 0))
 BUCKET = int(os.environ.get("BENCH_BUCKET", 0))
 BUCKET_DOCS = int(os.environ.get("BENCH_BUCKET_DOCS", 16384))
 DENSE = int(os.environ.get("BENCH_DENSE", 1))
-DENSE_ROWS = int(os.environ.get("BENCH_DENSE_ROWS", 256))
-DENSE_MIN_DF = int(os.environ.get("BENCH_DENSE_MIN_DF", 0))  # 0 -> D//64
+# H-sweep on v5e (benchmarks/dense_h_sweep.py + /tmp/bench_r4_h*.json):
+# H=256 -> 807 qps, H=1024 -> 1979 qps, H=2048 -> 1438 qps, H=4096 OOM.
+# 1024 rows / min_df 2048 is the measured winner and the default.
+DENSE_ROWS = int(os.environ.get("BENCH_DENSE_ROWS", 1024))
+DENSE_MIN_DF = int(os.environ.get("BENCH_DENSE_MIN_DF", 2048))  # 0 -> D//64
 READERS = int(os.environ.get("BENCH_READERS", 16))
 BATCH_BIG = int(os.environ.get("BENCH_BATCH_BIG", 128))
 CPU_QUERIES = int(os.environ.get("BENCH_CPU_QUERIES", 32))
@@ -333,6 +336,22 @@ def main() -> None:
         log("  natural shapes (R, run_len): " + str(sorted({
             (p.run_offs.shape[1], p.run_len) for p in nat
         })))
+        # postings-touched reduction (the block-max/BMW role, VERDICT r3
+        # #2): a term-at-a-time scorer reads every posting of every query
+        # term; the dense path reads only the TAIL runs as postings (head
+        # terms are bf16 rows streamed once per batch, amortized over B
+        # queries). Exactness holds by construction (dense_merge_topk is
+        # exact f32 on docs/scores).
+        full_post = sum(
+            int(model.lengths[tid])
+            for qs in query_sets
+            for ents in model.bucket_entries(qs, 8)
+            for tid, _w in ents
+        )
+        tail_post = sum(int(np.asarray(p.run_lens).sum()) for p in nat)
+        touch_red = full_post / max(tail_post, 1)
+        log(f"  postings touched: full {full_post} -> tail {tail_post} "
+            f"({touch_red:.1f}x reduction)")
 
         pruned_ct = {"n": 0, "tot": 0}
 
@@ -434,7 +453,27 @@ def main() -> None:
         _, dsp50, dsp99 = _timeit(run_dn_single, SINGLE_ITERS)
         log(f"batch-1 dense: p50 {dsp50*1e3:.1f} ms, p99 {dsp99*1e3:.1f} ms")
 
+        # decomposition: the sync singles number above includes one full
+        # axon-tunnel round trip (~31 ms floor, PERF_CEILING.md measured
+        # fact #1). Overlapped singles across READERS threads hide the
+        # tunnel and expose the per-query device+host cost — the number a
+        # non-tunneled deployment would observe as its latency floor.
+        n_sgl = SINGLE_ITERS * 8
+
+        def run_one_single(i):
+            serve_d(sp[i % len(sp)])
+
+        with ThreadPoolExecutor(READERS) as pool:
+            t0 = time.perf_counter()
+            list(pool.map(run_one_single, range(n_sgl)))
+            sgl_total = time.perf_counter() - t0
+        sgl_eff = sgl_total / n_sgl
+        log(f"batch-1 dense overlapped: {sgl_eff*1e3:.2f} ms/query "
+            f"effective ({READERS} threads) — tunnel-free device+host cost")
+
         dn_stats = {
+            "dense_single_effective_ms": round(sgl_eff * 1e3, 3),
+            "postings_touched_reduction": round(touch_red, 1),
             "dense_qps": round(dn_qps, 2),
             "dense_p50_ms": round(dn_p50 * 1e3, 3),
             "dense_p99_ms": round(dn_p99 * 1e3, 3),

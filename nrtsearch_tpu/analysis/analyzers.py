@@ -361,7 +361,10 @@ def make_ngram_filter(
 
 
 _WD_SPLIT_RE = re.compile(
-    r"[a-z]+|[A-Z][a-z]*|[0-9]+"  # case transitions + digit runs
+    # case transitions + digit runs, Lucene splitOnCaseChange semantics: an
+    # uppercase run followed by lowercase splits BEFORE its last uppercase
+    # ("XMLHttpRequest" -> XML, Http, Request)
+    r"[A-Z]+(?![a-z])|[A-Z][a-z]+|[a-z]+|[0-9]+"
 )
 
 
@@ -372,16 +375,26 @@ def make_word_delimiter_filter(
     boundaries (Lucene WordDelimiterGraphFilter's common defaults)."""
 
     def word_delimiter_filter(tokens: list[Token]) -> list[Token]:
+        # Lucene WordDelimiterGraphFilter position semantics: each split
+        # part occupies its own position (first part at the token's
+        # position, each further part +1) and downstream tokens shift by
+        # the inserted count; with preserveOriginal the original token sits
+        # at the first part's position (posInc 0 between them).
         out = []
+        delta = 0
         for t in tokens:
+            pos = t.position + delta
             parts = _WD_SPLIT_RE.findall(t.text)
-            if len(parts) <= 1 and not preserve_original:
-                out.append(t)
+            if not parts or (len(parts) == 1 and parts[0] == t.text):
+                # unsplit token: emit once (preserveOriginal adds the
+                # original only when the token actually changed)
+                out.append(Token(t.text, pos, t.start_offset, t.end_offset))
                 continue
             if preserve_original:
-                out.append(t)
-            for p in parts:
-                out.append(Token(p, t.position, t.start_offset, t.end_offset))
+                out.append(Token(t.text, pos, t.start_offset, t.end_offset))
+            for i, p in enumerate(parts):
+                out.append(Token(p, pos + i, t.start_offset, t.end_offset))
+            delta += max(len(parts) - 1, 0)
         return out
 
     return word_delimiter_filter
@@ -410,7 +423,12 @@ TOKEN_FILTERS: dict[str, Callable[[list[Token]], list[Token]]] = {
 
 
 def html_strip_char_filter(text: str) -> str:
-    return re.sub(r"<[^>]*>", " ", text)
+    """Drop tags and decode character entities (Lucene HTMLStripCharFilter:
+    '&amp;' becomes '&', which the tokenizer then treats as punctuation —
+    it must NOT surface as a token 'amp')."""
+    import html
+
+    return html.unescape(re.sub(r"<[^>]*>", " ", text))
 
 
 def make_mapping_char_filter(mappings) -> Callable[[str], str]:

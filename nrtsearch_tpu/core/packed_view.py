@@ -282,8 +282,11 @@ class PackedFieldView:
 
     # -- dense-head + merge-tail path (round-4 server default on TPU) -----------
 
-    _DENSE_MAX_ROWS = 256
-    _DENSE_BYTES_BUDGET = 512 << 20   # bf16 rows budget per field view
+    # H-sweep on v5e (benchmarks/dense_h_sweep.py, BENCH_r04): at 1M docs
+    # H=256 -> 807 qps, H=1024 -> 1979 qps, H=2048 -> 1438 qps (HBM-bound),
+    # H=4096 OOM. 1024 rows / min_df ~ max_doc/512 is the measured winner.
+    _DENSE_MAX_ROWS = 1024
+    _DENSE_BYTES_BUDGET = 2048 << 20  # bf16 rows budget per field view
 
     def _dense_state(self):
         """Lazily build the dense-head index over this view's packed
@@ -303,7 +306,7 @@ class PackedFieldView:
         import jax.numpy as jnp
 
         D = -(-self.max_doc // 128) * 128
-        min_df = max(1024, self.max_doc // 64)
+        min_df = max(256, self.max_doc // 512)
         max_rows = min(
             self._DENSE_MAX_ROWS, self._DENSE_BYTES_BUDGET // max(2 * D, 1)
         )

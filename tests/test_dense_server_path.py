@@ -27,8 +27,8 @@ BF16_REL = 6e-3
 @pytest.fixture(scope="module")
 def searcher():
     """Multi-segment index with one genuinely-dense term ('common', present
-    in most docs — becomes a head row at min_df = max(1024, D/64) via the
-    forced low max_doc) plus sparse tail terms."""
+    in most docs — becomes a head row at min_df = max(256, D/512)) plus sparse tail
+    terms (df < 256)."""
     import random
 
     rng = random.Random(13)
@@ -57,8 +57,8 @@ def view(searcher):
 
 
 def _dense_state_forced(view):
-    """Build the dense state; with max_doc ~2100, min_df = max(1024,
-    max_doc // 64) = 1024 and 'common' (df ~1890) becomes a head row."""
+    """Build the dense state; with max_doc ~2100, min_df = max(256,
+    max_doc // 512) = 256 and 'common' (df ~1890) becomes a head row."""
     st = view._dense_state()
     assert st is not None, "expected a dense head row for 'common'"
     assert "common" in st["head_pos"]

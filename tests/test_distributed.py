@@ -55,17 +55,35 @@ def test_distributed_matches_reference(corpus, eight_device_mesh):
 
     ref_scores, ref_hits = _reference_topk(corpus, queries, 10)
     assert hits.tolist() == ref_hits
-    for qi in range(len(queries)):
+    # per-doc reference BM25 for id verification below
+    n = corpus.num_docs
+    avgdl = corpus.doc_lens.sum() / n
+    for qi, q in enumerate(queries):
         valid = scores[qi] > -np.inf
         np.testing.assert_allclose(
             scores[qi][valid], np.asarray(ref_scores[qi])[valid], rtol=2e-5
         )
-        # global ids decode back to real docs
-        S = eight_device_mesh.shape["shard"]
-        shard = ids[qi][valid] // dist.shard_capacity
-        local = ids[qi][valid] % dist.shard_capacity
-        orig = local * S + shard  # inverse of round-robin partition
-        assert (orig < corpus.num_docs).all()
+        # ids are TRUE global doc ords (the SPMD body emits local*S + shard,
+        # the round-robin inverse — distributed.py:_local_search)
+        got = ids[qi][valid]
+        assert (got >= 0).all() and (got < n).all()
+        # each returned id must score exactly its reported score under the
+        # reference formula (the ids identify the right documents, not just
+        # in-range ones; rank swaps on f32 near-ties are allowed)
+        per_doc = np.zeros(n, np.float64)
+        for t in q:
+            off, ln = corpus.term_offsets[int(t)], corpus.term_lengths[int(t)]
+            if ln == 0:
+                continue
+            docs = corpus.post_docs[off:off + ln]
+            tf = corpus.post_freqs[off:off + ln]
+            idf = np.log(1 + (n - ln + 0.5) / (ln + 0.5))
+            dl = corpus.doc_lens[docs]
+            per_doc[docs] += idf * tf / (
+                tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        np.testing.assert_allclose(
+            scores[qi][valid], per_doc[got], rtol=2e-5
+        )
 
 
 def test_dryrun_entrypoints():
