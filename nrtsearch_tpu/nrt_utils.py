@@ -41,11 +41,17 @@ def _snap_res(index_id: str, snap_id: str) -> str:
 def cmd_snapshot(remote, args) -> None:
     """Pin the current point under snapshots/<id> (reference:
     backup/SnapshotCommand — a metadata-only S3-side snapshot; data files
-    are immutable and shared)."""
+    are immutable and shared). The blob carries a ``snapshotTsSec`` creation
+    timestamp so cleanupSnapshots' age guard works for custom snapshot ids
+    too (NrtPointState.from_json ignores the extra key)."""
     point = _load_point(remote, args.serviceName, args.indexId)
-    ts = args.snapshotId or str(int(time.time()))
+    now = int(time.time())
+    ts = args.snapshotId or str(now)
+    blob = json.loads(point.to_json())
+    blob["snapshotTsSec"] = now
     remote.upload_versioned(
-        args.serviceName, _snap_res(args.indexId, ts), point.to_json().encode()
+        args.serviceName, _snap_res(args.indexId, ts),
+        json.dumps(blob).encode(),
     )
     print(json.dumps({"snapshotId": ts, "version": point.version,
                       "files": len(point.files)}))
@@ -110,20 +116,32 @@ def cmd_list_snapshots(remote, args) -> None:
 
 def cmd_cleanup_snapshots(remote, args) -> None:
     """Delete snapshots older than --minAgeSec, keeping the newest --keep
-    (reference: backup/CleanupSnapshotsCommand)."""
+    (reference: backup/CleanupSnapshotsCommand). Age comes from the
+    ``snapshotTsSec`` recorded in the snapshot blob; numeric-named snapshots
+    written before that field existed fall back to parsing the id. Snapshots
+    whose age is UNKNOWN are protected whenever --minAgeSec is set."""
     snaps = []
     for res in remote.list_resources(
         args.serviceName, f"{args.indexId}/snapshots/"
     ):
         sid = res.rsplit("/", 1)[-1]
-        snaps.append((int(sid) if sid.isdigit() else 0, sid, res))
+        ts = 0
+        data = remote.download_current(args.serviceName, res)
+        if data:
+            try:
+                ts = int(json.loads(data).get("snapshotTsSec", 0))
+            except (ValueError, AttributeError):
+                ts = 0
+        if not ts and sid.isdigit():
+            ts = int(sid)
+        snaps.append((ts, sid, res))
     snaps.sort(reverse=True)
     now = int(time.time())
     removed = []
     for rank, (ts, sid, res) in enumerate(snaps):
         if rank < max(args.keep, 0):
             continue
-        if ts and now - ts < args.minAgeSec:
+        if args.minAgeSec and (not ts or now - ts < args.minAgeSec):
             continue
         if not args.dryRun:
             # tombstone: point the resource at an empty marker (object
@@ -149,17 +167,31 @@ def _referenced_files(remote, service: str, index_id: str) -> set:
 
 def cmd_cleanup(remote, args) -> None:
     """Delete data files not referenced by the current point or any live
-    snapshot (reference: cleanup/CleanupDataCommand)."""
+    snapshot (reference: cleanup/CleanupDataCommand, which requires
+    --deleteAfter/--gracePeriod for exactly this race): a live primary
+    uploads a new point's data files BEFORE publishing its point state, so
+    an unprotected sweep can delete files of an in-flight publish. Files
+    whose store upload time is within --gracePeriodSec (default 2h) are
+    kept; files with an UNKNOWN upload time are kept too unless
+    --gracePeriodSec=0 explicitly disables the guard."""
     keep = _referenced_files(remote, args.serviceName, args.indexId)
-    removed = []
+    now = time.time()
+    removed, in_grace = [], []
     for name in remote.list_index_files(args.serviceName, args.indexId):
-        if name not in keep:
-            if not args.dryRun:
-                remote.delete_index_files(
-                    args.serviceName, args.indexId, [name]
-                )
-            removed.append(name)
+        if name in keep:
+            continue
+        if args.gracePeriodSec > 0:
+            mtime = remote.index_file_mtime(
+                args.serviceName, args.indexId, name
+            )
+            if mtime is None or now - mtime < args.gracePeriodSec:
+                in_grace.append(name)
+                continue
+        if not args.dryRun:
+            remote.delete_index_files(args.serviceName, args.indexId, [name])
+        removed.append(name)
     print(json.dumps({"removed": removed, "kept": len(keep),
+                      "inGracePeriod": in_grace,
                       "dryRun": bool(args.dryRun)}))
 
 
@@ -304,9 +336,13 @@ def main(argv=None) -> int:
         ("--keep", {"type": int, "default": 1}),
         ("--dryRun", {"action": "store_true"}))
     add("currentState", cmd_current_state)
-    add("cleanupData", cmd_cleanup, ("--dryRun", {"action": "store_true"}))
+    add("cleanupData", cmd_cleanup,
+        ("--dryRun", {"action": "store_true"}),
+        ("--gracePeriodSec", {"type": int, "default": 7200}))
     # back-compat alias for the round-3 name
-    add("cleanup", cmd_cleanup, ("--dryRun", {"action": "store_true"}))
+    add("cleanup", cmd_cleanup,
+        ("--dryRun", {"action": "store_true"}),
+        ("--gracePeriodSec", {"type": int, "default": 7200}))
     add("getRemoteState", cmd_get_remote_state,
         ("--resourceName", {"required": True}), index=False)
     add("putRemoteState", cmd_put_remote_state,

@@ -72,8 +72,12 @@ class BucketIndex:
     n_buckets: int
     bounds: np.ndarray             # int32 [vocab, m+1] term-relative offsets
     max_impact: np.ndarray         # float32 [vocab] per-term impact bound
-    bucket_max: np.ndarray | None  # float32 [vocab, m] per-(term,bucket) bound
-                                   # (block-max metadata for bucket pruning)
+
+    # NOTE: per-(term,bucket) block maxima were built here through round 4
+    # but consumed by no query-time code; rank-cut pruning measured strictly
+    # slower at Zipf top-100 across three rounds (PERF_CEILING.md), so the
+    # metadata was deleted rather than kept as dead refresh-time cost
+    # (VERDICT r4 ask #8).
 
     @classmethod
     def build(
@@ -84,7 +88,6 @@ class BucketIndex:
         term_lengths: np.ndarray,  # int32 [V]
         capacity: int,             # padded doc-space size (power of two)
         bucket_docs: int = 16384,
-        with_bucket_max: bool = True,
     ) -> "BucketIndex":
         assert bucket_docs & (bucket_docs - 1) == 0 and bucket_docs <= 32768
         bits = int(bucket_docs).bit_length() - 1
@@ -102,13 +105,9 @@ class BucketIndex:
         bounds = np.zeros((V, m + 1), np.int32)
         np.cumsum(counts, axis=1, out=bounds[:, 1:])
         max_impact = np.zeros(V, np.float32)
-        bucket_max = None
         imps = post_impacts[: len(term_of)]
         np.maximum.at(max_impact, term_of, imps)
-        if with_bucket_max:
-            bucket_max = np.zeros((V, m), np.float32)
-            np.maximum.at(bucket_max, (term_of, g), imps)
-        return cls(bits, m, bounds, max_impact, bucket_max)
+        return cls(bits, m, bounds, max_impact)
 
 
 # ---------------------------------------------------------------------------

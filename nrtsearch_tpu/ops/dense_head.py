@@ -33,9 +33,11 @@ This is the TPU answer to the role impacts/BlockMaxWAND play in Lucene's
 BulkScorer hot loop (reference: server/search/MyIndexSearcher.java:79,
 SURVEY §3.3): Lucene avoids *reading* non-competitive postings; on TPU the
 same postings cost less than the control flow to skip them, so the head is
-made dense and streamed through the MXU instead. Bucket-level block-max
-bounds (BucketIndex.bucket_max) still provide sub-linear reads for the
-chunked variant (see dense_chunk_topk / chunk pruning).
+made dense and streamed through the MXU instead. Rank-cut pruning
+(MaxScore, tiering, per-bucket block maxima) measured strictly slower at
+Zipf top-100 across three rounds (PERF_CEILING.md) and is not used on this
+path; the theta candidate window in dense_merge_topk is the one surviving
+bound (exact, engages on strong-head/weak-tail workloads).
 
 Score semantics: head impacts quantize to bfloat16 (8-bit mantissa —
 the same resolution class as Lucene's SmallFloat norm quantization,
@@ -222,6 +224,40 @@ def _searchsorted_rows(a, v):
     return jax.vmap(lambda ar, vr: jnp.searchsorted(ar, vr))(a, v)
 
 
+def _topk_docid(s, d, k: int):
+    """Exact top-k under Lucene's (score desc, docid asc) tie contract.
+
+    lax.top_k breaks score ties by position, which for concatenated
+    candidate sets resolves ties by SOURCE order, not docid (ADVICE r4: an
+    exact tie between a tail doc and a head doc always went to the tail doc;
+    bf16 head quantization makes exact ties likely). A three-operand
+    lexicographic sort on (-score, docid) fixes the contract; padding
+    entries (-inf score) sort last via -(-inf) = +inf regardless of the
+    docid key."""
+    dk = jnp.where(s == NEG_INF, jnp.int32(2**31 - 1), d)
+    _, d_sorted, s_sorted = jax.lax.sort(
+        (-s, dk, s), dimension=1, num_keys=2, is_stable=False
+    )
+    return s_sorted[:, :k], d_sorted[:, :k]
+
+
+def _combine_topk_docid(s_a, d_a, s_b, d_b, k: int):
+    """Top-k of two candidate sets under (score desc, docid asc).
+
+    Source A's entries must ascend by docid (so lax.top_k's position
+    tie-break IS the docid tie-break) — it is pre-reduced to k before the
+    small lexicographic combine with source B (already internally
+    tie-broken, e.g. a top-k output)."""
+    if s_a.shape[1] > k:
+        s_a, ia = jax.lax.top_k(s_a, k)
+        d_a = jnp.take_along_axis(d_a, ia, axis=1)
+    return _topk_docid(
+        jnp.concatenate([s_a, s_b], axis=1),
+        jnp.concatenate([d_a, d_b], axis=1),
+        k,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -310,10 +346,9 @@ def dense_tail_topk(
                 & (p < m * tile)
             )
             head_s = jnp.where(dup, NEG_INF, head_s)
-        all_s = jnp.concatenate([sup_s, head_s], axis=1)
-        all_d = jnp.concatenate([sup_d, head_d], axis=1)
-        fs, fi = jax.lax.top_k(all_s, k)
-        fd = jnp.take_along_axis(all_d, fi, axis=1)
+        # sup_* ascend by docid; head entries are docid-tie-broken by
+        # _hierarchical_topk — combine honors (score desc, docid asc)
+        fs, fd = _combine_topk_docid(sup_s, sup_d, head_s, head_d, k)
     else:
         fs, fd = head_s, head_d
         tail_hits = jnp.zeros((B,), jnp.int32)
@@ -583,10 +618,9 @@ def dense_merge_topk(
             else jnp.zeros((B, N), jnp.float32)
         )
         fin = jnp.where(live, tail_sum + s_at, NEG_INF)
-        all_s = jnp.concatenate([fin, head_s2], axis=1)
-        all_d = jnp.concatenate([docs, head_d], axis=1)
-        fs, fi = jax.lax.top_k(all_s, k)
-        fd = jnp.take_along_axis(all_d, fi, axis=1)
+        # fin ascends by docid (merged stream order); head entries are
+        # docid-tie-broken by _hierarchical_topk
+        fs, fd = _combine_topk_docid(fin, docs, head_s2, head_d, k)
         hits = head_hits + jnp.sum(
             (live & (s_at == 0.0)).astype(jnp.int32), axis=-1
         )
@@ -616,10 +650,14 @@ def dense_merge_topk(
             else jnp.zeros((B, M), jnp.float32)
         )
         fin = jnp.where(sel_sum > NEG_INF, sel_sum + s_at, NEG_INF)
-        all_s = jnp.concatenate([fin, head_s2], axis=1)
-        all_d = jnp.concatenate([sel_doc, head_d], axis=1)
-        fs_p, fi_p = jax.lax.top_k(all_s, k)
-        fd_p = jnp.take_along_axis(all_d, fi_p, axis=1)
+        # sel_doc is in tail_sum order, NOT docid order — the whole M+k
+        # candidate set goes through the lexicographic (score desc, docid
+        # asc) sort (small: M+k entries)
+        fs_p, fd_p = _topk_docid(
+            jnp.concatenate([fin, head_s2], axis=1),
+            jnp.concatenate([sel_doc, head_d], axis=1),
+            k,
+        )
         theta = fs_p[:, k - 1]                       # [B], may be -inf
         residual = sel_sum[:, M - 1]                 # (M)-th tail_sum
         all_selected = residual == NEG_INF           # every tail doc in window

@@ -68,6 +68,15 @@ class RemoteBackend(abc.ABC):
         """All stored versions of one resource, ascending."""
         ...
 
+    def index_file_mtime(
+        self, service: str, index_id: str, file_name: str
+    ) -> Optional[float]:
+        """Store-side upload time (epoch seconds) of a data file, or None
+        when unknown/missing. Used by nrt_utils cleanupData's grace period
+        (reference: cleanup/CleanupDataCommand --gracePeriod, which protects
+        files a live primary uploaded before its point-state publish)."""
+        return None
+
 
 class LocalFileBackend(RemoteBackend):
     """Filesystem-backed object store double (reference tests: S3Mock with a
@@ -154,6 +163,15 @@ class LocalFileBackend(RemoteBackend):
         if not d.exists():
             return []
         return sorted(p.name for p in d.iterdir() if p.is_file())
+
+    def index_file_mtime(
+        self, service: str, index_id: str, file_name: str
+    ) -> Optional[float]:
+        p = self._data_dir(service, index_id) / file_name
+        try:
+            return p.stat().st_mtime
+        except OSError:
+            return None
 
     def list_resource_versions(self, service: str, resource: str) -> list[int]:
         d = self._res_dir(service, resource) / "_version"

@@ -93,6 +93,11 @@ class S3Backend(RemoteBackend):
     def index_file_exists(self, service: str, index_id: str, file_name: str) -> bool:
         return self.s3.head_object(self._data_key(service, index_id, file_name))
 
+    def index_file_mtime(self, service: str, index_id: str, file_name: str):
+        return self.s3.head_object_mtime(
+            self._data_key(service, index_id, file_name)
+        )
+
     def delete_index_files(
         self, service: str, index_id: str, file_names: list[str]
     ) -> None:

@@ -239,6 +239,24 @@ class S3Client:
         status, _ = self._request("HEAD", key)
         return status < 300
 
+    def head_object_mtime(self, key: str):
+        """Last-Modified of an object as epoch seconds, or None."""
+        conn, resp = self._request("HEAD", key, stream=True)
+        try:
+            resp.read()
+            if resp.status >= 300:
+                return None
+            lm = resp.getheader("Last-Modified")
+            if not lm:
+                return None
+            from email.utils import parsedate_to_datetime
+
+            return parsedate_to_datetime(lm).timestamp()
+        except Exception:
+            return None
+        finally:
+            conn.close()
+
     def delete_object(self, key: str) -> None:
         self._request("DELETE", key)
 

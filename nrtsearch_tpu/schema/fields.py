@@ -91,6 +91,7 @@ class FieldDef:
     date_time_format: Optional[str] = None
     # VIRTUAL / RUNTIME
     script_source: Optional[str] = None
+    script_lang: Optional[str] = None
     # ATOM: values longer than this are not indexed (doc values still stored)
     ignore_above: int = 0
     # ATOM normalizer (analysis.proto Normalizer; applied to indexed terms,
@@ -312,6 +313,9 @@ def create_field_def(name: str, spec: dict) -> FieldDef:
         script_source=(spec.get("script") or {}).get("source")
         if isinstance(spec.get("script"), dict)
         else spec.get("script"),
+        script_lang=(spec.get("script") or {}).get("lang")
+        if isinstance(spec.get("script"), dict)
+        else None,
         index_prefixes=(
             (
                 int(spec["indexPrefixes"].get("minChars", 2)),

@@ -15,6 +15,39 @@ from nrtsearch_tpu.core.searcher import Hit, Searcher
 from nrtsearch_tpu.schema.fields import DocValueKind, FieldDef, FieldType
 
 
+def _references_score(fd: FieldDef) -> bool:
+    """Whether a virtual/runtime field's script reads the hit's ``_score``.
+
+    For the built-in expression language the source is tokenized and
+    ``_score`` must appear as an exact identifier (a doc-value field named
+    e.g. ``quality_score`` must NOT force the per-hit path). Plugin script
+    langs can't be tokenized here, so a conservative substring test stands
+    in; their engines see the untouched source either way."""
+    src = fd.script_source or ""
+    if "_score" not in src:
+        return False
+    if fd.script_lang in (None, "", "js", "expression"):
+        try:
+            from nrtsearch_tpu.script.expr import _tokenize
+
+            return "_score" in _tokenize(src)
+        except ValueError:
+            return True
+    return True
+
+
+def _compiled_script(fd: FieldDef):
+    """Compile a virtual/runtime field's script once per FieldDef, honoring
+    its script lang (plugin engines included)."""
+    fn = getattr(fd, "_compiled_script_fn", None)
+    if fn is None:
+        from nrtsearch_tpu.script.expr import compile_expression
+
+        fn = compile_expression(fd.script_source or "0", fd.script_lang or "")
+        object.__setattr__(fd, "_compiled_script_fn", fn)
+    return fn
+
+
 def fetch_field_values(
     searcher: Searcher,
     hit: Hit,
@@ -30,13 +63,11 @@ def fetch_field_values(
     fd = field_defs.get(field_name)
     if fd is not None and fd.type in (FieldType.VIRTUAL, FieldType.RUNTIME):
         src = fd.script_source or "0"
-        if "_score" in src:
+        if _references_score(fd):
             # score-dependent virtual field: evaluate at this hit with its
             # relevance score bound (reference: VirtualFieldDef binds
             # DoubleValues score — NrtsearchServerTest virtual_field_w_score)
-            from nrtsearch_tpu.script.expr import compile_expression
-
-            fn = compile_expression(src)
+            fn = _compiled_script(fd)
             v = np.asarray(fn(
                 _HitScriptDocValues(seg, local),
                 np.asarray([np.float32(hit.score)]),
@@ -118,10 +149,9 @@ def virtual_field_column(searcher: Searcher, segment_idx: int, fd: FieldDef) -> 
     key = (segment_idx, fd.name)
     if key not in cache:
         from nrtsearch_tpu.query.eval import _ScriptDocValues
-        from nrtsearch_tpu.script.expr import compile_expression
 
         seg = searcher.segments[segment_idx]
-        fn = compile_expression(fd.script_source or "0")
+        fn = _compiled_script(fd)
         vals = np.asarray(fn(_ScriptDocValues(seg), np.zeros(seg.capacity, np.float32)))
         if vals.ndim == 0:
             vals = np.full(seg.capacity, float(vals), np.float32)

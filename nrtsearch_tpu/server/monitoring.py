@@ -64,6 +64,16 @@ class Metrics:
             ["index"],
             registry=self.registry,
         )
+        # which fast-path contract this deployment serves (ADVICE r4: the
+        # TPU dense default quantizes head impacts through bf16 and returns
+        # pruned totalHits as lower bounds; operators must be able to tell).
+        # Gauge set to 1 on the active path label at scrape.
+        self.fast_path = Gauge(
+            "nrt_search_fast_path",
+            "active batched-search fast path (1 = serving default)",
+            ["path"],
+            registry=self.registry,
+        )
         self.copy_bytes = Counter(
             "nrt_replication_copied_bytes_total",
             "bytes copied by replication",
@@ -140,6 +150,15 @@ class Metrics:
         self.search_stage_latency.labels(index, stage).observe(seconds)
 
     def scrape(self) -> str:
+        import os as _os
+
+        from nrtsearch_tpu.core.maxscore import _on_tpu
+
+        active = _os.environ.get("NRT_FAST_PATH", "") or (
+            "dense" if _on_tpu() else "merge"
+        )
+        for p in ("dense", "merge", "bucket"):
+            self.fast_path.labels(p).set(1.0 if p == active else 0.0)
         if self.global_state is not None:
             for name, rt in list(self.global_state.runtimes.items()):
                 st = rt.stats()
