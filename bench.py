@@ -45,6 +45,12 @@ DENSE = int(os.environ.get("BENCH_DENSE", 1))
 # 1024 rows / min_df 2048 is the measured winner and the default.
 DENSE_ROWS = int(os.environ.get("BENCH_DENSE_ROWS", 1024))
 DENSE_MIN_DF = int(os.environ.get("BENCH_DENSE_MIN_DF", 2048))  # 0 -> D//64
+# Round-5 fused path (ops/dense_fused.py): compact-row head matmul +
+# slice-gather combine — exact docs/scores/hits, no pruning window.
+FUSED = int(os.environ.get("BENCH_FUSED", 1))
+# exact-parity evidence (VERDICT r4 #6): top-k overlap + score delta of the
+# served dense path vs the exact-f32 full-width merge on identical queries
+OVERLAP = int(os.environ.get("BENCH_OVERLAP", 1))
 READERS = int(os.environ.get("BENCH_READERS", 16))
 BATCH_BIG = int(os.environ.get("BENCH_BATCH_BIG", 128))
 CPU_QUERIES = int(os.environ.get("BENCH_CPU_QUERIES", 32))
@@ -494,6 +500,156 @@ def main() -> None:
             qps = big_stats["dense_big_qps"]
         if dsp99 < sp99:
             sp50, sp99 = dsp50, dsp99
+
+        # ---- round-5 FUSED path: compact rows + slice-gather combine ----
+        if FUSED:
+            log("warming fused path (compact rows + slice-gather combine)")
+
+            def serve_f(p):
+                return decode_packed2(
+                    np.asarray(model.serve_dense_fused(p, TOP_K)), TOP_K
+                )
+
+            for p in plans:
+                model.serve_dense_fused(p, TOP_K)
+            np.asarray(model.serve_dense_fused(plans[0], TOP_K))
+
+            st_f = {"i": 0}
+
+            def run_f_sync():
+                p = plans[st_f["i"] % len(plans)]
+                st_f["i"] += 1
+                serve_f(p)
+
+            log("timing fused path (synchronous per-batch)")
+            _, fu_p50, fu_p99 = _timeit(run_f_sync, ITERS)
+            log(f"batch-{BATCH} fused: p50 {fu_p50*1e3:.1f} ms/batch")
+
+            def serve_one_f(i):
+                qs = query_sets[i % len(query_sets)]
+                serve_f(model.plan_dense_merge(qs))  # honest host planning
+
+            n_iters = ITERS * 8
+            with ThreadPoolExecutor(READERS) as pool:
+                t0 = time.perf_counter()
+                list(pool.map(serve_one_f, range(n_iters)))
+                fu_total = time.perf_counter() - t0
+            fu_qps = BATCH * n_iters / fu_total
+            log(
+                f"batch-{BATCH} fused: {fu_qps:.1f} qps threaded "
+                f"({fu_total/n_iters*1e3:.2f} ms/batch effective, "
+                f"{READERS} dispatch threads)"
+            )
+
+            fu_big = {}
+            if BATCH_BIG > BATCH:
+                fbig_sets = [
+                    corpus.sample_queries(BATCH_BIG, TERMS_PER_QUERY)
+                    for _ in range(4)
+                ]
+
+                def serve_big_f(i):
+                    serve_f(
+                        model.plan_dense_merge(fbig_sets[i % len(fbig_sets)])
+                    )
+
+                for i in range(len(fbig_sets)):
+                    serve_big_f(i)
+                n_big = ITERS * 4
+                with ThreadPoolExecutor(READERS) as pool:
+                    t0 = time.perf_counter()
+                    list(pool.map(serve_big_f, range(n_big)))
+                    fbig_total = time.perf_counter() - t0
+                fu_big_qps = BATCH_BIG * n_big / fbig_total
+                log(
+                    f"batch-{BATCH_BIG} fused: {fu_big_qps:.1f} qps threaded "
+                    f"({fbig_total/n_big*1e3:.2f} ms/batch effective)"
+                )
+                fu_big = {
+                    "fused_big_batch": BATCH_BIG,
+                    "fused_big_qps": round(fu_big_qps, 2),
+                }
+
+            for p in sp:
+                model.serve_dense_fused(p, TOP_K)
+            np.asarray(model.serve_dense_fused(sp[0], TOP_K))
+            st_f["i"] = 0
+
+            def run_f_single():
+                p = sp[st_f["i"] % len(sp)]
+                st_f["i"] += 1
+                serve_f(p)
+
+            _, fsp50, fsp99 = _timeit(run_f_single, SINGLE_ITERS)
+            log(f"batch-1 fused: p50 {fsp50*1e3:.1f} ms, "
+                f"p99 {fsp99*1e3:.1f} ms")
+
+            n_sgl = SINGLE_ITERS * 8
+
+            def run_one_fsingle(i):
+                serve_f(sp[i % len(sp)])
+
+            with ThreadPoolExecutor(READERS) as pool:
+                t0 = time.perf_counter()
+                list(pool.map(run_one_fsingle, range(n_sgl)))
+                fsgl_total = time.perf_counter() - t0
+            fsgl_eff = fsgl_total / n_sgl
+            log(f"batch-1 fused overlapped: {fsgl_eff*1e3:.2f} ms/query "
+                f"effective ({READERS} threads)")
+
+            dn_stats.update({
+                "fused_qps": round(fu_qps, 2),
+                "fused_p50_ms": round(fu_p50 * 1e3, 3),
+                "fused_p99_ms": round(fu_p99 * 1e3, 3),
+                "fused_single_p50_ms": round(fsp50 * 1e3, 3),
+                "fused_single_p99_ms": round(fsp99 * 1e3, 3),
+                "fused_single_effective_ms": round(fsgl_eff * 1e3, 3),
+                **fu_big,
+            })
+            if fu_qps > qps:
+                qps, p50, p99 = fu_qps, fu_p50, fu_p99
+            if fu_big.get("fused_big_qps", 0) > qps:
+                qps = fu_big["fused_big_qps"]
+            if fsp99 < sp99:
+                sp50, sp99 = fsp50, fsp99
+
+        # ---- exact-parity evidence: overlap@k + score delta vs exact ----
+        if OVERLAP:
+            log("measuring top-k overlap vs exact-f32 merge path")
+            ov, sdelta = [], []
+            for qs in query_sets[:2]:
+                qb = model.compile_queries(qs)
+                s0, d0, h0 = model.search(qb, TOP_K)
+                s0, d0 = np.asarray(s0), np.asarray(d0)
+                p = model.plan_dense_merge(qs)
+                serve = (model.serve_dense_fused if FUSED
+                         else model.serve_dense_merge)
+                s1, d1, h1, _ex = decode_packed2(
+                    np.asarray(serve(p, TOP_K)), TOP_K
+                )
+                for q in range(len(qs)):
+                    n = int(np.sum(s0[q] > -np.inf))
+                    if n == 0:
+                        continue
+                    a = set(d0[q, :n].tolist())
+                    b = set(d1[q, :n].tolist())
+                    ov.append(len(a & b) / n)
+                    m = min(n, int(np.sum(s1[q] > -np.inf)))
+                    if m:
+                        rel = np.abs(s1[q, :m] - s0[q, :m]) / np.maximum(
+                            np.abs(s0[q, :m]), 1e-9
+                        )
+                        sdelta.append(float(rel.max()))
+            dn_stats.update({
+                "overlap_at_k_mean": round(float(np.mean(ov)), 5),
+                "overlap_at_k_min": round(float(np.min(ov)), 5),
+                "score_rel_delta_max": round(float(np.max(sdelta)), 6),
+            })
+            log(
+                f"overlap@{TOP_K}: mean {dn_stats['overlap_at_k_mean']} "
+                f"min {dn_stats['overlap_at_k_min']}; max rel score delta "
+                f"{dn_stats['score_rel_delta_max']}"
+            )
 
     bk_stats = {}
     if BUCKET and not on_tpu and NUM_DOCS > 200_000:

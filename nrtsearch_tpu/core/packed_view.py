@@ -363,16 +363,19 @@ class PackedFieldView:
         return st
 
     def dense_search_batch(self, specs: Sequence[QuerySpec], k: int):
-        """Plain text queries on the dense-head + merge-tail path
-        (ops/dense_head.dense_merge_topk): head terms as one bf16 MXU
-        matmul, tail runs through the narrow bitonic merge in exact f32,
-        theta-pruned combine. Returns None when any spec needs the merge
-        path (filters, sort, additive, or multi-term conjunctions)."""
+        """Text queries on the FUSED dense path (round 5,
+        ops/dense_fused.dense_fused_topk): compact-row head matmul, tail
+        runs through the narrow bitonic merge in exact f32, slice-gather
+        combine — exact docs, scores, and hit counts. Filters, additive
+        score columns, doc-value sorts, and all-head-term conjunctions ride
+        the same dispatch (specs are grouped by shared [D]-array identity,
+        one fused dispatch per group — the per-query arrays would not fit
+        HBM as [B, D]). Returns None only when a spec needs the merge path
+        (a conjunction with a tail term)."""
         import jax.numpy as jnp
 
-        from nrtsearch_tpu.ops.dense_head import (
-            decode_packed2, dense_merge_topk,
-        )
+        from nrtsearch_tpu.ops.dense_fused import dense_fused_topk
+        from nrtsearch_tpu.ops.dense_head import decode_packed2
         from nrtsearch_tpu.ops.merge_scoring import plan_run_lists
 
         if self.total_len == 0:
@@ -381,96 +384,130 @@ class PackedFieldView:
         if st is None:
             return None
         head_pos = st["head_pos"]
+        D = st["D"]
         B = len(specs)
-        used: dict[int, int] = {}
-        per_q: list[list[tuple[int, float]]] = []
-        rows_tail: list[list[tuple[int, int, float]]] = []
-        dead = [False] * B
-        any_tail = False
         run_offs = self.index.run_offsets
         run_lens = self.index.run_lengths
+
+        # partition specs into fused dispatch groups: one shared
+        # (filter, additive, sort) array set + one static AND/OR mode each
+        groups: dict = {}
+        parsed = []
         for qi, spec in enumerate(specs):
-            if (spec.filter is not None or spec.additive is not None
-                    or spec.sort is not None):
-                return None
             entries = self.term_entries(spec.terms, spec.boost)
-            distinct = sum(1 for _, w, runs in entries if w and runs)
-            if spec.require_all:
-                if any(not runs for _, _, runs in entries):
-                    dead[qi] = True
-                    rows_tail.append([])
-                    per_q.append([])
-                    continue
-                if distinct > 1:
-                    return None   # true conjunction: merge path
-            row: list[tuple[int, int, float]] = []
-            slots: list[tuple[int, float]] = []
-            merged: dict[str, float] = {}
-            ent_by_term: dict[str, tuple] = {}
-            for term, w, runs in entries:
-                if not w or not runs:
-                    continue
-                merged[term] = merged.get(term, 0.0) + w
-                ent_by_term[term] = runs
-            for term, w in merged.items():
-                r = head_pos.get(term)
-                if r is not None:
-                    if r not in used:
-                        used[r] = len(used)
-                    slots.append((used[r], w))
-                else:
-                    for run in ent_by_term[term]:
-                        ln = int(run_lens[run])
-                        if ln:
-                            row.append((int(run_offs[run]), ln, w))
-                            any_tail = True
-            per_q.append(slots)
-            rows_tail.append(row)
-        has_head = bool(used)
-        U = _pow2(max(len(used), 1), 8)
-        W = np.zeros((B, U), np.float32)
-        row_idx = np.zeros(U, np.int32)
-        for r, slot in used.items():
-            row_idx[slot] = r
-        for qi, slots in enumerate(per_q):
-            for slot, w in slots:
-                W[qi, slot] += w
-        if all(dead):
-            empty = FastResult(
-                np.full(k, -np.inf, np.float32), np.zeros(k, np.int64),
-                0, False,
+            live = [(t, w, runs) for t, w, runs in entries if w and runs]
+            dead = spec.require_all and any(
+                not runs for _, _, runs in entries
             )
-            return [empty] * B
-        if any_tail:
-            t_offs, t_lens, t_w, run_len = plan_run_lists(
-                rows_tail, min_run=512
+            distinct = len({t for t, _, _ in live})
+            is_and = bool(spec.require_all and distinct > 1 and not dead)
+            if is_and and any(t not in head_pos for t, _, _ in live):
+                return None   # conjunction with a tail term: merge path
+            f, a, srt = spec.filter, spec.additive, spec.sort
+            key = (
+                id(f) if f is not None else None,
+                id(a) if a is not None else None,
+                (id(srt[0]), bool(srt[1])) if srt is not None else None,
+                is_and,
             )
-        else:
-            t_offs = np.zeros((B, 1), np.int32)
-            t_lens = np.zeros((B, 1), np.int32)
-            t_w = np.zeros((B, 1), np.float32)
-            run_len = 0
-        packed = dense_merge_topk(
-            st["rows"], st["row_max"],
-            self.index.doc_ids, self.index.impacts,
-            jnp.asarray(W), jnp.asarray(row_idx),
-            jnp.asarray(t_offs), jnp.asarray(t_lens), jnp.asarray(t_w),
-            k=k, has_head=has_head, has_tail=any_tail, run_len=run_len,
-            use_pallas=_on_tpu(),
+            parsed.append((qi, spec, live, dead, distinct))
+            groups.setdefault(key, []).append(qi)
+
+        def _pad_col(x, fill=0):
+            x = jnp.asarray(x)
+            n = x.shape[0]
+            if n == D:
+                return x
+            return jnp.pad(x, (0, D - n), constant_values=fill)
+
+        empty = FastResult(
+            np.full(k, -np.inf, np.float32), np.zeros(k, np.int64), 0, False
         )
-        scores, docs, hits, exact = decode_packed2(np.asarray(packed), k)
-        out = []
-        for qi in range(B):
-            if dead[qi]:
-                out.append(FastResult(
-                    np.full(k, -np.inf, np.float32), np.zeros(k, np.int64),
-                    0, False,
-                ))
+        out: list = [empty] * B
+        for key, idxs in groups.items():
+            _fk, _ak, _sk, is_and = key
+            items = [parsed[i] for i in idxs]
+            live_items = [it for it in items if not it[3]]
+            if not live_items:
                 continue
-            out.append(FastResult(
-                scores[qi], docs[qi].astype(np.int64), int(hits[qi]),
-                not bool(exact[qi]),
-            ))
+            Bg = len(live_items)
+            used: dict[int, int] = {}
+            per_q: list[list[tuple[int, float]]] = []
+            rows_tail: list[list[tuple[int, int, float]]] = []
+            n_req = np.ones(Bg, np.int32)
+            any_tail = False
+            for gi, (qi, spec, live, _dead, distinct) in enumerate(
+                live_items
+            ):
+                merged: dict[str, float] = {}
+                ent_by_term: dict[str, tuple] = {}
+                for term, w, runs in live:
+                    merged[term] = merged.get(term, 0.0) + w
+                    ent_by_term[term] = runs
+                slots: list[tuple[int, float]] = []
+                row: list[tuple[int, int, float]] = []
+                for term, w in merged.items():
+                    r = head_pos.get(term)
+                    if r is not None:
+                        if r not in used:
+                            used[r] = len(used)
+                        slots.append((used[r], w))
+                    else:
+                        for run in ent_by_term[term]:
+                            ln = int(run_lens[run])
+                            if ln:
+                                row.append((int(run_offs[run]), ln, w))
+                                any_tail = True
+                per_q.append(slots)
+                rows_tail.append(row)
+                if is_and:
+                    n_req[gi] = distinct
+            has_head = bool(used)
+            U = _pow2(max(len(used), 1), 8)
+            W = np.zeros((Bg, U), np.float32)
+            row_idx = np.zeros(U, np.int32)
+            for r, slot in used.items():
+                row_idx[slot] = r
+            for gi, slots in enumerate(per_q):
+                for slot, w in slots:
+                    W[gi, slot] += w
+            if any_tail:
+                t_offs, t_lens, t_w, run_len = plan_run_lists(
+                    rows_tail, min_run=512
+                )
+            else:
+                t_offs = np.zeros((Bg, 1), np.int32)
+                t_lens = np.zeros((Bg, 1), np.int32)
+                t_w = np.zeros((Bg, 1), np.float32)
+                run_len = 0
+            spec0 = live_items[0][1]
+            filt = (
+                _pad_col(spec0.filter) if spec0.filter is not None else None
+            )
+            additive = (
+                _pad_col(spec0.additive)
+                if spec0.additive is not None else None
+            )
+            if spec0.sort is not None:
+                sort_keys = _pad_col(spec0.sort[0]).astype(jnp.float32)
+                sort_ascending = bool(spec0.sort[1])
+            else:
+                sort_keys, sort_ascending = None, True
+            packed = dense_fused_topk(
+                st["rows"], self.index.doc_ids, self.index.impacts,
+                jnp.asarray(W), jnp.asarray(row_idx), jnp.asarray(n_req),
+                jnp.asarray(t_offs), jnp.asarray(t_lens), jnp.asarray(t_w),
+                filt, additive, sort_keys,
+                k=k, has_head=has_head, has_tail=any_tail, run_len=run_len,
+                require_all=is_and, sort_ascending=sort_ascending,
+                use_pallas=_on_tpu(),
+            )
+            scores, docs, hits, _exact = decode_packed2(np.asarray(packed), k)
+            for gi, (qi, *_rest) in enumerate(live_items):
+                out[qi] = FastResult(
+                    scores[gi], docs[gi].astype(np.int64), int(hits[gi]),
+                    False,
+                )
         return out
 
     # -- doc-space chunked search (timeout inside the fused path) ---------------
@@ -607,7 +644,7 @@ class PackedFieldView:
             path = "dense" if _on_tpu() else "merge"
         if prune is None:
             prune = _os.environ.get("NRT_MAXSCORE", "0") == "1"
-        if path == "dense" and not reduce_kinds:
+        if path in ("dense", "fused") and not reduce_kinds:
             res = self.dense_search_batch(specs, k)
             if res is not None:
                 return res

@@ -319,6 +319,18 @@ class BatchedBM25:
             exact_counts=exact_counts, use_pallas=_on_tpu(),
         )
 
+    def serve_dense_fused(self, plan, k: int, **kw):
+        """Dispatch one planned batch on the round-5 FUSED dense path
+        (ops/dense_fused.dense_fused_topk): compact-row head matmul +
+        slice-gather combine, exact docs/scores/hits. Returns the packed
+        [B, 2k+2] device array (ops.dense_head.decode_packed2)."""
+        from nrtsearch_tpu.ops.dense_fused import dispatch_fused
+
+        return dispatch_fused(
+            self.dense_idx, plan, self.doc_ids, self.impacts, k,
+            use_pallas=_on_tpu(), **kw,
+        )
+
     def _assert_bucket_padding(self, idx):
         """The gather kernel's DMA for a slot can read up to
         cap + _DMA_ROWS*128 past an aligned run start; the postings arrays

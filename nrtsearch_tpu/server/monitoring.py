@@ -157,6 +157,8 @@ class Metrics:
         active = _os.environ.get("NRT_FAST_PATH", "") or (
             "dense" if _on_tpu() else "merge"
         )
+        if active == "fused":   # round-5 alias: the fused dense path
+            active = "dense"
         for p in ("dense", "merge", "bucket"):
             self.fast_path.labels(p).set(1.0 if p == active else 0.0)
         if self.global_state is not None:
