@@ -502,11 +502,11 @@ class PackedFieldView:
                 require_all=is_and, sort_ascending=sort_ascending,
                 use_pallas=_on_tpu(),
             )
-            scores, docs, hits, _exact = decode_packed2(np.asarray(packed), k)
+            scores, docs, hits, exact = decode_packed2(np.asarray(packed), k)
             for gi, (qi, *_rest) in enumerate(live_items):
                 out[qi] = FastResult(
                     scores[gi], docs[gi].astype(np.int64), int(hits[gi]),
-                    False,
+                    not bool(exact[gi]),
                 )
         return out
 

@@ -60,19 +60,125 @@ from nrtsearch_tpu.ops.merge_scoring import (
 )
 
 
-def gather_rows(rows, idx):
-    """Compact row gather: rows[idx] via scan + full-row dynamic_slice.
-
-    One contiguous [1, D] DMA per row — measured at HBM stream speed on
-    v5e, unlike XLA's generic gather (~24 GB/s for the same rows,
-    benchmarks/row_gather_probe.py). Pad slots in ``idx`` may repeat row 0;
-    their weights are zero."""
+def _gather_rows_scan(rows, idx):
+    """Row gather via scan + full-row dynamic_slice (one contiguous DMA per
+    row). Measured ~41-46 GB/s on v5e (benchmarks/probe_fused.py) — better
+    than XLA's generic gather (~24 GB/s) but well off stream speed; the
+    CPU-rig fallback."""
 
     def body(_, i):
         return None, jax.lax.dynamic_slice(rows, (i, 0), (1, rows.shape[1]))
 
     _, out = jax.lax.scan(body, None, idx)
     return out.reshape(idx.shape[0], rows.shape[1])
+
+
+def _gather_rows_pallas(rows, idx):
+    """Row gather as a Pallas copy kernel: rows viewed [Hp, nr, 128], one
+    (1, C, 128) block per grid step with the source row index scalar-
+    prefetched — contiguous block DMAs at HBM stream speed. TPU tiling
+    requires the middle (sublane) block dim be a multiple of 8."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Hp, D = rows.shape
+    nr = D // 128
+    U = idx.shape[0]
+    C = min(4096, (nr // 8) * 8)
+    if C == 0:
+        return _gather_rows_scan(rows, idx)
+    rows3 = rows.reshape(Hp, nr, 128)
+
+    def kern(idx_ref, rows_ref, out_ref):
+        out_ref[:] = rows_ref[:]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(U, pl.cdiv(nr, C)),
+        in_specs=[
+            pl.BlockSpec((1, C, 128), lambda i, j, idx_ref: (idx_ref[i], j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, C, 128), lambda i, j, idx_ref: (i, j, 0)),
+    )
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((U, nr, 128), rows.dtype),
+        grid_spec=grid_spec,
+    )(idx, rows3)
+    return out.reshape(U, D)
+
+
+def gather_rows(rows, idx):
+    """Compact row gather: rows[idx] at stream speed. Pad slots in ``idx``
+    may repeat row 0; their weights are zero. Pallas block-copy on TPU,
+    scan of full-row dynamic_slices elsewhere."""
+    if jax.default_backend() == "tpu" and rows.shape[1] % 128 == 0:
+        return _gather_rows_pallas(rows, idx)
+    return _gather_rows_scan(rows, idx)
+
+
+def _ffill_last(vals, is_valid):
+    """Forward-fill the last valid value along the trailing axis (an
+    associative take-last scan — log passes of pure vector ops)."""
+
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+
+    v, _ = jax.lax.associative_scan(comb, (vals, is_valid), axis=-1)
+    return v
+
+
+def _annotated_tail(docs, tail_sum, live, bmax):
+    """Merge-join the per-128-doc-block head maxima into the (docid-sorted)
+    tail stream WITHOUT gathers (XLA gather measured ~40 GB/s on v5e for
+    every formulation, benchmarks/probe_fused.py — the TPU-native join of a
+    sorted stream against a doc-space table is a bitonic merge + forward
+    fill, all vector ops):
+
+    - entries key as doc*2+1, block markers as (g*128)*2 (so a marker sorts
+      immediately before its block's entries); dead entries carry -inf sums
+      and can never be selected;
+    - one bitonic merge of the two sorted runs, then a take-last scan fills
+      each position with its block's head max.
+
+    Returns (keys [B, W], sums [B, W], bfill [B, W]) over the merged width:
+    ``keys & 1`` marks entries (doc = key >> 1), ``sums`` their exact tail
+    sums, ``bfill`` the head block max governing them (<= 0 means every doc
+    in the block has zero head score — exact knowledge for hit counts)."""
+    B, N = docs.shape
+    nr = bmax.shape[1]
+    L = _pow2(max(N, nr))
+    dclip = jnp.clip(docs, -(2**29), 2**29)
+    ekey = (dclip * 2 + 1).astype(jnp.int32)
+    ekey = jnp.where(docs >= DOC_SENTINEL, jnp.int32(2**31 - 1), ekey)
+    esum = jnp.where(live, tail_sum, NEG_INF)
+    mkey = jnp.broadcast_to(
+        (jnp.arange(nr, dtype=jnp.int32) * 256)[None, :], (B, nr)
+    )
+
+    def pad(x, fill):
+        return jnp.pad(
+            x, ((0, 0), (0, L - x.shape[1])), constant_values=fill
+        )
+
+    keys = jnp.stack(
+        [pad(ekey, 2**31 - 1), pad(mkey, 2**31 - 1)], axis=1
+    )                                                     # [B, 2, L]
+    sums = jnp.stack([pad(esum, NEG_INF), jnp.full((B, L), NEG_INF)], axis=1)
+    bvals = jnp.stack([jnp.full((B, L), NEG_INF), pad(bmax, NEG_INF)], axis=1)
+    keys, sums, bvals = merge_sorted_runs(keys, sums, bvals)
+    is_marker = (keys & 1) == 0
+    bfill = _ffill_last(jnp.where(is_marker, bvals, NEG_INF), is_marker)
+    return keys, sums, bfill
+
+
+def _pow2(n: int, minimum: int = 1) -> int:
+    b = minimum
+    while b < n:
+        b <<= 1
+    return b
 
 
 def _gather_at_docs(col3, docs, nr):
@@ -96,7 +202,7 @@ def _gather_at_docs(col3, docs, nr):
     jax.jit,
     static_argnames=(
         "k", "has_head", "has_tail", "run_len", "require_all",
-        "sort_ascending", "use_pallas",
+        "sort_ascending", "use_pallas", "prune", "exact_counts",
     ),
 )
 def dense_fused_topk(
@@ -120,17 +226,35 @@ def dense_fused_topk(
     require_all: bool = False,
     sort_ascending: bool = True,
     use_pallas: bool = False,
+    prune: bool = True,
+    exact_counts: bool = False,
 ):
-    """Fused dense retrieval, exact on docs/scores/hits for every variant.
+    """Fused dense retrieval: exact docs and scores for every variant.
 
     Returns one packed int32 array [B, 2k+2]: scores (f32 bitcast) | docs |
-    hits | counts_exact flag (always 1 here). Decode with
-    ``ops.dense_head.decode_packed2``.
+    hits | counts_exact flag. Decode with ``ops.dense_head.decode_packed2``.
 
-    ``require_all`` demands has_tail=False (the caller routes conjunctions
-    with any tail term to the merge path): matched docs carry ALL n_req
-    distinct terms, counted by a second (indicator) matmul over the same
-    compact rows.
+    Combine strategy (plain OR queries, ``prune=True``): random access is
+    the one thing TPUs can't do fast (every XLA gather formulation measured
+    ~40 GB/s, benchmarks/probe_fused.py), so instead of gathering head
+    scores at every tail position, a gather-free sorted merge-join
+    (_annotated_tail) bounds every tail entry by ITS OWN 128-doc block's
+    head maximum — far tighter than round 4's global bound — selects a
+    top-M candidate window by that bound, gathers exact head scores for
+    just those M (a small, cheap gather), and certifies: when the (M+1)-th
+    bound falls below the k-th candidate score, no unselected entry can
+    reach the top-k and the result is EXACT on docs/scores (hit counts may
+    be lower bounds — the Lucene WAND relation; ``exact_counts=True``
+    forces the exact branch). A lax.cond escalates to the full slice-gather
+    combine when the certificate fails. This is the TPU re-expression of
+    BlockMaxWAND's per-block competitive pruning (reference:
+    MyIndexSearcher.java:79; Lucene impacts) — the block max rides a
+    bitonic merge instead of a skip list.
+
+    Filters, additive columns, sorts, and conjunctions take the exact path
+    (sort/filter ranks are not score-shaped; ``require_all`` demands
+    has_tail=False — the caller routes conjunctions with tail terms to the
+    merge path).
     """
     B = W.shape[0]
     D = rows.shape[1]
@@ -172,8 +296,13 @@ def dense_fused_topk(
         masked = jnp.where(matched, rank, NEG_INF)
         head_s, head_d = _hierarchical_topk(masked, k)
         head_hits = jnp.sum(matched, axis=-1, dtype=jnp.int32)
+        # per-128-doc-block maxima of the masked head scores (the pruned
+        # combine's per-entry bound; CSE dedupes this against the identical
+        # reduce inside _hierarchical_topk)
+        bmax = jnp.max(masked.reshape(B, nr, 128), axis=-1)
     else:
         S = None
+        bmax = None
         head_s = jnp.full((B, k), NEG_INF, jnp.float32)
         head_d = jnp.zeros((B, k), jnp.int32)
         head_hits = jnp.zeros((B,), jnp.int32)
@@ -218,31 +347,11 @@ def dense_fused_topk(
     )
     live = tail_pos & valid & (seg_scores > 0.0)
 
-    # exact head score at EVERY tail position, by 128-lane slice gathers
-    if has_head:
-        s_at = _gather_at_docs(S.reshape(B, nr, 128), docs, nr)
-    else:
-        s_at = jnp.zeros((B, N), jnp.float32)
-    if filt_b is not None:
-        f_at = _gather_at_docs(
-            filt_b.astype(jnp.float32).reshape(nr, 128), docs, nr
-        )
-        live = live & (f_at > 0.0)
-    fin_base = seg_scores + s_at
-    if additive is not None:
-        fin_base = fin_base + _gather_at_docs(
-            additive.reshape(nr, 128), docs, nr
-        )
-    if sort_keys is not None:
-        skey = -sort_keys if sort_ascending else sort_keys
-        fin_rank = _gather_at_docs(skey.reshape(nr, 128), docs, nr)
-    else:
-        fin_rank = fin_base
-    fin = jnp.where(live, fin_rank, NEG_INF)
-
     # head top-k entries whose doc also appears (live) in the tail stream
     # would double-count (OR scoring) or duplicate (sort): drop the head
-    # copy — the complete entry is in the stream
+    # copy — the complete entry reaches the top-k through the stream (under
+    # the pruned certificate: any doc whose true final reaches theta has
+    # bound >= final >= theta > residual, so it IS selected)
     if has_head:
         p = _searchsorted_rows(docs, head_d)
         pc = jnp.clip(p, 0, N - 1)
@@ -255,12 +364,101 @@ def dense_fused_topk(
     else:
         head_s2 = head_s
 
-    # fin ascends by docid (merged stream order); head entries are
-    # docid-tie-broken by _hierarchical_topk
-    fs, fd = _combine_topk_docid(fin, docs, head_s2, head_d, k)
-    hits = head_hits + jnp.sum(
-        (live & (s_at == 0.0)).astype(jnp.int32), axis=-1
+    def full(_):
+        """Exact combine: head scores (+ filter/additive/sort columns) at
+        EVERY tail position by 128-lane slice gathers; exact hit counts."""
+        if has_head:
+            s_at = _gather_at_docs(S.reshape(B, nr, 128), docs, nr)
+        else:
+            s_at = jnp.zeros((B, N), jnp.float32)
+        lv = live
+        if filt_b is not None:
+            f_at = _gather_at_docs(
+                filt_b.astype(jnp.float32).reshape(nr, 128), docs, nr
+            )
+            lv = lv & (f_at > 0.0)
+        fin_base = seg_scores + s_at
+        if additive is not None:
+            fin_base = fin_base + _gather_at_docs(
+                additive.reshape(nr, 128), docs, nr
+            )
+        if sort_keys is not None:
+            skey = -sort_keys if sort_ascending else sort_keys
+            fin_rank = _gather_at_docs(skey.reshape(nr, 128), docs, nr)
+        else:
+            fin_rank = fin_base
+        fin = jnp.where(lv, fin_rank, NEG_INF)
+        # fin ascends by docid (merged stream order); head entries are
+        # docid-tie-broken by _hierarchical_topk
+        fs, fd = _combine_topk_docid(fin, docs, head_s2, head_d, k)
+        hits = head_hits + jnp.sum(
+            (lv & (s_at == 0.0)).astype(jnp.int32), axis=-1
+        )
+        return fs, fd, hits, jnp.ones((B,), jnp.int32)
+
+    plain = (
+        has_head and filt is None and additive is None
+        and sort_keys is None and not require_all
     )
+    if not (plain and prune and not exact_counts):
+        fs, fd, hits, exact = full(None)
+    else:
+        # gather-free per-entry bounds: each tail entry bounded by its own
+        # 128-doc block's head maximum (bitonic merge-join + take-last fill)
+        keys, sums, bfill = _annotated_tail(docs, tail_sum=seg_scores,
+                                            live=live, bmax=bmax)
+        W2 = keys.shape[1]
+        is_entry = (keys & 1) == 1
+        ub = jnp.where(
+            is_entry & (sums > NEG_INF),
+            sums + jnp.maximum(bfill, 0.0),
+            NEG_INF,
+        )
+        M = min(_pow2(4 * k, 128), W2 - 1)
+        sel_ub, sel_pos = jax.lax.top_k(ub, M + 1)
+        residual = sel_ub[:, M]
+        sel_pos = sel_pos[:, :M]
+        sel_doc = jnp.take_along_axis(keys >> 1, sel_pos, axis=1)
+        sel_sum = jnp.take_along_axis(sums, sel_pos, axis=1)
+        sel_live = sel_ub[:, :M] > NEG_INF
+        sd = jnp.clip(sel_doc, 0, D - 1)
+        s_at = jnp.take_along_axis(S, sd, axis=1)
+        fin = jnp.where(sel_live, sel_sum + s_at, NEG_INF)
+        # candidate set is ub-ordered, not docid-ordered: full
+        # lexicographic (score desc, docid asc) sort over M + k entries
+        fs_p, fd_p = _topk_docid(
+            jnp.concatenate([fin, head_s2], axis=1),
+            jnp.concatenate([sel_doc, head_d], axis=1),
+            k,
+        )
+        theta = fs_p[:, k - 1]
+        safe = jnp.all((residual < theta) | (residual == NEG_INF))
+        # hit counts: entries in zero-head blocks (bfill <= 0 proves
+        # S == 0) plus selected entries with exact-zero head scores plus
+        # head matches; unselected entries in nonzero blocks are unknown
+        # -> lower bound (the WAND GREATER_THAN_OR_EQUAL_TO relation)
+        zero_blk = is_entry & (sums > NEG_INF) & (bfill <= 0.0)
+        unknown = is_entry & (sums > NEG_INF) & (bfill > 0.0)
+        unknown = unknown.at[
+            jnp.arange(B)[:, None], sel_pos
+        ].set(False, mode="drop")
+        sel_zero = sel_live & (s_at == 0.0) & jnp.take_along_axis(
+            bfill > 0.0, sel_pos, axis=1
+        )
+        hits_p = (
+            head_hits
+            + jnp.sum(zero_blk, axis=-1, dtype=jnp.int32)
+            + jnp.sum(sel_zero, axis=-1, dtype=jnp.int32)
+        )
+        exact_p = (jnp.sum(unknown, axis=-1, dtype=jnp.int32) == 0).astype(
+            jnp.int32
+        )
+
+        def pruned(_):
+            return fs_p, fd_p, hits_p, exact_p
+
+        fs, fd, hits, exact = jax.lax.cond(safe, pruned, full, None)
+
     if sort_keys is not None and sort_ascending:
         fs = jnp.where(fs > NEG_INF, -fs, fs)
     fd = jnp.where(fs == NEG_INF, -1, fd)
@@ -269,7 +467,7 @@ def dense_fused_topk(
             jax.lax.bitcast_convert_type(fs, jnp.int32),
             fd.astype(jnp.int32),
             hits[:, None].astype(jnp.int32),
-            jnp.ones((B, 1), jnp.int32),
+            exact[:, None].astype(jnp.int32),
         ],
         axis=1,
     )
@@ -289,6 +487,8 @@ def dispatch_fused(
     require_all: bool = False,
     sort_ascending: bool = True,
     use_pallas: bool = False,
+    prune: bool = True,
+    exact_counts: bool = False,
 ):
     """Run one planned batch on the fused path. Returns the packed
     [B, 2k+2] device array (decode with ``ops.dense_head.decode_packed2``)."""
@@ -305,4 +505,5 @@ def dispatch_fused(
         k=k, has_head=plan.has_head, has_tail=plan.has_tail,
         run_len=plan.run_len, require_all=require_all,
         sort_ascending=sort_ascending, use_pallas=use_pallas,
+        prune=prune, exact_counts=exact_counts,
     )

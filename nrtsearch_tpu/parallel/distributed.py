@@ -101,6 +101,9 @@ def _local_dense(
         W[0], row_idx[0], n_req[0], r_offs[0], r_lens[0], r_w[0],
         k=k, has_head=has_head, has_tail=has_tail, run_len=run_len,
         use_pallas=use_pallas,
+        # the mesh merge psums hit counts with no relation flag to carry a
+        # lower bound, so the local body always takes the exact branch
+        prune=False,
     )
     local_scores = jax.lax.bitcast_convert_type(packed[:, :k], jnp.float32)
     local_docs = packed[:, k : 2 * k]

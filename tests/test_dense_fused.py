@@ -70,13 +70,26 @@ def _check_topk(s0, d0, s1, d1, k, rel=BF16_REL):
             assert r < rel, (q, j, d0[q, j], d1[q, j], s0[q, j], s1[q, j])
 
 
-def test_mixed_queries_exact_hits(corpus_model):
-    """OR queries: docs/scores within bf16 tolerance, hits EXACT (the fused
-    path has no pruned lower bounds — counts_exact is always set)."""
+def test_mixed_queries(corpus_model):
+    """OR queries: docs/scores within bf16 tolerance always; hits exact
+    when the counts_exact flag is set, lower bounds otherwise (the WAND
+    GREATER_THAN_OR_EQUAL_TO relation when the pruned combine engages)."""
     corpus, model = corpus_model
     qs = corpus.sample_queries(12, 4)
     s0, d0, h0 = _exact(model, qs, 10)
     _, (s1, d1, h1, ex) = _fused(model, qs, 10)
+    for q in range(12):
+        assert h1[q] <= h0[q]
+        if ex[q]:
+            assert h1[q] == h0[q]
+    _check_topk(s0, d0, s1, d1, 10)
+
+
+def test_exact_counts_forces_exact_branch(corpus_model):
+    corpus, model = corpus_model
+    qs = corpus.sample_queries(12, 4)
+    s0, d0, h0 = _exact(model, qs, 10)
+    _, (s1, d1, h1, ex) = _fused(model, qs, 10, exact_counts=True)
     assert ex.all()
     np.testing.assert_array_equal(h1, h0)
     _check_topk(s0, d0, s1, d1, 10)
@@ -90,10 +103,21 @@ def test_matches_dense_merge_path(corpus_model):
     m = decode_packed2(
         np.asarray(model.serve_dense_merge(plan, 10, exact_counts=True)), 10
     )
-    _, f = _fused(model, qs, 10)
+    _, f = _fused(model, qs, 10, exact_counts=True)
     np.testing.assert_array_equal(f[1], m[1])          # docs
     np.testing.assert_allclose(f[0], m[0], rtol=1e-6)  # scores
     np.testing.assert_array_equal(f[2], m[2])          # hits
+
+
+def test_pruned_docs_scores_exact_vs_full(corpus_model):
+    """Whether or not the certificate engages, docs and scores must equal
+    the exact branch bit-for-bit (pruning only ever changes hit counts)."""
+    corpus, model = corpus_model
+    qs = corpus.sample_queries(16, 4)
+    _, (s1, d1, h1, ex1) = _fused(model, qs, 10)
+    _, (s0, d0, h0, ex0) = _fused(model, qs, 10, prune=False)
+    np.testing.assert_array_equal(d1, d0)
+    np.testing.assert_allclose(s1, s0, rtol=1e-6)
 
 
 def test_tail_only_exact_f32(corpus_model):
