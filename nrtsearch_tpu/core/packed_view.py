@@ -22,6 +22,8 @@ the same contract Lucene exposes under WAND.
 
 from __future__ import annotations
 
+import functools
+import os
 from dataclasses import dataclass, field as dc_field
 from typing import Optional, Sequence
 
@@ -307,8 +309,13 @@ class PackedFieldView:
 
         D = -(-self.max_doc // 128) * 128
         min_df = max(256, self.max_doc // 512)
+        # residual rows (Dekker-corrected ~f32-exact head scores) double the
+        # per-row HBM cost; NRT_DENSE_RESIDUAL=0 reclaims the capacity for
+        # more head rows at the bf16 score contract
+        residual = os.environ.get("NRT_DENSE_RESIDUAL", "1") != "0"
+        bytes_per_row = (4 if residual else 2) * D
         max_rows = min(
-            self._DENSE_MAX_ROWS, self._DENSE_BYTES_BUDGET // max(2 * D, 1)
+            self._DENSE_MAX_ROWS, self._DENSE_BYTES_BUDGET // bytes_per_row
         )
         # per-TERM total df across segments
         df: dict[str, int] = {}
@@ -343,22 +350,35 @@ class PackedFieldView:
         gidx = np.concatenate(gidx_parts)
         rowid = np.concatenate(row_parts)
 
-        @jax.jit
-        def build(doc_ids, impacts, gidx, rowid):
+        @functools.partial(jax.jit, static_argnames=("res",))
+        def build(doc_ids, impacts, gidx, rowid, res):
             # 2D scatter (row, doc) — a flattened row*D+doc index would
             # overflow int32 at Hp*D > 2^31 (e.g. 256 rows x 16M docs)
             ids = doc_ids[gidx]
-            imps = impacts[gidx].astype(jnp.bfloat16)
+            imps = impacts[gidx]
+            hi = imps.astype(jnp.bfloat16)
             rows = jnp.zeros((Hp, D), jnp.bfloat16)
-            return rows.at[rowid, ids].set(imps, mode="drop")
+            rows = rows.at[rowid, ids].set(hi, mode="drop")
+            if not res:
+                return rows, None
+            # Dekker residual: bf16(imp - f32(hi)) — the fused kernel's
+            # 3-product correction makes head scores ~f32-exact
+            lo = (imps - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            rows_lo = jnp.zeros((Hp, D), jnp.bfloat16)
+            rows_lo = rows_lo.at[rowid, ids].set(lo, mode="drop")
+            return rows, rows_lo
 
-        rows = build(
+        rows, rows_lo = build(
             self.index.doc_ids, self.index.impacts,
             jax.device_put(gidx.astype(np.int32)),
             jax.device_put(rowid.astype(np.int32)),
+            residual,
         )
         row_max = jnp.max(rows, axis=1).astype(jnp.float32)
-        st = {"rows": rows, "row_max": row_max, "head_pos": head_pos, "D": D}
+        st = {
+            "rows": rows, "rows_lo": rows_lo, "row_max": row_max,
+            "head_pos": head_pos, "D": D,
+        }
         self._dense_st = st
         return st
 
@@ -497,7 +517,7 @@ class PackedFieldView:
                 st["rows"], self.index.doc_ids, self.index.impacts,
                 jnp.asarray(W), jnp.asarray(row_idx), jnp.asarray(n_req),
                 jnp.asarray(t_offs), jnp.asarray(t_lens), jnp.asarray(t_w),
-                filt, additive, sort_keys,
+                filt, additive, sort_keys, st["rows_lo"],
                 k=k, has_head=has_head, has_tail=any_tail, run_len=run_len,
                 require_all=is_and, sort_ascending=sort_ascending,
                 use_pallas=_on_tpu(),

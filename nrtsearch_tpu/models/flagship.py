@@ -260,12 +260,14 @@ class BatchedBM25:
         )
 
     def attach_dense(self, *, max_rows: int = 256, min_df: int | None = None,
-                     bucket_docs: int = 32768):
+                     bucket_docs: int = 32768, residual: bool = False):
         """Build the dense-head + sparse-tail index (ops/dense_head.py):
         head terms become bf16 dense impact rows scored on the MXU; the
         sparse bucket kernel keeps only the genuinely-sparse tail. The TPU
         answer to Lucene's impact-ordered BulkScorer hot loop (reference
-        server/search/MyIndexSearcher.java:79)."""
+        server/search/MyIndexSearcher.java:79). ``residual=True`` also
+        builds Dekker residual rows: the fused path's head scores become
+        ~f32-exact at 2x the head HBM."""
         from nrtsearch_tpu.ops.dense_head import DenseHeadIndex
 
         self.dense_idx = DenseHeadIndex.build(
@@ -274,6 +276,7 @@ class BatchedBM25:
             np.asarray(self.lengths, np.int32),
             capacity=self.capacity,
             max_rows=max_rows, min_df=min_df, bucket_docs=bucket_docs,
+            residual=residual,
         )
         self._assert_bucket_padding(self.dense_idx.tail)
         return self.dense_idx

@@ -218,6 +218,10 @@ def dense_fused_topk(
     filt=None,        # optional bool/int8 [D]: docs failing it match nothing
     additive=None,    # optional f32 [D]: added to matched docs' scores
     sort_keys=None,   # optional f32 [D]: rank matched docs by this key
+    rows_lo=None,     # optional bf16 [Hp, D] residual rows: when present the
+                      # head matmul runs the Dekker-style 3-product correction
+                      # (W_hi·R_hi + W_hi·R_lo + W_lo·R_hi, f32 accumulation)
+                      # and head scores are ~f32-exact (rel err ~2^-17)
     *,
     k: int,
     has_head: bool,
@@ -267,15 +271,27 @@ def dense_fused_topk(
         mm_dt = (
             jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
         )
+
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a.astype(mm_dt), b.astype(mm_dt),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
         # W always quantizes through bf16 (the dense score contract); the
         # f32 CPU dot of the upcast values accumulates identically to the
         # TPU MXU's f32 accumulation
-        Wq = W.astype(jnp.bfloat16).astype(mm_dt)
-        S = jax.lax.dot_general(
-            Wq, rows_used.astype(mm_dt),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                           # [B, D] f32
+        W_hi = W.astype(jnp.bfloat16)
+        S = mm(W_hi, rows_used)                     # [B, D] f32
+        if rows_lo is not None:
+            # Dekker-style correction: two extra compact matmuls recover
+            # the bf16 quantization of both operands (error ~|W_lo·R_lo|,
+            # rel ~2^-18) — head scores become f32-grade without giving up
+            # the MXU (bandwidth cost: one more [U, D] stream)
+            lo_used = gather_rows(rows_lo, row_idx)
+            W_lo = (W - W_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            S = S + mm(W_hi, lo_used) + mm(W_lo, rows_used)
         matched = S > 0.0
         if require_all:
             ind = (rows_used > 0).astype(mm_dt)
@@ -502,6 +518,7 @@ def dispatch_fused(
         jnp.asarray(plan.run_offs), jnp.asarray(plan.run_lens),
         jnp.asarray(plan.run_weights),
         filt, additive, sort_keys,
+        getattr(idx, "rows_lo", None),
         k=k, has_head=plan.has_head, has_tail=plan.has_tail,
         run_len=plan.run_len, require_all=require_all,
         sort_ascending=sort_ascending, use_pallas=use_pallas,

@@ -86,6 +86,10 @@ class DenseHeadIndex:
     capacity: int                   # D (padded doc-space size)
     min_df: int
     row_max: jax.Array = None       # f32 [Hp] per-row max impact (head_ub)
+    rows_lo: jax.Array = None       # bf16 [H, D] residual rows: bf16(imp -
+                                    # f32(rows)); doubles head HBM, buys the
+                                    # fused path ~f32-exact scores (the
+                                    # two-matmul Dekker-style correction)
 
     @classmethod
     def build(
@@ -99,6 +103,7 @@ class DenseHeadIndex:
         max_rows: int = 256,
         min_df: int | None = None,
         bucket_docs: int = 32768,
+        residual: bool = False,
     ) -> "DenseHeadIndex":
         assert capacity % 128 == 0
         V = len(term_lengths)
@@ -125,8 +130,21 @@ class DenseHeadIndex:
             ln = int(term_lengths[tid])
             d = post_docs[off : off + ln]
             rows_f32[i, d] = post_impacts[off : off + ln]
-        rows = jax.device_put(rows_f32.astype(jnp.bfloat16))
-        del rows_f32
+        hi_np = rows_f32.astype(jnp.bfloat16)
+        rows = jax.device_put(hi_np)
+        rows_lo = None
+        if residual:
+            # Dekker-style split: lo = bf16(imp - f32(hi)), built in row
+            # blocks so the f32 temp stays bounded
+            lo_np = np.empty_like(hi_np)
+            for s in range(0, Hp, 64):
+                e = min(s + 64, Hp)
+                lo_np[s:e] = (
+                    rows_f32[s:e] - hi_np[s:e].astype(np.float32)
+                ).astype(jnp.bfloat16)
+            rows_lo = jax.device_put(lo_np)
+            del lo_np
+        del rows_f32, hi_np
         tail = BucketIndex.build(
             post_docs, post_impacts, term_offsets, term_lengths,
             capacity=capacity, bucket_docs=bucket_docs,
@@ -135,7 +153,8 @@ class DenseHeadIndex:
         # copy of the rows (OOM at 4096 rows x 1M docs)
         row_max = jnp.max(rows, axis=1).astype(jnp.float32)
         return cls(
-            rows, head_ids, head_pos, tail, capacity, int(min_df), row_max
+            rows, head_ids, head_pos, tail, capacity, int(min_df), row_max,
+            rows_lo,
         )
 
     @property
