@@ -45,6 +45,10 @@ DENSE = int(os.environ.get("BENCH_DENSE", 1))
 # 1024 rows / min_df 2048 is the measured winner and the default.
 DENSE_ROWS = int(os.environ.get("BENCH_DENSE_ROWS", 1024))
 DENSE_MIN_DF = int(os.environ.get("BENCH_DENSE_MIN_DF", 2048))  # 0 -> D//64
+# Dekker residual rows (the serving default, NRT_DENSE_RESIDUAL): the fused
+# path's head scores become ~f32-exact; overlap@k below measures the
+# contract the server actually serves
+DENSE_RESIDUAL = int(os.environ.get("BENCH_DENSE_RESIDUAL", 1))
 # Round-5 fused path (ops/dense_fused.py): compact-row head matmul +
 # slice-gather combine — exact docs/scores/hits, no pruning window.
 FUSED = int(os.environ.get("BENCH_FUSED", 1))
@@ -330,10 +334,11 @@ def main() -> None:
         from nrtsearch_tpu.ops.dense_head import decode_packed2
 
         log(f"attaching dense-head index (max_rows={DENSE_ROWS}, "
-            f"min_df={DENSE_MIN_DF or 'auto'})")
+            f"min_df={DENSE_MIN_DF or 'auto'}, residual={DENSE_RESIDUAL})")
         t0 = time.perf_counter()
         model.attach_dense(
-            max_rows=DENSE_ROWS, min_df=DENSE_MIN_DF or None
+            max_rows=DENSE_ROWS, min_df=DENSE_MIN_DF or None,
+            residual=bool(DENSE_RESIDUAL),
         )
         H = model.dense_idx.n_rows
         log(f"  built in {time.perf_counter()-t0:.1f}s H={H} "

@@ -86,7 +86,8 @@ def _local_search(
 def _local_dense(
     rows, post_docs, post_impacts,
     W, row_idx, n_req, r_offs, r_lens, r_w,
-    *, run_len, k, has_head, has_tail, use_pallas=False,
+    *maybe_lo,
+    run_len, k, has_head, has_tail, use_pallas=False,
 ):
     """Per-device body: the round-5 FUSED dense path over this shard's rows
     (compact-row head matmul + slice-gather combine, ops/dense_fused.py),
@@ -99,6 +100,7 @@ def _local_dense(
     packed = dense_fused_topk(
         rows[0], post_docs[0], post_impacts[0],
         W[0], row_idx[0], n_req[0], r_offs[0], r_lens[0], r_w[0],
+        rows_lo=maybe_lo[0][0] if maybe_lo else None,
         k=k, has_head=has_head, has_tail=has_tail, run_len=run_len,
         use_pallas=use_pallas,
         # the mesh merge psums hit counts with no relation flag to carry a
@@ -349,14 +351,22 @@ class DistributedBM25:
     # -- dense-head path over the mesh (round 5) ------------------------------
 
     def attach_dense(
-        self, *, max_rows: int = 1024, min_df: int | None = None
+        self, *, max_rows: int = 1024, min_df: int | None = None,
+        residual: bool | None = None,
     ) -> int:
         """Build per-shard dense head rows: global head-term selection
         (df >= min_df, top max_rows by df), each shard scattering ITS
         postings into bf16 [Hp, cap] impact rows. Sharding rows over docs
         means virtualShards ADDS head capacity — H rows over D/S docs per
         shard uses the HBM one chip spends on H rows over D docs
-        (VERDICT r4 missing #3). Returns the head row count."""
+        (VERDICT r4 missing #3). ``residual`` (default: the serving
+        NRT_DENSE_RESIDUAL contract) also builds Dekker residual rows —
+        ~f32-exact head scores at 2x the per-shard head HBM. Returns the
+        head row count."""
+        import os as _os
+
+        if residual is None:
+            residual = _os.environ.get("NRT_DENSE_RESIDUAL", "1") != "0"
         S, V = self.term_lengths_host.shape
         if min_df is None:
             min_df = max(256, self.num_docs_total // 512)
@@ -368,6 +378,7 @@ class DistributedBM25:
         self.dense_min_df = int(min_df)
         if H == 0:
             self.dense_rows = None
+            self.dense_rows_lo = None
             return 0
         Hp = max(8, -(-H // 8) * 8)
         cap = self.shard_capacity
@@ -382,10 +393,14 @@ class DistributedBM25:
                     rows[s, i, docs_s[off : off + ln]] = imps_s[
                         off : off + ln
                     ]
-        self.dense_rows = jax.device_put(
-            jnp.asarray(rows).astype(jnp.bfloat16),
-            NamedSharding(self.mesh, P("shard", None, None)),
-        )
+        sh = NamedSharding(self.mesh, P("shard", None, None))
+        hi = rows.astype(jnp.bfloat16)
+        self.dense_rows = jax.device_put(jnp.asarray(hi), sh)
+        if residual:
+            lo = (rows - hi.astype(np.float32)).astype(jnp.bfloat16)
+            self.dense_rows_lo = jax.device_put(jnp.asarray(lo), sh)
+        else:
+            self.dense_rows_lo = None
         return H
 
     def compile_dense_queries(
@@ -485,6 +500,19 @@ class DistributedBM25:
         S = mesh.shape["shard"]
         B = W.shape[0]
         use_pallas = all(d.platform == "tpu" for d in mesh.devices.flat)
+        rows_lo = getattr(self, "dense_rows_lo", None)
+        in_specs = [
+            P("shard", None, None),               # rows
+            P("shard", None), P("shard", None),   # postings
+            P("shard", "data", None),             # W
+            P("shard", None),                     # row_idx
+            P("shard", "data"),                   # n_req
+            P("shard", "data", None),             # r_offs
+            P("shard", "data", None),             # r_lens
+            P("shard", "data", None),             # r_w
+        ]
+        if rows_lo is not None:
+            in_specs.append(P("shard", None, None))   # residual rows
         fn = jax.jit(
             jax.shard_map(
                 partial(
@@ -493,16 +521,7 @@ class DistributedBM25:
                     use_pallas=use_pallas,
                 ),
                 mesh=mesh,
-                in_specs=(
-                    P("shard", None, None),               # rows
-                    P("shard", None), P("shard", None),   # postings
-                    P("shard", "data", None),             # W
-                    P("shard", None),                     # row_idx
-                    P("shard", "data"),                   # n_req
-                    P("shard", "data", None),             # r_offs
-                    P("shard", "data", None),             # r_lens
-                    P("shard", "data", None),             # r_w
-                ),
+                in_specs=tuple(in_specs),
                 out_specs=(P("data", None), P("data", None), P("data")),
                 check_vma=False,
             )
@@ -514,7 +533,7 @@ class DistributedBM25:
         def rep(x):   # replicate per-shard copies along the leading S dim
             return np.broadcast_to(x[None], (S, *x.shape))
 
-        return fn(
+        args = [
             self.dense_rows, self.post_docs, self.post_impacts,
             jax.device_put(jnp.asarray(rep(W)), qsh),
             jax.device_put(jnp.asarray(rep(row_idx)), rsh),
@@ -522,7 +541,10 @@ class DistributedBM25:
             jax.device_put(jnp.asarray(r_offs), qsh),
             jax.device_put(jnp.asarray(r_lens), qsh),
             jax.device_put(jnp.asarray(r_w), qsh),
-        )
+        ]
+        if rows_lo is not None:
+            args.append(rows_lo)
+        return fn(*args)
 
     # -- general query path: filters / sort / facets over the mesh -----------
 
