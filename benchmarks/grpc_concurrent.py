@@ -117,21 +117,31 @@ def main() -> None:
         lats: list[list[float]] = [[] for _ in range(level)]
         clients = [NrtsearchClient(f"localhost:{port}") for _ in range(level)]
 
-        # untimed warm pass with the SAME request lists: compiles every
-        # (batch, run_len, R) shape this level's traffic can form, so the
-        # timed pass measures steady-state serving, not jit compiles
-        for _ in range(2):
+        # untimed warm passes with the SAME request lists: compiles every
+        # (batch, run_len, R) shape this level's traffic can form. Batch
+        # formation is nondeterministic, so one fixed number of passes can
+        # leave a shape uncompiled and a ~10 s XLA compile lands in the
+        # timed pass (seen as a 9 s p99 outlier); repeat until a whole
+        # pass runs compile-free (no call slower than 1.5 s) or 6 passes.
+        for wpass in range(6):
+            worst = [0.0] * level
+
+            def warm_slot(s: int):
+                for r in requests[s]:
+                    w0 = time.perf_counter()
+                    clients[s].search(r)
+                    worst[s] = max(worst[s], time.perf_counter() - w0)
+
             ws = [
-                threading.Thread(
-                    target=lambda s=s: [clients[s].search(r)
-                                        for r in requests[s]]
-                )
+                threading.Thread(target=warm_slot, args=(s,))
                 for s in range(level)
             ]
             for t in ws:
                 t.start()
             for t in ws:
                 t.join()
+            if wpass >= 1 and max(worst) < 1.5:
+                break
 
         barrier = threading.Barrier(level + 1)
 
@@ -162,6 +172,7 @@ def main() -> None:
             "clients": level,
             "qps": round(qps, 1),
             "p50_ms": round(flat[len(flat) // 2] * 1e3, 2),
+            "p90_ms": round(flat[min(int(len(flat) * 0.90), len(flat) - 1)] * 1e3, 2),
             "p99_ms": round(flat[min(int(len(flat) * 0.99), len(flat) - 1)] * 1e3, 2),
         })
         log(f"clients={level}: {qps:.1f} qps, p50 {results[-1]['p50_ms']} ms")

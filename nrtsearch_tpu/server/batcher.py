@@ -54,6 +54,7 @@ class SearchBatcher:
         self._stopped = False
         self.batches_formed = 0
         self.queries_batched = 0
+        self.batch_size_hist: dict[int, int] = {}
         # multiple dispatch workers: device dispatch round trips through the
         # axon tunnel serialize per thread (~31 ms, profile_dense.py) but
         # overlap across threads — one worker caps serving at
@@ -77,6 +78,9 @@ class SearchBatcher:
             "batches_formed": n,
             "queries_batched": self.queries_batched,
             "avg_batch_size": round(self.queries_batched / n, 2) if n else 0.0,
+            "batch_size_hist": {
+                str(k): v for k, v in sorted(self.batch_size_hist.items())
+            },
         }
 
     def stop(self) -> None:
@@ -162,6 +166,8 @@ class SearchBatcher:
             results = searcher.fast_search_batch(specs, k)
             self.batches_formed += 1
             self.queries_batched += len(group)
+            g = len(group)
+            self.batch_size_hist[g] = self.batch_size_hist.get(g, 0) + 1
             if self.metrics is not None:
                 try:
                     self.metrics.micro_batch_size.observe(len(group))
