@@ -332,6 +332,15 @@ class SegmentBuilder:
                 ),
             }
         self.field_defs = field_defs
+        # non-OBJECT parents fan their source values out to each child
+        # field (multi-analysis; reference: IndexableFieldDef child fields
+        # parse the same MultiValuedField). Sorted so a parent's fan-out
+        # lands before its children's own (prefix order = ancestor order).
+        self._copy_children: list[tuple[str, list[str]]] = sorted(
+            (name, [f"{name}.{c['name']}" for c in fd.raw["childFields"]])
+            for name, fd in field_defs.items()
+            if fd.type != FieldType.OBJECT and fd.raw.get("childFields")
+        )
         self.num_docs = 0
         # field -> term -> list[(doc, freq)] built as parallel arrays
         # (pure-Python fallback; the native PostingsAccumulator below builds
@@ -388,6 +397,12 @@ class SegmentBuilder:
         return self._add_flat(flat_doc)
 
     def _add_flat(self, doc: dict[str, Any]) -> int:
+        # multi-analysis fan-out: children of non-OBJECT parents index the
+        # parent's values under their own analyzer unless given explicitly
+        for parent, children in self._copy_children:
+            if parent in doc:
+                for c in children:
+                    doc.setdefault(c, doc[parent])
         doc_id = self.num_docs
         self.num_docs += 1
         stored_row: dict[str, Any] = {}

@@ -88,14 +88,25 @@ class IndexStateInfo:
         return IndexStateInfo(**data)
 
     def field_defs(self) -> dict[str, FieldDef]:
+        """Flatten the schema to dotted field defs, recursing childFields.
+
+        Child fields register for EVERY parent type (reference:
+        FieldDefCreator builds children of any IndexableFieldDef;
+        MatchAndTermQueryBehaviorWithTokenizationTest registers a TEXT
+        parent with a keyword-tokenized TEXT child). OBJECT children get
+        their values from the object's keys (core/segment.py nested-doc
+        expansion); non-OBJECT children are indexed from the SAME source
+        values as their parent under the child's own analyzer/flags
+        (the multi-analysis pattern — SegmentBuilder fans the values out)."""
         defs: dict[str, FieldDef] = {}
+
+        def register(name: str, spec: dict) -> None:
+            defs[name] = create_field_def(name, spec)
+            for child in spec.get("childFields") or []:
+                register(f"{name}.{child['name']}", child)
+
         for name, spec in self.fields.items():
-            fd = create_field_def(name, spec)
-            defs[name] = fd
-            if fd.type.value == "OBJECT" and fd.raw.get("childFields"):
-                for child in fd.raw["childFields"]:
-                    cname = f"{name}.{child['name']}"
-                    defs[cname] = create_field_def(cname, child)
+            register(name, spec)
         return defs
 
     # -- serialization ---------------------------------------------------------

@@ -3,6 +3,8 @@ installs them and hot-swaps its searcher. Mirrors the reference's replication
 test shape (ReplicationServerTest / isolated replicas via S3 polling) with the
 LocalFileBackend as the S3Mock analogue."""
 
+import time
+
 import pytest
 
 from nrtsearch_tpu.config import NrtsearchConfig
@@ -177,7 +179,12 @@ def test_stale_file_under_reused_name_is_recopied(tmp_path, remote):
     primary.refresh()
     replica = make_replica(tmp_path, remote)
     replica.start()
-    assert replica.sync_from_remote()
+    # the primary's point publish can still be in flight under load; a real
+    # replica polls (install loop) — poll briefly instead of failing flaky
+    deadline = time.time() + 10.0
+    while not replica.sync_from_remote():
+        assert time.time() < deadline, "primary never published a point"
+        time.sleep(0.05)
 
     # corrupt one replica-side segment file in place (stale-byte stand-in),
     # then force a reinstall of the same point under a new primary gen
