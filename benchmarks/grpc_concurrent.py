@@ -12,6 +12,9 @@ adding SEARCH-pool threads per query instead: MyIndexSearcher.java:79).
 Usage:  python benchmarks/grpc_concurrent.py
 Env:    GRPCB_NUM_DOCS (50_000), GRPCB_QUERIES_PER_CLIENT (40),
         GRPCB_LEVELS ("1,4,16,32"), JAX_PLATFORMS=cpu for offline runs.
+        Corpus/query shape knobs to mirror bench.py's kernel harness for a
+        kernel-vs-e2e ratio (PERF_E2E_r05): GRPCB_VOCAB (2_000),
+        GRPCB_AVG_LEN (8), GRPCB_TERMS (2), GRPCB_TOPK (20).
 
 Prints one JSON line with per-level results.
 """
@@ -41,8 +44,10 @@ if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
 NUM_DOCS = int(os.environ.get("GRPCB_NUM_DOCS", 50_000))
 QUERIES_PER_CLIENT = int(os.environ.get("GRPCB_QUERIES_PER_CLIENT", 40))
 LEVELS = [int(x) for x in os.environ.get("GRPCB_LEVELS", "1,4,16,32").split(",")]
-VOCAB = 2_000
-TOP_K = 20
+VOCAB = int(os.environ.get("GRPCB_VOCAB", 2_000))
+AVG_LEN = int(os.environ.get("GRPCB_AVG_LEN", 8))
+QUERY_TERMS = int(os.environ.get("GRPCB_TERMS", 2))
+TOP_K = int(os.environ.get("GRPCB_TOPK", 20))
 
 WORDS = [f"w{i}" for i in range(VOCAB)]
 
@@ -82,9 +87,10 @@ def main() -> None:
     ]))
     c.start_index(pb.StartIndexRequest(indexName="idx", mode=pb.Mode.STANDALONE))
     log(f"indexing {NUM_DOCS} docs")
+    t_ing = time.perf_counter()
     reqs = []
     for i in range(NUM_DOCS):
-        terms = rng.choice(VOCAB, size=8, p=probs)
+        terms = rng.choice(VOCAB, size=AVG_LEN, p=probs)
         r = pb.AddDocumentRequest(indexName="idx")
         r.fields["id"].value.append(str(i))
         r.fields["body"].value.append(" ".join(WORDS[t] for t in terms))
@@ -94,11 +100,13 @@ def main() -> None:
             reqs = []
     if reqs:
         c.add_documents(reqs)
+    ingest_s = time.perf_counter() - t_ing
+    log(f"ingest {ingest_s:.0f}s ({NUM_DOCS/ingest_s:.0f} docs/s); refreshing")
     c.refresh("idx")
 
     def make_request() -> pb.SearchRequest:
         q = pb.SearchRequest(indexName="idx", topHits=TOP_K)
-        terms = rng.choice(VOCAB, size=2, p=probs)
+        terms = rng.choice(VOCAB, size=QUERY_TERMS, p=probs)
         q.query.matchQuery.field = "body"
         q.query.matchQuery.query = " ".join(WORDS[t] for t in terms)
         return q
@@ -186,6 +194,10 @@ def main() -> None:
         "scaling_32_over_1": round(results[-1]["qps"] / base, 2) if base else 0,
         "batcher": stats,
         "num_docs": NUM_DOCS,
+        "vocab": VOCAB, "avg_len": AVG_LEN, "query_terms": QUERY_TERMS,
+        "top_k": TOP_K,
+        "ingest_s": round(ingest_s, 1),
+        "ingest_docs_per_s": round(NUM_DOCS / ingest_s, 1),
     }))
     c.close()
     warm_client.close()

@@ -382,6 +382,19 @@ class Searcher:
             boost=float(node.boost),
         )
 
+    def release_device_caches(self) -> None:
+        """Drop this snapshot's derived device caches (packed postings
+        views incl. dense-head rows, global sort keys, mesh-sharded
+        state). Called when a newer searcher supersedes this one: the
+        caches are O(index-size) HBM per snapshot and rebuild lazily if a
+        version-pinned search lands here later. In-flight searches that
+        already fetched a view keep it alive via their own reference —
+        this only unpins it."""
+        for attr in ("_packed_views", "_gsort_cache", "_dist_cache"):
+            cache = getattr(self, attr, None)
+            if cache is not None:
+                cache.clear()
+
     def packed_view(self, field: str):
         """The packed multi-segment view for one field, cached on this
         immutable searcher snapshot (core/packed_view.py)."""

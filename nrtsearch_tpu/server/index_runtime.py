@@ -106,6 +106,8 @@ class IndexRuntime:
         self.start_time = time.time()
         self._refresh_thread: Optional[threading.Thread] = None
         self._poll_thread: Optional[threading.Thread] = None
+        self._warm_lock = threading.Lock()
+        self._warm_thread: Optional[threading.Thread] = None
         self._stopped = threading.Event()
         _LIVE_RUNTIMES.add(self)
 
@@ -150,7 +152,7 @@ class IndexRuntime:
 
     def stop(self) -> None:
         self._stopped.set()
-        for t in (self._refresh_thread, self._poll_thread):
+        for t in (self._refresh_thread, self._poll_thread, self._warm_thread):
             if t is not None:
                 t.join(timeout=5)
 
@@ -243,6 +245,17 @@ class IndexRuntime:
         self._searchers_by_version[self._version] = self.searcher
         self._searcher_publish_time[self._version] = time.time()
         self._prune_searchers()
+        # Superseded snapshots drop their device caches (packed postings,
+        # dense-head rows) NOW rather than at age-out: under a sustained
+        # ingest the 1 s refresh ticker publishes a searcher per second, and
+        # each retained snapshot's packed view + dense rows is O(index) HBM
+        # — 60 s of retention at 8.8M-doc scale is a guaranteed OOM. The
+        # immediately previous version keeps its caches (in-flight searches
+        # acquired it moments ago); older pinned versions rebuild lazily if
+        # a version-pinned search actually lands on them.
+        for v, s in self._searchers_by_version.items():
+            if v < self._version - 1:
+                s.release_device_caches()
         self._warm_packed_views(self.searcher)
 
     def _warm_packed_views(self, searcher: Searcher) -> None:
@@ -258,12 +271,27 @@ class IndexRuntime:
             return
 
         def warm():
-            try:
-                searcher.warm(fields)
-            except Exception:
-                pass
+            # Serialize warms, latest-wins: a 1 s refresh ticker under
+            # streaming ingest would otherwise stack one un-bounded dense
+            # build (O(index) HBM each) per publish — concurrent stale
+            # builds were the e2e ingest OOM (PERF_E2E_r05). At most one
+            # stale build can be mid-flight at a time.
+            with self._warm_lock:
+                if self.searcher is not searcher or self._stopped.is_set():
+                    return
+                try:
+                    searcher.warm(fields)
+                except Exception:
+                    pass
+            # close the release/warm race: if this snapshot was superseded
+            # while its warm was mid-build, the publish-time release ran
+            # before the caches existed — drop them now
+            if searcher.version < self._version - 1:
+                searcher.release_device_caches()
 
-        threading.Thread(target=warm, daemon=True).start()
+        t = threading.Thread(target=warm, daemon=True)
+        self._warm_thread = t
+        t.start()
 
     def _prune_searchers(self) -> None:
         """Age-based pruning of pinned searcher versions (reference:

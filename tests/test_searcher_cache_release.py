@@ -1,0 +1,92 @@
+"""Device-cache lifecycle across refreshes (the e2e ingest OOM fix).
+
+Under streaming ingest the refresh ticker publishes a searcher per second;
+each snapshot's packed view + dense-head rows is O(index) HBM. Superseded
+snapshots must drop those caches at publish time (not at the 60 s age-out),
+warms must serialize latest-wins, and a version-pinned search on a released
+snapshot must still answer by rebuilding lazily.
+
+Reference contract being preserved: SearcherLifetimeManager keeps pinned
+versions *searchable* (SearchHandler.java:765) — it never promises they keep
+their caches warm.
+"""
+
+import time
+
+import pytest
+
+from nrtsearch_tpu.server.index_runtime import IndexRuntime
+from nrtsearch_tpu.state.index_state import IndexStateInfo
+from nrtsearch_tpu.query.plan import parse_query
+
+
+@pytest.fixture()
+def rt(tmp_path):
+    info = IndexStateInfo(index_name="t", index_id="t-1").with_fields({
+        "id": {"type": "_ID", "store": True},
+        "body": {"type": "TEXT", "search": True},
+    })
+    rt = IndexRuntime(info, tmp_path, mode="STANDALONE")
+    rt.start()
+    yield rt
+    rt.stop()
+
+
+def _ingest_rounds(rt, rounds=6, per=10):
+    for i in range(rounds):
+        rt.add_documents([
+            {"id": str(i * per + j), "body": f"hello world w{j}"}
+            for j in range(per)
+        ])
+        rt.refresh()
+
+
+def test_superseded_snapshots_drop_device_caches(rt):
+    _ingest_rounds(rt)
+    # wait for the (serialized) warm of the current searcher to settle
+    t = rt._warm_thread
+    if t is not None:
+        t.join(timeout=30)
+    cur = rt._version
+    old = [v for v in sorted(rt._searchers_by_version) if v < cur - 1]
+    assert old, "test needs at least one superseded retained version"
+    for v in old:
+        s = rt._searchers_by_version[v]
+        assert not getattr(s, "_packed_views", None), (
+            f"superseded searcher v{v} still pins packed device views"
+        )
+        assert not getattr(s, "_gsort_cache", None)
+        assert not getattr(s, "_dist_cache", None)
+
+
+def test_current_searcher_keeps_warm_caches(rt):
+    _ingest_rounds(rt, rounds=2)
+    t = rt._warm_thread
+    if t is not None:
+        t.join(timeout=30)
+    views = getattr(rt.searcher, "_packed_views", None)
+    assert views and "body" in views, "current searcher should be warm"
+
+
+def test_pinned_search_on_released_snapshot_rebuilds(rt):
+    _ingest_rounds(rt)
+    cur = rt._version
+    old = [v for v in sorted(rt._searchers_by_version) if v < cur - 1]
+    node = parse_query({"matchQuery": {"field": "body", "query": "hello"}})
+    s_old = rt.acquire(version=old[0])
+    td = s_old.search(node, top_hits=5)
+    assert td.total_hits == 10  # first round's docs only
+
+
+def test_warm_latest_wins_serialized(rt):
+    """Rapid refreshes: stale warms exit without building; no thread pileup."""
+    _ingest_rounds(rt, rounds=8, per=5)
+    t = rt._warm_thread
+    if t is not None:
+        t.join(timeout=30)
+    # after settling, only current (and possibly previous) hold views
+    held = [
+        v for v, s in rt._searchers_by_version.items()
+        if getattr(s, "_packed_views", None)
+    ]
+    assert all(v >= rt._version - 1 for v in held), held
