@@ -86,27 +86,46 @@ def main() -> None:
         pb.Field(name="body", type=pb.FieldType.TEXT, search=True),
     ]))
     c.start_index(pb.StartIndexRequest(indexName="idx", mode=pb.Mode.STANDALONE))
+    # bulk-load posture: a 1 s refresh ticker during streaming ingest pays
+    # a flush + merge + packed-view warm per second (each a pile of device
+    # dispatches — ~31 ms/dispatch through the axon tunnel), starving the
+    # ingest. Standard reference practice for bulk loads is a long refresh
+    # interval (liveSettings.maxRefreshSec) + one explicit refresh at the
+    # end.
+    c.live_settings(pb.LiveSettingsRequest(
+        indexName="idx", maxRefreshSec=600.0,
+    ))
     log(f"indexing {NUM_DOCS} docs")
     t_ing = time.perf_counter()
+    # one vectorized draw: per-doc rng.choice over a 100k-entry p vector
+    # costs O(vocab) per CALL (alias table rebuilt each time) — ~1 h for 1M
+    # docs; the single batched draw is seconds
+    all_terms = rng.choice(VOCAB, size=(NUM_DOCS, AVG_LEN), p=probs)
     reqs = []
     for i in range(NUM_DOCS):
-        terms = rng.choice(VOCAB, size=AVG_LEN, p=probs)
         r = pb.AddDocumentRequest(indexName="idx")
         r.fields["id"].value.append(str(i))
-        r.fields["body"].value.append(" ".join(WORDS[t] for t in terms))
+        r.fields["body"].value.append(
+            " ".join(WORDS[t] for t in all_terms[i])
+        )
         reqs.append(r)
         if len(reqs) == 2000:
             c.add_documents(reqs)
             reqs = []
     if reqs:
         c.add_documents(reqs)
+    del all_terms
     ingest_s = time.perf_counter() - t_ing
     log(f"ingest {ingest_s:.0f}s ({NUM_DOCS/ingest_s:.0f} docs/s); refreshing")
     c.refresh("idx")
 
+    qpool = rng.choice(VOCAB, size=(4096, QUERY_TERMS), p=probs)
+    qi = [0]
+
     def make_request() -> pb.SearchRequest:
         q = pb.SearchRequest(indexName="idx", topHits=TOP_K)
-        terms = rng.choice(VOCAB, size=QUERY_TERMS, p=probs)
+        terms = qpool[qi[0] % len(qpool)]
+        qi[0] += 1
         q.query.matchQuery.field = "body"
         q.query.matchQuery.query = " ".join(WORDS[t] for t in terms)
         return q

@@ -492,13 +492,21 @@ class IndexRuntime:
         self._poll_thread.start()
 
     def _start_refresh_ticker(self) -> None:
-        max_refresh = float(self.state_info.live_settings.get("maxRefreshSec", 1.0))
-        if max_refresh <= 0:
+        if float(self.state_info.live_settings.get("maxRefreshSec", 1.0)) <= 0:
             return
 
         def tick():
             while not self._stopped.is_set():
-                self._stopped.wait(max_refresh)
+                # re-read per tick: maxRefreshSec is a LIVE setting
+                # (reference: ControlledRealTimeReopenThread reconfigured on
+                # liveSettings updates, ShardState.restartReopenThread) —
+                # bulk loaders raise it mid-ingest to stop paying a flush +
+                # merge + warm per second
+                max_refresh = float(
+                    self.state_info.live_settings.get("maxRefreshSec", 1.0)
+                    or 1.0
+                )
+                self._stopped.wait(max(max_refresh, 0.05))
                 if self._stopped.is_set():
                     break
                 try:

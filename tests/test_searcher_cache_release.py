@@ -90,3 +90,34 @@ def test_warm_latest_wins_serialized(rt):
         if getattr(s, "_packed_views", None)
     ]
     assert all(v >= rt._version - 1 for v in held), held
+
+
+def test_refresh_ticker_rereads_live_setting(tmp_path):
+    """maxRefreshSec is LIVE: raising it mid-ingest stops the auto-refresh
+    (bulk-load posture); lowering it resumes. Reference:
+    ControlledRealTimeReopenThread reconfigured on liveSettings updates."""
+    info = IndexStateInfo(index_name="t2", index_id="t2-1").with_fields({
+        "id": {"type": "_ID", "store": True},
+        "body": {"type": "TEXT", "search": True},
+    }).with_live_settings({"maxRefreshSec": 0.1})
+    rt = IndexRuntime(info, tmp_path, mode="STANDALONE")
+    rt.start()
+    try:
+        rt.add_documents([{"id": "1", "body": "hello"}])
+        deadline = time.time() + 5.0
+        while rt._version == 0 and time.time() < deadline:
+            time.sleep(0.05)
+        assert rt._version > 0, "ticker at 0.1s should have refreshed"
+
+        rt.state_info = rt.state_info.with_live_settings(
+            {"maxRefreshSec": 600.0}
+        )
+        # let the in-flight short tick drain, then buffer docs: no refresh
+        time.sleep(0.3)
+        v = rt._version
+        rt.add_documents([{"id": "2", "body": "world"}])
+        time.sleep(1.0)
+        assert rt._version == v, "long maxRefreshSec must stop the ticker"
+        assert rt.writer.buffered_docs > 0
+    finally:
+        rt.stop()
