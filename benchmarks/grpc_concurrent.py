@@ -130,10 +130,18 @@ def main() -> None:
         q.query.matchQuery.query = " ".join(WORDS[t] for t in terms)
         return q
 
-    # warm the packed view + kernel shapes
+    stats = c.stats("idx")
+    log(f"numDocs={stats.numDocs} maxDoc={stats.maxDoc}")
+    assert stats.numDocs == NUM_DOCS, "ingest lost documents"
+
+    # warm the packed view + kernel shapes; sanity-check that queries MATCH
+    # (an all-empty result set would report a bogus sub-dispatch 'latency')
     warm_client = NrtsearchClient(f"localhost:{port}")
+    warm_hits = []
     for _ in range(6):
-        warm_client.search(make_request())
+        warm_hits.append(warm_client.search(make_request()).totalHits.value)
+    log(f"warm query totalHits: {warm_hits}")
+    assert any(h > 0 for h in warm_hits), "warm queries matched nothing"
 
     results = []
     for level in LEVELS:
@@ -171,6 +179,7 @@ def main() -> None:
                 break
 
         barrier = threading.Barrier(level + 1)
+        hit_totals: list[int] = [0] * level
 
         def worker(slot: int):
             cl = clients[slot]
@@ -179,7 +188,7 @@ def main() -> None:
                 s = time.perf_counter()
                 resp = cl.search(req)
                 lats[slot].append(time.perf_counter() - s)
-                assert resp.totalHits.value >= 0
+                hit_totals[slot] += resp.totalHits.value
 
         threads = [
             threading.Thread(target=worker, args=(i,)) for i in range(level)
@@ -195,9 +204,11 @@ def main() -> None:
             cl.close()
         flat = sorted(x for row in lats for x in row)
         qps = len(flat) / wall
+        mean_hits = sum(hit_totals) / max(len(flat), 1)
         results.append({
             "clients": level,
             "qps": round(qps, 1),
+            "mean_total_hits": round(mean_hits, 1),
             "p50_ms": round(flat[len(flat) // 2] * 1e3, 2),
             "p90_ms": round(flat[min(int(len(flat) * 0.90), len(flat) - 1)] * 1e3, 2),
             "p99_ms": round(flat[min(int(len(flat) * 0.99), len(flat) - 1)] * 1e3, 2),

@@ -204,7 +204,6 @@ class IndexRuntime:
         with self._lock:
             if self.mode == "REPLICA":
                 return 0.0
-            before = [s.seg_id for s in self.writer.segments]
             dirty = (
                 self.writer.buffered_docs > 0
                 or bool(self.writer._pending_deletes)
@@ -212,7 +211,16 @@ class IndexRuntime:
                 or bool(self.writer._pending_dv_updates)
             )
             segments = self.writer.refresh()
-            if not dirty and [s.seg_id for s in segments] == before:
+            # skip-publish only when the PUBLISHED searcher already serves
+            # exactly these segments. Comparing against the writer's
+            # pre-refresh list instead silently dropped flushed-but-never-
+            # published segments: an ingest whose last add exactly filled
+            # the buffer flushes inside add_documents, leaving buffered==0
+            # and an unchanged writer list at refresh time — the refresh
+            # returned without publishing and searches served a stale (even
+            # empty) searcher (caught by the 1M-doc e2e bench: numDocs=0).
+            published = [s.seg_id for s in self.searcher.segments]
+            if not dirty and [s.seg_id for s in segments] == published:
                 return (time.time() - t0) * 1000
             self._version += 1
             self._publish_searcher(segments)

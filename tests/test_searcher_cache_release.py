@@ -121,3 +121,36 @@ def test_refresh_ticker_rereads_live_setting(tmp_path):
         assert rt.writer.buffered_docs > 0
     finally:
         rt.stop()
+
+
+def test_refresh_publishes_flushed_but_unpublished_segments(tmp_path):
+    """Ingest whose last add exactly fills the buffer: the flush happens
+    inside add_documents, so at refresh() time buffered==0 and the writer's
+    segment list is unchanged by the flush call — refresh must STILL
+    publish, because the current searcher has never seen those segments
+    (1M-doc e2e regression: numDocs=0 after ingesting 1,000,000 docs)."""
+    info = IndexStateInfo(index_name="t3", index_id="t3-1").with_fields({
+        "id": {"type": "_ID", "store": True},
+        "body": {"type": "TEXT", "search": True},
+    }).with_live_settings({"maxRefreshSec": 600.0})  # ticker effectively off
+    rt = IndexRuntime(info, tmp_path, mode="STANDALONE")
+    rt.start()
+    try:
+        rt.writer.max_buffer_docs = 10
+        # 20 docs = exactly 2 buffer fills -> 2 flushes inside add, 0 buffered
+        for base in (0, 10):
+            rt.add_documents([
+                {"id": str(base + j), "body": f"hello w{base + j}"}
+                for j in range(10)
+            ])
+        assert rt.writer.buffered_docs == 0
+        rt.refresh()
+        assert rt.searcher.num_docs == 20
+        node = parse_query({"matchQuery": {"field": "body", "query": "hello"}})
+        assert rt.searcher.search(node, top_hits=5).total_hits == 20
+        # idempotence: a second refresh with nothing new publishes nothing
+        v = rt._version
+        rt.refresh()
+        assert rt._version == v
+    finally:
+        rt.stop()
