@@ -304,6 +304,19 @@ class PackedFieldView:
         st = getattr(self, "_dense_st", None)
         if st is not None:
             return st if st != "none" else None
+        import threading
+
+        lock = self.__dict__.setdefault("_dense_build_lock", threading.Lock())
+        with lock:
+            return self._dense_state_locked()
+
+    def _dense_state_locked(self):
+        # double-checked under _dense_build_lock: the eager warm thread and
+        # the first query race to build the head rows — two concurrent
+        # builds double the O(index) HBM cost for nothing
+        st = getattr(self, "_dense_st", None)
+        if st is not None:
+            return st if st != "none" else None
         import jax
         import jax.numpy as jnp
 
