@@ -457,6 +457,14 @@ class PackedFieldView:
             np.full(k, -np.inf, np.float32), np.zeros(k, np.int64), 0, False
         )
         out: list = [empty] * B
+        # SERVING SHAPE DISCIPLINE (PERF_E2E_r05 finding): every distinct
+        # (B, U, R, run_len) mints a compiled program at tens of seconds
+        # each; under diverse traffic the free-shape planner compiled
+        # hundreds of programs and e2e throughput collapsed to ~2% of the
+        # kernel harness. U is therefore drawn from a 2-value menu with
+        # head->tail SPILL (a head term scored through its postings runs is
+        # exact — same contract), and run_len from a fixed menu below.
+        u_cap = int(os.environ.get("NRT_DENSE_U", "128"))
         for key, idxs in groups.items():
             _fk, _ak, _sk, is_and = key
             items = [parsed[i] for i in idxs]
@@ -469,6 +477,7 @@ class PackedFieldView:
             rows_tail: list[list[tuple[int, int, float]]] = []
             n_req = np.ones(Bg, np.int32)
             any_tail = False
+            spill_and = False
             for gi, (qi, spec, live, _dead, distinct) in enumerate(
                 live_items
             ):
@@ -481,11 +490,15 @@ class PackedFieldView:
                 row: list[tuple[int, int, float]] = []
                 for term, w in merged.items():
                     r = head_pos.get(term)
-                    if r is not None:
+                    if r is not None and (r in used or len(used) < u_cap):
                         if r not in used:
                             used[r] = len(used)
                         slots.append((used[r], w))
                     else:
+                        if r is not None and is_and:
+                            # a spilled term breaks the all-head
+                            # conjunction contract for this whole group
+                            spill_and = True
                         for run in ent_by_term[term]:
                             ln = int(run_lens[run])
                             if ln:
@@ -495,8 +508,13 @@ class PackedFieldView:
                 rows_tail.append(row)
                 if is_and:
                     n_req[gi] = distinct
+            if spill_and:
+                return None  # merge path serves the conjunction exactly
             has_head = bool(used)
-            U = _pow2(max(len(used), 1), 8)
+            # two-value U menu: {32, u_cap} — singles and small batches
+            # share one program, full batches the other
+            lo = min(32, u_cap)
+            U = lo if len(used) <= lo else u_cap
             W = np.zeros((Bg, U), np.float32)
             row_idx = np.zeros(U, np.int32)
             for r, slot in used.items():
@@ -506,7 +524,8 @@ class PackedFieldView:
                     W[gi, slot] += w
             if any_tail:
                 t_offs, t_lens, t_w, run_len = plan_run_lists(
-                    rows_tail, min_run=512
+                    rows_tail, min_run=512,
+                    run_len_menu=(512, 4096, 32768),
                 )
             else:
                 t_offs = np.zeros((Bg, 1), np.int32)
@@ -527,7 +546,8 @@ class PackedFieldView:
             else:
                 sort_keys, sort_ascending = None, True
             packed = dense_fused_topk(
-                st["rows"], self.index.doc_ids, self.index.impacts,
+                st["rows"], st["row_max"],
+                self.index.doc_ids, self.index.impacts,
                 jnp.asarray(W), jnp.asarray(row_idx), jnp.asarray(n_req),
                 jnp.asarray(t_offs), jnp.asarray(t_lens), jnp.asarray(t_w),
                 filt, additive, sort_keys, st["rows_lo"],

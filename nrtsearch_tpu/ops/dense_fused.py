@@ -1,40 +1,41 @@
-"""Round-5 fused dense-head retrieval: compact rows + slice-gather combine.
+"""Round-5 fused dense-head retrieval: compact rows + window combine.
 
-The round-4 dense path (ops/dense_head.dense_merge_topk) left three costs on
-the table, measured on v5e (benchmarks/profile_dense_stages.py,
-PERF_CEILING.md round 5):
+The round-4 dense path (ops/dense_head.dense_merge_topk) streamed ALL Hp
+head rows through the MXU per batch (2 GB HBM at H=1024) because XLA's row
+gather was measured hopeless (~24 GB/s). Round 5 gathers just the batch's
+rows with a Pallas block-copy kernel (contiguous (1, C, 128) DMAs at HBM
+stream speed — measured 0.054 ms for 128 rows x 1M docs,
+benchmarks/profile_fused_stages.py) into a COMPACT [U, D] operand, which
+also makes the Dekker residual correction affordable: two extra compact
+matmuls make head scores ~f32-exact (rel err ~2^-17) without giving up the
+MXU.
 
-1. **Full-H matmul**: every batch streamed ALL Hp=1024 head rows (2 GB HBM,
-   ~3.7 ms) even though a batch uses <= B x max_terms distinct rows
-   (typically 64-128). XLA's row gather was measured hopeless (~24 GB/s) so
-   round 4 streamed everything; round 5 gathers the batch's rows with a
-   `lax.scan` of full-row `dynamic_slice`s — contiguous 2 MB DMAs that run
-   at HBM speed — into a COMPACT [U, D] operand, cutting head-scan bytes by
-   Hp/U (~8-16x).
-2. **Element-gather combine**: the exact combine gathered S at every tail
-   position (take_along_axis on [B, D], ~13 ns/ELEMENT — ~5 ms/batch at
-   bench shapes, the single largest stage). Replaced by a SLICE gather:
-   read S in 128-lane blocks (S3[b, doc >> 7, :], a [*, 128]-slice gather
-   XLA executes at near-bandwidth) and select the lane with a one-hot
-   multiply — pure vector work, no per-element addressing.
-3. **Theta/window machinery**: with the combine now ~free, the candidate
-   window + escalation lax.cond of round 4 (which measured engaged on 0.2%
-   of bench docs — the full branch WAS the common case) is deleted. This
-   path is ALWAYS exact on docs, scores, and hit counts: no
-   GREATER_THAN_OR_EQUAL_TO relation, no pruned lower bounds.
+The combine is the round-4 candidate window, kept deliberately: the first
+fused revision replaced it with a per-128-doc-block bound merge-join
+(_annotated_tail) plus a "slice gather" (one-hot lane select), both of
+which MEASURED WORSE on v5e (annotated join 3.2 ms, slice-gather combine
+6.5 ms vs 0.6 ms for an element gather at M=512 — the one-hot formulation
+is no faster than the element gather it replaced). Profile artifact:
+benchmarks/profile_fused_stages.py, round 5. So:
 
-The same slice-gather trick extends the dense path to the general query
-shapes round 4 excluded (VERDICT r4 ask #2): a filter is a [D] mask ANDed
-into the match test (head side: one vector op; tail side: one more slice
-gather); additive score columns and doc-value sort keys are more [D]
-vectors riding the same gathers; all-head-terms conjunctions reuse the
-scan's second matmul (an indicator dot that counts matched terms per doc).
+- plain OR queries: top-M tail docs by tail sum, exact finals for just
+  those M (element gather, ~0.6 ms), theta certificate against the global
+  head upper bound, lax.cond escalation to the full combine when it fails;
+- filters / additive columns / doc-value sorts / all-head conjunctions:
+  the full combine — element gathers of each [D] column at the true tail
+  width (~7 ms at bench shapes; these shapes previously fell to the
+  379-qps merge path).
 
 Score contract: identical to dense_merge_topk — query weights and head
-impacts quantize through bf16 (MXU operands; f32 accumulation), the tail is
-exact f32, ties break (score desc, docid asc) per Lucene's contract
-(TopScoreDocCollector; reference server/search/MyIndexSearcher.java:79 is
-the hot loop this path replaces).
+impacts quantize through bf16 (MXU operands; f32 accumulation), the Dekker
+rows recover ~f32 head scores, the tail is exact f32, ties break (score
+desc, docid asc) per Lucene's contract (TopScoreDocCollector; reference
+server/search/MyIndexSearcher.java:79 is the hot loop this path replaces).
+
+Shape discipline (the PERF_E2E_r05 finding): every distinct
+(B, U, R, run_len) mints a compiled program; serving bounds U to a 2-value
+menu with head->tail spill and run_len to a fixed menu
+(core/packed_view.dense_search_batch, ops/merge_scoring.plan_run_lists).
 """
 
 from __future__ import annotations
@@ -48,13 +49,13 @@ import numpy as np
 from nrtsearch_tpu.ops.dense_head import (
     NEG_INF,
     _combine_topk_docid,
+    _hierarchical_topk,
     _searchsorted_rows,
     _topk_docid,
 )
 from nrtsearch_tpu.ops.merge_scoring import (
     DOC_SENTINEL,
     DOC_SENTINEL_LOW,
-    _hierarchical_topk,
     merge_sorted_runs,
     segmented_scores,
 )
@@ -117,85 +118,11 @@ def gather_rows(rows, idx):
     return _gather_rows_scan(rows, idx)
 
 
-def _ffill_last(vals, is_valid):
-    """Forward-fill the last valid value along the trailing axis (an
-    associative take-last scan — log passes of pure vector ops)."""
-
-    def comb(a, b):
-        av, af = a
-        bv, bf = b
-        return jnp.where(bf, bv, av), af | bf
-
-    v, _ = jax.lax.associative_scan(comb, (vals, is_valid), axis=-1)
-    return v
-
-
-def _annotated_tail(docs, tail_sum, live, bmax):
-    """Merge-join the per-128-doc-block head maxima into the (docid-sorted)
-    tail stream WITHOUT gathers (XLA gather measured ~40 GB/s on v5e for
-    every formulation, benchmarks/probe_fused.py — the TPU-native join of a
-    sorted stream against a doc-space table is a bitonic merge + forward
-    fill, all vector ops):
-
-    - entries key as doc*2+1, block markers as (g*128)*2 (so a marker sorts
-      immediately before its block's entries); dead entries carry -inf sums
-      and can never be selected;
-    - one bitonic merge of the two sorted runs, then a take-last scan fills
-      each position with its block's head max.
-
-    Returns (keys [B, W], sums [B, W], bfill [B, W]) over the merged width:
-    ``keys & 1`` marks entries (doc = key >> 1), ``sums`` their exact tail
-    sums, ``bfill`` the head block max governing them (<= 0 means every doc
-    in the block has zero head score — exact knowledge for hit counts)."""
-    B, N = docs.shape
-    nr = bmax.shape[1]
-    L = _pow2(max(N, nr))
-    dclip = jnp.clip(docs, -(2**29), 2**29)
-    ekey = (dclip * 2 + 1).astype(jnp.int32)
-    ekey = jnp.where(docs >= DOC_SENTINEL, jnp.int32(2**31 - 1), ekey)
-    esum = jnp.where(live, tail_sum, NEG_INF)
-    mkey = jnp.broadcast_to(
-        (jnp.arange(nr, dtype=jnp.int32) * 256)[None, :], (B, nr)
-    )
-
-    def pad(x, fill):
-        return jnp.pad(
-            x, ((0, 0), (0, L - x.shape[1])), constant_values=fill
-        )
-
-    keys = jnp.stack(
-        [pad(ekey, 2**31 - 1), pad(mkey, 2**31 - 1)], axis=1
-    )                                                     # [B, 2, L]
-    sums = jnp.stack([pad(esum, NEG_INF), jnp.full((B, L), NEG_INF)], axis=1)
-    bvals = jnp.stack([jnp.full((B, L), NEG_INF), pad(bmax, NEG_INF)], axis=1)
-    keys, sums, bvals = merge_sorted_runs(keys, sums, bvals)
-    is_marker = (keys & 1) == 0
-    bfill = _ffill_last(jnp.where(is_marker, bvals, NEG_INF), is_marker)
-    return keys, sums, bfill
-
-
 def _pow2(n: int, minimum: int = 1) -> int:
     b = minimum
     while b < n:
         b <<= 1
     return b
-
-
-def _gather_at_docs(col3, docs, nr):
-    """Values of a [D] column at tail-stream positions, by 128-lane slices.
-
-    ``col3`` is the column reshaped [..., nr, 128]; ``docs`` [B, N] may
-    contain sentinels (clipped — callers mask with ``live``). Returns
-    [B, N] gathered values. One [*, 128]-slice gather + a one-hot lane
-    select: ~bandwidth, vs ~13 ns/element for a flat take_along_axis."""
-    blk = jnp.clip(docs >> 7, 0, nr - 1)
-    if col3.ndim == 2:  # shared column [nr, 128] -> broadcast over batch
-        g = col3[blk]                               # [B, N, 128]
-    else:               # per-batch [B, nr, 128]
-        g = jnp.take_along_axis(col3, blk[..., None], axis=1)
-    lane = (docs & 127)[..., None]
-    onehot = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2) == lane
-    return jnp.sum(jnp.where(onehot, g, 0), axis=-1)
 
 
 @functools.partial(
@@ -207,6 +134,7 @@ def _gather_at_docs(col3, docs, nr):
 )
 def dense_fused_topk(
     rows,             # bf16 [Hp, D] resident head impact rows
+    row_max,          # f32 [Hp] per-row max impact (head_ub ingredient)
     post_docs,        # int32 [P] packed postings
     post_impacts,     # float32 [P]
     W,                # f32 [B, U] compact head weight matrix
@@ -238,31 +166,15 @@ def dense_fused_topk(
     Returns one packed int32 array [B, 2k+2]: scores (f32 bitcast) | docs |
     hits | counts_exact flag. Decode with ``ops.dense_head.decode_packed2``.
 
-    Combine strategy (plain OR queries, ``prune=True``): random access is
-    the one thing TPUs can't do fast (every XLA gather formulation measured
-    ~40 GB/s, benchmarks/probe_fused.py), so instead of gathering head
-    scores at every tail position, a gather-free sorted merge-join
-    (_annotated_tail) bounds every tail entry by ITS OWN 128-doc block's
-    head maximum — far tighter than round 4's global bound — selects a
-    top-M candidate window by that bound, gathers exact head scores for
-    just those M (a small, cheap gather), and certifies: when the (M+1)-th
-    bound falls below the k-th candidate score, no unselected entry can
-    reach the top-k and the result is EXACT on docs/scores (hit counts may
-    be lower bounds — the Lucene WAND relation; ``exact_counts=True``
-    forces the exact branch). A lax.cond escalates to the full slice-gather
-    combine when the certificate fails. This is the TPU re-expression of
-    BlockMaxWAND's per-block competitive pruning (reference:
-    MyIndexSearcher.java:79; Lucene impacts) — the block max rides a
-    bitonic merge instead of a skip list.
-
-    Filters, additive columns, sorts, and conjunctions take the exact path
-    (sort/filter ranks are not score-shaped; ``require_all`` demands
-    has_tail=False — the caller routes conjunctions with tail terms to the
-    merge path).
-    """
+    Plain OR queries take the candidate-window combine (exact docs/scores
+    under the theta certificate; hit counts may be lower bounds — the
+    Lucene WAND GREATER_THAN_OR_EQUAL_TO relation; ``exact_counts=True``
+    forces the full combine). Filters, additive columns, sorts, and
+    conjunctions take the full combine (element gathers of each [D] column
+    at the true tail width; ``require_all`` demands has_tail=False — the
+    caller routes conjunctions with tail terms to the merge path)."""
     B = W.shape[0]
     D = rows.shape[1]
-    nr = D // 128
 
     filt_b = None if filt is None else filt.astype(bool)
 
@@ -285,13 +197,19 @@ def dense_fused_topk(
         W_hi = W.astype(jnp.bfloat16)
         S = mm(W_hi, rows_used)                     # [B, D] f32
         if rows_lo is not None:
-            # Dekker-style correction: two extra compact matmuls recover
-            # the bf16 quantization of both operands (error ~|W_lo·R_lo|,
-            # rel ~2^-18) — head scores become f32-grade without giving up
-            # the MXU (bandwidth cost: one more [U, D] stream)
+            # Dekker-style correction: three extra compact matmuls recover
+            # the bf16 quantization of both operands including the
+            # lo-lo cross term (residual error ~2^-30 rel — below the f32
+            # accumulation noise of the exact path itself) — head scores
+            # become f32-grade without giving up the MXU (bandwidth cost:
+            # one more [U, D] stream; the extra matmuls reread the same
+            # compact operands)
             lo_used = gather_rows(rows_lo, row_idx)
             W_lo = (W - W_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            S = S + mm(W_hi, lo_used) + mm(W_lo, rows_used)
+            S = (
+                S + mm(W_hi, lo_used) + mm(W_lo, rows_used)
+                + mm(W_lo, lo_used)
+            )
         matched = S > 0.0
         if require_all:
             ind = (rows_used > 0).astype(mm_dt)
@@ -312,16 +230,16 @@ def dense_fused_topk(
         masked = jnp.where(matched, rank, NEG_INF)
         head_s, head_d = _hierarchical_topk(masked, k)
         head_hits = jnp.sum(matched, axis=-1, dtype=jnp.int32)
-        # per-128-doc-block maxima of the masked head scores (the pruned
-        # combine's per-entry bound; CSE dedupes this against the identical
-        # reduce inside _hierarchical_topk)
-        bmax = jnp.max(masked.reshape(B, nr, 128), axis=-1)
+        # per-query head upper bound for the window certificate; the small
+        # slack covers bf16 upward rounding of the quantized products
+        rmax = jnp.maximum(row_max[row_idx], 0.0)   # [U]
+        head_ub = (W * rmax[None, :]).sum(axis=1) * (1.0 + 2.0**-6)
     else:
         S = None
-        bmax = None
         head_s = jnp.full((B, k), NEG_INF, jnp.float32)
         head_d = jnp.zeros((B, k), jnp.int32)
         head_hits = jnp.zeros((B,), jnp.int32)
+        head_ub = jnp.zeros((B,), jnp.float32)
 
     if not has_tail:
         if sort_keys is not None and sort_ascending:
@@ -366,8 +284,8 @@ def dense_fused_topk(
     # head top-k entries whose doc also appears (live) in the tail stream
     # would double-count (OR scoring) or duplicate (sort): drop the head
     # copy — the complete entry reaches the top-k through the stream (under
-    # the pruned certificate: any doc whose true final reaches theta has
-    # bound >= final >= theta > residual, so it IS selected)
+    # the certificate: any doc whose true final reaches theta has
+    # tail_sum + head_ub >= final >= theta, so it IS selected)
     if has_head:
         p = _searchsorted_rows(docs, head_d)
         pc = jnp.clip(p, 0, N - 1)
@@ -380,32 +298,29 @@ def dense_fused_topk(
     else:
         head_s2 = head_s
 
+    dc = jnp.clip(docs, 0, D - 1)
+
     def full(_):
         """Exact combine: head scores (+ filter/additive/sort columns) at
-        EVERY tail position by 128-lane slice gathers; exact hit counts."""
+        EVERY tail position by element gathers; exact hit counts."""
         if has_head:
-            s_at = _gather_at_docs(S.reshape(B, nr, 128), docs, nr)
+            s_at = jnp.take_along_axis(S, dc, axis=1)
         else:
             s_at = jnp.zeros((B, N), jnp.float32)
         lv = live
         if filt_b is not None:
-            f_at = _gather_at_docs(
-                filt_b.astype(jnp.float32).reshape(nr, 128), docs, nr
-            )
-            lv = lv & (f_at > 0.0)
+            lv = lv & filt_b[dc]
         fin_base = seg_scores + s_at
         if additive is not None:
-            fin_base = fin_base + _gather_at_docs(
-                additive.reshape(nr, 128), docs, nr
-            )
+            fin_base = fin_base + additive[dc]
         if sort_keys is not None:
             skey = -sort_keys if sort_ascending else sort_keys
-            fin_rank = _gather_at_docs(skey.reshape(nr, 128), docs, nr)
+            fin_rank = skey[dc]
         else:
             fin_rank = fin_base
         fin = jnp.where(lv, fin_rank, NEG_INF)
         # fin ascends by docid (merged stream order); head entries are
-        # docid-tie-broken by _hierarchical_topk
+        # docid-tie-broken by the hierarchical top-k
         fs, fd = _combine_topk_docid(fin, docs, head_s2, head_d, k)
         hits = head_hits + jnp.sum(
             (lv & (s_at == 0.0)).astype(jnp.int32), axis=-1
@@ -416,62 +331,44 @@ def dense_fused_topk(
         has_head and filt is None and additive is None
         and sort_keys is None and not require_all
     )
-    if not (plain and prune and not exact_counts):
+    M = min(_pow2(4 * k, 128), N)
+    if not (plain and prune and not exact_counts) or M >= N:
         fs, fd, hits, exact = full(None)
     else:
-        # gather-free per-entry bounds: each tail entry bounded by its own
-        # 128-doc block's head maximum (bitonic merge-join + take-last fill)
-        keys, sums, bfill = _annotated_tail(docs, tail_sum=seg_scores,
-                                            live=live, bmax=bmax)
-        W2 = keys.shape[1]
-        is_entry = (keys & 1) == 1
-        ub = jnp.where(
-            is_entry & (sums > NEG_INF),
-            sums + jnp.maximum(bfill, 0.0),
-            NEG_INF,
-        )
-        M = min(_pow2(4 * k, 128), W2 - 1)
-        sel_ub, sel_pos = jax.lax.top_k(ub, M + 1)
-        residual = sel_ub[:, M]
-        sel_pos = sel_pos[:, :M]
-        sel_doc = jnp.take_along_axis(keys >> 1, sel_pos, axis=1)
-        sel_sum = jnp.take_along_axis(sums, sel_pos, axis=1)
-        sel_live = sel_ub[:, :M] > NEG_INF
+        # candidate window (round-4 combine, measured fastest on v5e):
+        # top-M tail docs by tail_sum — the same order as their final-score
+        # upper bound tail_sum + head_ub (head_ub is a per-query constant).
+        # Exact finals for just those M (element gather, ~0.6 ms at bench
+        # shapes); theta = k-th of the combined candidate + head set. Any
+        # unselected tail doc has final <= M-th tail_sum + head_ub; when
+        # that is strictly below theta, no unselected doc can reach the
+        # top-k and the result is EXACT on docs/scores (hits stay a lower
+        # bound — the WAND relation). Otherwise escalate via lax.cond.
+        tail_sum = jnp.where(live, seg_scores, NEG_INF)
+        sel_sum, sel_pos = jax.lax.top_k(tail_sum, M)
+        sel_doc = jnp.take_along_axis(docs, sel_pos, axis=1)
         sd = jnp.clip(sel_doc, 0, D - 1)
         s_at = jnp.take_along_axis(S, sd, axis=1)
-        fin = jnp.where(sel_live, sel_sum + s_at, NEG_INF)
-        # candidate set is ub-ordered, not docid-ordered: full
-        # lexicographic (score desc, docid asc) sort over M + k entries
+        fin = jnp.where(sel_sum > NEG_INF, sel_sum + s_at, NEG_INF)
+        # sel_doc is in tail_sum order, NOT docid order — the whole M+k
+        # candidate set goes through the lexicographic (score desc, docid
+        # asc) sort (small: M+k entries)
         fs_p, fd_p = _topk_docid(
             jnp.concatenate([fin, head_s2], axis=1),
             jnp.concatenate([sel_doc, head_d], axis=1),
             k,
         )
-        theta = fs_p[:, k - 1]
-        safe = jnp.all((residual < theta) | (residual == NEG_INF))
-        # hit counts: entries in zero-head blocks (bfill <= 0 proves
-        # S == 0) plus selected entries with exact-zero head scores plus
-        # head matches; unselected entries in nonzero blocks are unknown
-        # -> lower bound (the WAND GREATER_THAN_OR_EQUAL_TO relation)
-        zero_blk = is_entry & (sums > NEG_INF) & (bfill <= 0.0)
-        unknown = is_entry & (sums > NEG_INF) & (bfill > 0.0)
-        unknown = unknown.at[
-            jnp.arange(B)[:, None], sel_pos
-        ].set(False, mode="drop")
-        sel_zero = sel_live & (s_at == 0.0) & jnp.take_along_axis(
-            bfill > 0.0, sel_pos, axis=1
-        )
-        hits_p = (
-            head_hits
-            + jnp.sum(zero_blk, axis=-1, dtype=jnp.int32)
-            + jnp.sum(sel_zero, axis=-1, dtype=jnp.int32)
-        )
-        exact_p = (jnp.sum(unknown, axis=-1, dtype=jnp.int32) == 0).astype(
-            jnp.int32
+        theta = fs_p[:, k - 1]                       # [B], may be -inf
+        residual = sel_sum[:, M - 1]                 # M-th tail_sum
+        all_selected = residual == NEG_INF           # every tail doc in window
+        safe_q = all_selected | (residual + head_ub < theta)
+        safe = jnp.all(safe_q)
+        hits_p = head_hits + jnp.sum(
+            ((sel_sum > NEG_INF) & (s_at == 0.0)).astype(jnp.int32), axis=-1
         )
 
         def pruned(_):
-            return fs_p, fd_p, hits_p, exact_p
+            return fs_p, fd_p, hits_p, all_selected.astype(jnp.int32)
 
         fs, fd, hits, exact = jax.lax.cond(safe, pruned, full, None)
 
@@ -512,7 +409,7 @@ def dispatch_fused(
     if n_req is None:
         n_req = np.ones(B, np.int32)
     return dense_fused_topk(
-        idx.rows, post_docs, post_impacts,
+        idx.rows, idx.row_max, post_docs, post_impacts,
         jnp.asarray(plan.W), jnp.asarray(plan.row_idx),
         jnp.asarray(n_req),
         jnp.asarray(plan.run_offs), jnp.asarray(plan.run_lens),

@@ -77,10 +77,18 @@ def plan_run_lists(
     force_run_len: int = 0,
     max_run: int = 0,
     min_runs_pow2: int = 2,
+    run_len_menu: tuple[int, ...] = (),
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Plan arbitrary per-query run lists (e.g. block-max-pruned sub-runs)
     into the kernel's padded [B, R] tables with one shared power-of-two
-    run_len. See plan_runs for the width-minimization rationale."""
+    run_len. See plan_runs for the width-minimization rationale.
+
+    ``run_len_menu`` restricts the run_len choice to a fixed menu (still
+    width-minimizing within it). Serving uses this to bound the number of
+    distinct compiled programs: with free choice every batch composition
+    can mint a new (run_len, R) pair, and each fused-program compile costs
+    tens of seconds — the 1M-doc e2e bench measured the resulting compile
+    storm at ~40 qps vs ~2,000 kernel qps (PERF_E2E_r05)."""
     B = len(rows)
     max_df = max((ln for row in rows for _, ln, _ in row), default=1)
 
@@ -98,6 +106,9 @@ def plan_run_lists(
         min_run = min(min_run, max_run)
     if force_run_len:
         run_len = _pow2(force_run_len)
+    elif run_len_menu:
+        menu = sorted(_pow2(m) for m in run_len_menu)
+        run_len = min(menu, key=lambda rl_: (width(rl_), -rl_))
     else:
         candidates = []
         rl = _pow2(max(min_run, 1))

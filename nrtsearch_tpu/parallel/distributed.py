@@ -98,7 +98,12 @@ def _local_dense(
     from nrtsearch_tpu.ops.dense_fused import dense_fused_topk
 
     packed = dense_fused_topk(
-        rows[0], post_docs[0], post_impacts[0],
+        rows[0],
+        # prune=False below forces the exact branch, so the window
+        # certificate's row_max bound is never consulted — zeros suffice
+        # (a real max would cost a 2 GB stream per shard to compute here)
+        jnp.zeros((rows[0].shape[0],), jnp.float32),
+        post_docs[0], post_impacts[0],
         W[0], row_idx[0], n_req[0], r_offs[0], r_lens[0], r_w[0],
         rows_lo=maybe_lo[0][0] if maybe_lo else None,
         k=k, has_head=has_head, has_tail=has_tail, run_len=run_len,
