@@ -50,6 +50,130 @@ QUERY_TERMS = int(os.environ.get("GRPCB_TERMS", 2))
 TOP_K = int(os.environ.get("GRPCB_TOPK", 20))
 
 WORDS = [f"w{i}" for i in range(VOCAB)]
+# out-of-process clients (default): the server's capacity must not be
+# polluted by client-side request/response (de)serialization fighting for
+# the SAME process GIL — in-process clients measured as a hard ~200 qps
+# ceiling regardless of device speed. 0 -> legacy in-process threads.
+CLIENT_PROCS = int(os.environ.get("GRPCB_CLIENT_PROCS", 1))
+THREADS_PER_PROC = 8
+
+
+def _client_proc() -> None:
+    """Subprocess entry: --client PORT SEED THREADS QUERIES WARM_PASSES.
+    Runs THREADS client threads; two warm passes over its own request
+    list, prints READY, waits for GO on stdin, runs the timed pass, prints
+    one JSON line {"lats": [...], "hits": N}."""
+    port, seed, threads, queries, warm_passes = (
+        int(x) for x in sys.argv[2:7]
+    )
+    from nrtsearch_tpu.client import NrtsearchClient
+    from nrtsearch_tpu.gen import pb
+
+    rng = np.random.default_rng(seed)
+    qpool = rng.choice(VOCAB, size=(queries * threads, QUERY_TERMS), p=_probs())
+
+    def req_for(i):
+        q = pb.SearchRequest(indexName="idx", topHits=TOP_K)
+        q.query.matchQuery.field = "body"
+        q.query.matchQuery.query = " ".join(WORDS[t] for t in qpool[i])
+        return q
+
+    requests = [
+        [req_for(s * queries + j) for j in range(queries)]
+        for s in range(threads)
+    ]
+    clients = [NrtsearchClient(f"localhost:{port}") for _ in range(threads)]
+    # warm until a full pass runs compile-free (worst call < 1.5 s) — batch
+    # formation is nondeterministic, so a fixed pass count can leave a
+    # shape uncompiled and a multi-second XLA compile lands in the timed
+    # pass as a phantom p99
+    for wpass in range(max(warm_passes, 6)):
+        worst = [0.0] * threads
+
+        def warm_slot(s):
+            for r in requests[s]:
+                w0 = time.perf_counter()
+                clients[s].search(r)
+                worst[s] = max(worst[s], time.perf_counter() - w0)
+
+        ts = [
+            threading.Thread(target=warm_slot, args=(s,))
+            for s in range(threads)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        if wpass >= 1 and max(worst) < 1.5:
+            break
+    print("READY", flush=True)
+    sys.stdin.readline()  # GO
+    lats: list[float] = []
+    hits = [0]
+    lock = threading.Lock()
+
+    def run(slot):
+        my = []
+        h = 0
+        for r in requests[slot]:
+            t0 = time.perf_counter()
+            resp = clients[slot].search(r)
+            my.append(time.perf_counter() - t0)
+            h += resp.totalHits.value
+        with lock:
+            lats.extend(my)
+            hits[0] += h
+
+    ts = [threading.Thread(target=run, args=(s,)) for s in range(threads)]
+    t0 = time.perf_counter()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    wall = time.perf_counter() - t0
+    for c in clients:
+        c.close()
+    print(json.dumps({"lats": lats, "hits": hits[0], "wall": wall}),
+          flush=True)
+
+
+def _probs():
+    ranks = np.arange(1, VOCAB + 1)
+    return (1.0 / ranks) / (1.0 / ranks).sum()
+
+
+def _run_level_procs(level, port, seed0):
+    """Drive one concurrency level with out-of-process clients."""
+    import subprocess
+
+    procs = []
+    remaining = level
+    idx = 0
+    while remaining > 0:
+        threads = min(THREADS_PER_PROC, remaining)
+        remaining -= threads
+        p = subprocess.Popen(
+            [sys.executable, __file__, "--client", str(port),
+             str(seed0 + idx), str(threads), str(QUERIES_PER_CLIENT), "2"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        procs.append(p)
+        idx += 1
+    for p in procs:
+        line = p.stdout.readline().strip()
+        assert line == "READY", line
+    t0 = time.perf_counter()
+    for p in procs:
+        p.stdin.write("GO\n")
+        p.stdin.flush()
+    outs = [json.loads(p.stdout.readline()) for p in procs]
+    wall = max(o["wall"] for o in outs)
+    for p in procs:
+        p.wait(timeout=30)
+    lats = sorted(x for o in outs for x in o["lats"])
+    hits = sum(o["hits"] for o in outs)
+    return lats, hits, wall
 
 
 def main() -> None:
@@ -76,6 +200,10 @@ def main() -> None:
         "microBatch": {
             "enabled": os.environ.get("GRPCB_NO_BATCH", "0") != "1",
             "windowMs": float(os.environ.get("GRPCB_WINDOW_MS", "1.0")),
+            # cap at the measured-optimal device batch; larger caps admit a
+            # rarely-formed (and thus rarely-warmed) B=64 program whose
+            # compile lands in the timed pass at high concurrency
+            "maxSize": int(os.environ.get("GRPCB_MAX_BATCH", "32")),
         },
     }))
     port = server.start(0)
@@ -145,6 +273,23 @@ def main() -> None:
 
     results = []
     for level in LEVELS:
+        if CLIENT_PROCS:
+            lats_flat, hits_total, wall = _run_level_procs(
+                level, port, seed0=1000 * level
+            )
+            qps = len(lats_flat) / wall
+            n = len(lats_flat)
+            results.append({
+                "clients": level,
+                "qps": round(qps, 1),
+                "mean_total_hits": round(hits_total / max(n, 1), 1),
+                "p50_ms": round(lats_flat[n // 2] * 1e3, 2),
+                "p90_ms": round(lats_flat[min(int(n * 0.90), n - 1)] * 1e3, 2),
+                "p99_ms": round(lats_flat[min(int(n * 0.99), n - 1)] * 1e3, 2),
+            })
+            log(f"clients={level}: {qps:.1f} qps, p50 "
+                f"{results[-1]['p50_ms']} ms (out-of-process clients)")
+            continue
         requests = [
             [make_request() for _ in range(QUERIES_PER_CLIENT)]
             for _ in range(level)
@@ -235,4 +380,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--client":
+        _client_proc()
+    else:
+        main()

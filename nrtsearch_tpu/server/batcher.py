@@ -61,6 +61,15 @@ class SearchBatcher:
         # batch/(RT+device) regardless of device speed
         if workers <= 0:
             workers = int(os.environ.get("NRT_BATCHER_WORKERS", "8"))
+        # continuous-batching cap: while other dispatches are in flight
+        # their latency hides the formation wait, so a worker may keep
+        # forming up to this long before dispatching a partial batch
+        # (PERF_E2E_r05: with a 1 ms window at ~40 ms dispatch latency, 8
+        # workers grabbed 1-2 queries each — avg batch 1.75 at 32 clients)
+        self.window_max_s = float(
+            os.environ.get("NRT_BATCHER_WINDOW_MAX_MS", "25")
+        ) / 1000.0
+        self._in_flight = 0
         self._threads = [
             threading.Thread(
                 target=self._worker, name=f"search-batcher-{i}", daemon=True
@@ -135,6 +144,21 @@ class SearchBatcher:
                         if len(self._pending) >= self.max_batch:
                             break
                     time.sleep(self.window_s / 4)
+            # continuous batching: while other dispatches are in flight,
+            # keep forming — the in-flight latency hides the wait, and the
+            # arrivals they are blocking coalesce into THIS batch. A lone
+            # query with nothing in flight dispatches immediately.
+            if self.window_max_s:
+                deadline = time.monotonic() + self.window_max_s
+                while time.monotonic() < deadline:
+                    with self._lock:
+                        if (
+                            len(self._pending) >= self.max_batch
+                            or self._in_flight == 0
+                            or not self._pending
+                        ):
+                            break
+                    time.sleep(0.0005)
             with self._cv:
                 if not self._pending:
                     continue
@@ -146,7 +170,12 @@ class SearchBatcher:
                 ][: self.max_batch]
                 for p in group:
                     self._pending.remove(p)
-            self._run_group(group)
+                self._in_flight += 1
+            try:
+                self._run_group(group)
+            finally:
+                with self._lock:
+                    self._in_flight -= 1
 
     def _run_group(self, group: list[_Pending]) -> None:
         try:

@@ -664,13 +664,27 @@ class Handlers:
                 self._highlight_hit(pb_hit, searcher, h, hfield, terms, settings)
 
         pairs = list(zip(pb_hits, hits))
-        if len(pairs) > 8 and not req.inner_hits:
-            # parallel fetch by doc chunk (reference: FillDocsTask on the
-            # FETCH pool, parallelFetchChunkSize semantics)
+        has_fill_work = bool(retrieve or req.explain or highlight_plan)
+        if has_fill_work and len(pairs) > 8 and not req.inner_hits:
+            # parallel fetch by doc CHUNK (reference: FillDocsTask on the
+            # FETCH pool, liveSettings.parallelFetchChunkSize, default 50)
+            # — one executor task per chunk, not per hit: per-hit futures
+            # cost ~36 us each in pure submission overhead, which at
+            # topHits=100 dominated the whole host path for cheap queries
             from nrtsearch_tpu.server.concurrent import ExecutorFactory
 
-            list(ExecutorFactory.get().pool("FETCH").map(fill_one, pairs))
-        else:
+            ls = rt.state_info.live_settings
+            csize = max(int(ls.get("parallelFetchChunkSize", 50) or 50), 1)
+            chunks = [
+                pairs[i : i + csize] for i in range(0, len(pairs), csize)
+            ]
+
+            def fill_chunk(chunk):
+                for pair in chunk:
+                    fill_one(pair)
+
+            list(ExecutorFactory.get().pool("FETCH").map(fill_chunk, chunks))
+        elif has_fill_work:
             for pair in pairs:
                 fill_one(pair)
         # inner hits mutate a shared eval cache: keep them on the caller thread
