@@ -274,11 +274,19 @@ def main() -> None:
     results = []
     for level in LEVELS:
         if CLIENT_PROCS:
-            lats_flat, hits_total, wall = _run_level_procs(
-                level, port, seed0=1000 * level
-            )
+            try:
+                lats_flat, hits_total, wall = _run_level_procs(
+                    level, port, seed0=1000 * level
+                )
+            except Exception as e:  # a failed level must not lose the run
+                log(f"clients={level}: FAILED ({e!r:.200})")
+                results.append({"clients": level, "error": repr(e)[:200]})
+                continue
             qps = len(lats_flat) / wall
             n = len(lats_flat)
+            if n == 0:
+                results.append({"clients": level, "error": "no results"})
+                continue
             results.append({
                 "clients": level,
                 "qps": round(qps, 1),
@@ -362,11 +370,11 @@ def main() -> None:
 
     batcher = getattr(getattr(server, "handlers", None), "batcher", None)
     stats = batcher.stats() if batcher is not None else {}
-    base = results[0]["qps"]
+    base = results[0].get("qps", 0)
     print(json.dumps({
         "metric": "grpc_concurrent_qps",
         "levels": results,
-        "scaling_32_over_1": round(results[-1]["qps"] / base, 2) if base else 0,
+        "scaling_32_over_1": round(results[-1].get("qps", 0) / base, 2) if base else 0,
         "batcher": stats,
         "num_docs": NUM_DOCS,
         "vocab": VOCAB, "avg_len": AVG_LEN, "query_terms": QUERY_TERMS,
