@@ -388,9 +388,16 @@ class PackedFieldView:
             residual,
         )
         row_max = jnp.max(rows, axis=1).astype(jnp.float32)
+        # the largest tail (non-head) df sizes the fixed serving run_len:
+        # head selection is capped at max_rows, so tail terms can carry df
+        # well above min_df — runs-per-term must stay 1 for the fixed-R
+        # shape to hold
+        tail_max_df = max(
+            (n for t, n in df.items() if t not in head_pos), default=0
+        )
         st = {
             "rows": rows, "rows_lo": rows_lo, "row_max": row_max,
-            "head_pos": head_pos, "D": D,
+            "head_pos": head_pos, "D": D, "tail_max_df": int(tail_max_df),
         }
         self._dense_st = st
         return st
@@ -409,7 +416,6 @@ class PackedFieldView:
 
         from nrtsearch_tpu.ops.dense_fused import dense_fused_topk
         from nrtsearch_tpu.ops.dense_head import decode_packed2
-        from nrtsearch_tpu.ops.merge_scoring import plan_run_lists
 
         if self.total_len == 0:
             return None
@@ -523,10 +529,35 @@ class PackedFieldView:
                 for slot, w in slots:
                     W[gi, slot] += w
             if any_tail:
-                t_offs, t_lens, t_w, run_len = plan_run_lists(
-                    rows_tail, min_run=512,
-                    run_len_menu=(512, 4096, 32768),
-                )
+                # ONE fixed tail shape (the rest of the shape discipline):
+                # run_len and R are constants, runs chunked and padded to
+                # them; a query needing more than R runs falls back to the
+                # merge path (rare: tail terms have df < min_df, so a run
+                # per term — >R tail terms per query). The padded width
+                # R*run_len ~= the natural batch width at bench shapes, so
+                # the r3 "4x-padded stream" regression does not reappear.
+                # run_len covers one whole tail run for MOST tail terms
+                # (clamped at 64k so one enormous tail term cannot inflate
+                # everyone's merged width), so runs-per-term stays ~1 and R
+                # bounds the TERMS per query; fixed per snapshot -> one
+                # compiled shape
+                run_len = int(
+                    os.environ.get("NRT_DENSE_RL", 0)
+                ) or _pow2(min(max(4096, st["tail_max_df"]), 65536))
+                R_fix = int(os.environ.get("NRT_DENSE_R", "8"))
+                t_offs = np.zeros((Bg, R_fix), np.int32)
+                t_lens = np.zeros((Bg, R_fix), np.int32)
+                t_w = np.zeros((Bg, R_fix), np.float32)
+                for gi, row in enumerate(rows_tail):
+                    ri = 0
+                    for off, ln, w in row:
+                        for start in range(0, ln, run_len):
+                            if ri >= R_fix:
+                                return None  # merge path
+                            t_offs[gi, ri] = off + start
+                            t_lens[gi, ri] = min(run_len, ln - start)
+                            t_w[gi, ri] = w
+                            ri += 1
             else:
                 t_offs = np.zeros((Bg, 1), np.int32)
                 t_lens = np.zeros((Bg, 1), np.int32)
@@ -733,21 +764,38 @@ class PackedFieldView:
                 "additive": spec.additive,
                 "sort": spec.sort,
             })
+        # never dispatch empty queries (dead conjunctions, the batcher's
+        # pad specs): a zero-run row through the Pallas merge kernel
+        # faulted the TPU worker (PERF_E2E_r05 level-8 crash) — and it is
+        # wasted width regardless. Dispatch the live subset, scatter back.
+        live_idx = [
+            qi for qi in range(B)
+            if not dead[qi] and queries[qi]["entries"]
+        ]
+        if not live_idx:
+            if reduce_kinds:
+                from nrtsearch_tpu.core.maxscore import _zero_reductions
+
+                return [empty] * B, [_zero_reductions(reduce_kinds)] * B
+            return [empty] * B
+        sub = [queries[qi] for qi in live_idx]
         if reduce_kinds:
-            results, reds = self.index.search(
-                queries, k, prune=prune,
+            results, reds_sub = self.index.search(
+                sub, k, prune=prune,
                 reduce_cols=reduce_cols, reduce_kinds=reduce_kinds,
             )
         else:
-            results = self.index.search(queries, k, prune=prune)
-        out = []
-        for qi in range(B):
-            if dead[qi] or not queries[qi]["entries"]:
-                out.append(empty)
-                continue
-            s, d, total, count_exact = results[qi]
-            out.append(FastResult(s, d, total, not count_exact))
+            results = self.index.search(sub, k, prune=prune)
+        out = [empty] * B
+        for si, qi in enumerate(live_idx):
+            s, d, total, count_exact = results[si]
+            out[qi] = FastResult(s, d, total, not count_exact)
         if reduce_kinds:
+            from nrtsearch_tpu.core.maxscore import _zero_reductions
+
+            reds = [_zero_reductions(reduce_kinds)] * B
+            for si, qi in enumerate(live_idx):
+                reds[qi] = reds_sub[si]
             return out, reds
         return out
 
